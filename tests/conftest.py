@@ -1,0 +1,44 @@
+"""Test configuration: force a virtual 8-device CPU mesh so sharding tests run
+without TPU hardware (mirrors the driver's dryrun_multichip environment)."""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import io
+import numpy as np
+import pytest
+from PIL import Image
+
+
+TESTDATA = "/root/reference/testdata"
+
+
+@pytest.fixture(scope="session")
+def testdata_dir():
+    return TESTDATA
+
+
+def pil_webp(im: Image.Image, **kw) -> bytes:
+    """Encode an image to WebP bytes with Pillow/libwebp (conformance oracle)."""
+    buf = io.BytesIO()
+    im.save(buf, format="WEBP", **kw)
+    return buf.getvalue()
+
+
+def pil_decode_rgba(data: bytes) -> np.ndarray:
+    return np.array(Image.open(io.BytesIO(data)).convert("RGBA"))
+
+
+@pytest.fixture(scope="session")
+def test_png():
+    return Image.open(f"{TESTDATA}/test.png")
+
+
+@pytest.fixture(scope="session")
+def test_color_png():
+    return Image.open(f"{TESTDATA}/test_color.png")

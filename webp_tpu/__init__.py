@@ -1,0 +1,90 @@
+"""webp_tpu — TPU-native WebP codec framework.
+
+A ground-up reimplementation of the WebP format (VP8 lossy, VP8L lossless,
+ALPH alpha, VP8X extended container, ANIM animation, mux/demux, sharp-YUV)
+designed TPU-first: batched JAX/XLA/Pallas kernels for the pixel compute,
+host/native entropy coding, jax.sharding meshes for multi-chip scale-out.
+
+Public API parity with the reference package root
+(/root/reference/webp.go, encode.go):
+
+    decode(data)        -> np.ndarray (RGB or RGBA uint8)
+    decode_config(data) -> Features (dimensions/format without pixel decode)
+    get_features(data)  -> Features
+    encode(img, ...)    -> bytes (WebP file)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .container.parser import Parser, get_features
+from .container.riff import Features, FormatType, WebPError
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "decode",
+    "decode_rgba",
+    "decode_config",
+    "get_features",
+    "encode",
+    "Features",
+    "FormatType",
+    "WebPError",
+    "EncoderOptions",
+]
+
+
+def decode_rgba(data: bytes) -> np.ndarray:
+    """Decodes a WebP file to an RGBA uint8 array [h, w, 4]."""
+    p = Parser(data)
+    frames = p.frames()
+    if not frames:
+        raise WebPError("webp: no image frame")
+    fr = frames[0]
+    if fr.is_lossless:
+        from .lossless.decode import decode_vp8l, argb_to_rgba
+
+        argb, _ = decode_vp8l(fr.bitstream)
+        return argb_to_rgba(argb)
+    from .lossy.decode import decode_vp8_rgba
+
+    return decode_vp8_rgba(fr.bitstream, fr.alpha if fr.has_alpha else None)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decodes a WebP file; returns RGBA if the image has alpha, else RGB."""
+    rgba = decode_rgba(data)
+    f = get_features(data)
+    if f.has_alpha or bool((rgba[..., 3] != 255).any()):
+        return rgba
+    return rgba[..., :3]
+
+
+def decode_config(data: bytes) -> Features:
+    """Parses headers only (dimensions, format, alpha) without pixel decode."""
+    return get_features(data)
+
+
+def encode(img: np.ndarray, **options) -> bytes:
+    """Encodes an RGB(A) uint8 array to WebP bytes.
+
+    Keyword options mirror the reference EncoderOptions (encode.go:42-187):
+    lossless, quality, method, use_sharp_yuv, exact, alpha_quality, ...
+    """
+    from .encode import encode as _encode
+
+    return _encode(img, **options)
+
+
+def _lazy_encoder_options():
+    from .encode import EncoderOptions
+
+    return EncoderOptions
+
+
+def __getattr__(name):
+    if name == "EncoderOptions":
+        return _lazy_encoder_options()
+    raise AttributeError(name)
