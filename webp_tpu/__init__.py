@@ -73,13 +73,13 @@ def encode(img: np.ndarray, **options) -> bytes:
     Keyword options mirror the reference EncoderOptions (encode.go:42-187):
     lossless, quality, method, use_sharp_yuv, exact, alpha_quality, ...
     """
-    from .encode import encode as _encode
+    from .encoder import encode as _encode
 
     return _encode(img, **options)
 
 
 def _lazy_encoder_options():
-    from .encode import EncoderOptions
+    from .encoder import EncoderOptions
 
     return EncoderOptions
 

@@ -1,0 +1,284 @@
+"""Top-level WebP encoding API.
+
+Parity with the reference package root (/root/reference/encode.go):
+EncoderOptions with C-default resolution, presets, RGB->YUV import
+(gamma-correct 2x2 chroma averaging), alpha extraction, simple/extended
+RIFF assembly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+
+from .container import riff as r
+from .container.riff import WebPError
+
+MAX_DIMENSION = 16383
+
+
+@dataclass
+class EncoderOptions:
+    """Mirrors reference EncoderOptions (encode.go:42-187)."""
+
+    lossless: bool = False
+    quality: float = 75.0
+    method: int = 4
+    target_size: int = 0
+    target_psnr: float = 0.0
+    segments: int = 4
+    sns_strength: int = 50
+    filter_strength: int = 60
+    filter_sharpness: int = 0
+    filter_type: int = 1
+    autofilter: bool = False
+    alpha_compression: int = 1
+    alpha_filtering: int = 1
+    alpha_quality: int = 100
+    pass_count: int = 1
+    preprocessing: int = 0
+    partitions: int = 0
+    partition_limit: int = 0
+    use_sharp_yuv: bool = False
+    exact: bool = False
+    near_lossless: int = 100
+    # Metadata
+    iccp: bytes = b""
+    exif: bytes = b""
+    xmp: bytes = b""
+
+
+PRESETS = {
+    "default": {},
+    "picture": dict(sns_strength=80, filter_sharpness=4, filter_strength=35),
+    "photo": dict(sns_strength=80, filter_sharpness=3, filter_strength=30),
+    "drawing": dict(sns_strength=25, filter_sharpness=6, filter_strength=10),
+    "icon": dict(sns_strength=0, filter_strength=0),
+    "text": dict(sns_strength=0, filter_strength=0, segments=2),
+}
+
+
+def options_for_preset(preset: str, quality: float = 75.0) -> EncoderOptions:
+    if preset not in PRESETS:
+        raise WebPError(f"webp: unknown preset {preset!r}")
+    return EncoderOptions(quality=quality, **PRESETS[preset])
+
+
+# --- RGB -> YUV420 import (gamma-correct chroma averaging) -----------------
+
+K_RGB_TO_Y = (16839, 33059, 6420)
+K_RGB_TO_U = (-9719, -19081, 28800)
+K_RGB_TO_V = (28800, -24116, -4684)
+YUV_FIX = 16
+YUV_HALF = 1 << (YUV_FIX - 1)
+
+# Gamma tables (libwebp picture_csp_enc.c): gamma 0.80 chroma averaging.
+K_GAMMA = 0.80
+K_GAMMA_FIX = 12
+K_GAMMA_SCALE = (1 << K_GAMMA_FIX) - 1
+K_GAMMA_TAB_FIX = 7
+K_GAMMA_TAB_SCALE = 1 << K_GAMMA_TAB_FIX
+K_GAMMA_TAB_SIZE = 1 << (K_GAMMA_FIX - K_GAMMA_TAB_FIX)
+
+_gamma_to_linear = None
+_linear_to_gamma = None
+
+
+def _init_gamma():
+    global _gamma_to_linear, _linear_to_gamma
+    if _gamma_to_linear is not None:
+        return
+    g2l = np.empty(256, dtype=np.int64)
+    for v in range(256):
+        g2l[v] = int((v / 255.0) ** K_GAMMA * K_GAMMA_SCALE + 0.5)
+    l2g = np.empty(K_GAMMA_TAB_SIZE + 2, dtype=np.int64)
+    scale = K_GAMMA_TAB_SCALE / K_GAMMA_SCALE
+    for v in range(K_GAMMA_TAB_SIZE + 1):
+        l2g[v] = int((scale * v) ** (1.0 / K_GAMMA) * 255.0 + 0.5)
+    l2g[K_GAMMA_TAB_SIZE + 1] = 255
+    _gamma_to_linear = g2l
+    _linear_to_gamma = l2g
+
+
+def _linear_to_gamma_interp(base: np.ndarray, shift: int) -> np.ndarray:
+    """LinearToGamma on sum-of-4 linear values; returns 4x-scale gamma values
+    in [0..1020] (matches reference dsp/yuv.go LinearToGamma)."""
+    _init_gamma()
+    v = base << shift  # in [0, 4*K_GAMMA_SCALE]
+    tab_pos = np.minimum(v >> (K_GAMMA_TAB_FIX + 2), K_GAMMA_TAB_SIZE - 1)
+    x = v & ((K_GAMMA_TAB_SCALE << 2) - 1)
+    v0 = _linear_to_gamma[tab_pos]
+    v1 = _linear_to_gamma[tab_pos + 1]
+    y = v1 * x + v0 * ((K_GAMMA_TAB_SCALE << 2) - x)
+    return (y + (K_GAMMA_TAB_SCALE >> 1)) >> K_GAMMA_TAB_FIX
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """Converts uint8 RGB [h, w, 3] to YUV420 planes padded to MB multiples.
+
+    Matches the reference's standard import path (lossy/encode.go:671-838):
+    per-pixel Y; chroma from gamma-corrected 2x2 RGB accumulation.
+    """
+    h, w = rgb.shape[:2]
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    rgbi = rgb.astype(np.int64)
+    red, green, blue = rgbi[..., 0], rgbi[..., 1], rgbi[..., 2]
+    yy = (K_RGB_TO_Y[0] * red + K_RGB_TO_Y[1] * green + K_RGB_TO_Y[2] * blue
+          + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX
+    Y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
+    Y[:h, :w] = np.clip(yy, 0, 255).astype(np.uint8)
+
+    # Chroma: gamma-correct 2x2 accumulation on an even-padded copy.
+    we, he = (w + 1) & ~1, (h + 1) & ~1
+    pad = np.empty((he, we, 3), dtype=np.uint8)
+    pad[:h, :w] = rgb
+    if we > w:
+        pad[:h, w:] = rgb[:, w - 1 :]
+    if he > h:
+        pad[h:, :w] = rgb[h - 1 :, :w]
+        if we > w:
+            pad[h:, w:] = rgb[h - 1 :, w - 1 :]
+    _init_gamma()
+    lin = _gamma_to_linear[pad]  # [he, we, 3] linear
+    acc = (lin[0::2, 0::2] + lin[0::2, 1::2] + lin[1::2, 0::2] + lin[1::2, 1::2])
+    # LinearToGamma(acc, 0) per channel -> gamma-domain averaged values.
+    gam = _linear_to_gamma_interp(acc, 0)
+    rg, gg, bg = gam[..., 0], gam[..., 1], gam[..., 2]
+    # ClipUV with rounding = YUV_HALF << 2.
+    ru = (K_RGB_TO_U[0] * rg + K_RGB_TO_U[1] * gg + K_RGB_TO_U[2] * bg
+          + (YUV_HALF << 2) + (128 << (YUV_FIX + 2))) >> (YUV_FIX + 2)
+    rv = (K_RGB_TO_V[0] * rg + K_RGB_TO_V[1] * gg + K_RGB_TO_V[2] * bg
+          + (YUV_HALF << 2) + (128 << (YUV_FIX + 2))) >> (YUV_FIX + 2)
+    U = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+    V = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+    ch, cw = he >> 1, we >> 1
+    U[:ch, :cw] = np.clip(ru, 0, 255).astype(np.uint8)
+    V[:ch, :cw] = np.clip(rv, 0, 255).astype(np.uint8)
+
+    # Replicate border pixels into padding (matches importImage padding).
+    _pad_plane(Y, h, w)
+    _pad_plane(U, ch, cw)
+    _pad_plane(V, ch, cw)
+    return Y, U, V
+
+
+def _pad_plane(p: np.ndarray, h: int, w: int) -> None:
+    if w < p.shape[1]:
+        p[:h, w:] = p[:h, w - 1 : w]
+    if h < p.shape[0]:
+        p[h:, :] = p[h - 1 : h, :]
+
+
+# --- Encode entry points -----------------------------------------------------
+
+
+def _to_array(img) -> np.ndarray:
+    a = np.asarray(img)
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise WebPError("webp: encode expects uint8 [h,w,3|4] array")
+    return a
+
+
+def encode(img, **options) -> bytes:
+    """Encodes an RGB(A) uint8 array to a WebP file."""
+    a = _to_array(img)
+    opts = EncoderOptions(**options) if not isinstance(options.get("options"),
+                                                       EncoderOptions) else options["options"]
+    h, w = a.shape[:2]
+    if w == 0 or h == 0 or w > MAX_DIMENSION or h > MAX_DIMENSION:
+        raise WebPError("webp: invalid dimensions")
+    if opts.lossless:
+        return _encode_lossless(a, opts)
+    return _encode_lossy(a, opts)
+
+
+def _has_alpha(a: np.ndarray) -> bool:
+    return a.shape[2] == 4 and bool((a[..., 3] != 255).any())
+
+
+def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
+    from .lossy.encode import VP8Encoder, LossyConfig
+
+    h, w = a.shape[:2]
+    rgb = a[..., :3]
+    if opts.use_sharp_yuv:
+        from .sharpyuv.convert import sharp_rgb_to_yuv420
+
+        Y, U, V = sharp_rgb_to_yuv420(rgb)
+    else:
+        Y, U, V = rgb_to_yuv420(rgb)
+    cfg = LossyConfig(
+        quality=int(opts.quality),
+        method=opts.method,
+        segments=opts.segments,
+        filter_strength=opts.filter_strength,
+        filter_sharpness=opts.filter_sharpness,
+        filter_type=opts.filter_type,
+        partitions=opts.partitions,
+        sns_strength=opts.sns_strength,
+    )
+    enc = VP8Encoder(Y, U, V, w, h, cfg)
+    vp8 = enc.encode()
+
+    alpha_payload = b""
+    if _has_alpha(a):
+        from .lossy.alpha_enc import encode_alpha
+
+        alpha_payload = encode_alpha(
+            a[..., 3],
+            quality=opts.alpha_quality,
+            method=opts.alpha_compression,
+            filtering=opts.alpha_filtering,
+            effort=opts.method,
+        )
+
+    has_meta = bool(opts.iccp or opts.exif or opts.xmp)
+    if not alpha_payload and not has_meta:
+        return r.assemble_riff([r.Chunk(r.VP8, vp8)])
+    return _assemble_extended(w, h, vp8=vp8, alpha=alpha_payload, opts=opts)
+
+
+def _encode_lossless(a: np.ndarray, opts: EncoderOptions) -> bytes:
+    from .lossless.encode import encode_vp8l
+
+    has_alpha = _has_alpha(a)
+    payload = encode_vp8l(a, quality=int(opts.quality), method=opts.method,
+                          exact=opts.exact, near_lossless=opts.near_lossless)
+    has_meta = bool(opts.iccp or opts.exif or opts.xmp)
+    if not has_meta:
+        return r.assemble_riff([r.Chunk(r.VP8L, payload)])
+    h, w = a.shape[:2]
+    return _assemble_extended(w, h, vp8l=payload, opts=opts,
+                              vp8l_alpha=has_alpha)
+
+
+def _assemble_extended(w: int, h: int, vp8: bytes = b"", vp8l: bytes = b"",
+                       alpha: bytes = b"", opts: Optional[EncoderOptions] = None,
+                       vp8l_alpha: bool = False) -> bytes:
+    flags = 0
+    if alpha or vp8l_alpha:
+        flags |= r.FLAG_ALPHA
+    if opts and opts.iccp:
+        flags |= r.FLAG_ICCP
+    if opts and opts.exif:
+        flags |= r.FLAG_EXIF
+    if opts and opts.xmp:
+        flags |= r.FLAG_XMP
+    vp8x = flags.to_bytes(4, "little") + (w - 1).to_bytes(3, "little") + \
+        (h - 1).to_bytes(3, "little")
+    chunks = [r.Chunk(r.VP8X, vp8x)]
+    if opts and opts.iccp:
+        chunks.append(r.Chunk(r.ICCP, opts.iccp))
+    if alpha:
+        chunks.append(r.Chunk(r.ALPH, alpha))
+    if vp8:
+        chunks.append(r.Chunk(r.VP8, vp8))
+    if vp8l:
+        chunks.append(r.Chunk(r.VP8L, vp8l))
+    if opts and opts.exif:
+        chunks.append(r.Chunk(r.EXIF, opts.exif))
+    if opts and opts.xmp:
+        chunks.append(r.Chunk(r.XMP, opts.xmp))
+    return r.assemble_riff(chunks)

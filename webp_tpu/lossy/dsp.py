@@ -97,18 +97,18 @@ def fdct4x4(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
     Matches the reference fTransform (dsp/transforms.go:371) integer math.
     """
     d = src.astype(np.int64) - ref.astype(np.int64)  # [..., 4(row), 4(col)]
-    # Horizontal pass (along columns axis).
+    # Horizontal pass (within each pixel row).
     d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
-    a0 = (d0 + d3) * 8
-    a1 = (d1 + d2) * 8
+    a0 = d0 + d3
+    a1 = d1 + d2
     a2 = d1 - d2
     a3 = d0 - d3
-    t0 = a0 + a1
-    t2 = a0 - a1
-    t1 = (a2 * 2217 + a3 * 5352 + 14500) >> 12
-    t3 = (a3 * 2217 - a2 * 5352 + 7500) >> 12
+    t0 = (a0 + a1) * 8
+    t1 = (a2 * 2217 + a3 * 5352 + 1812) >> 9
+    t2 = (a0 - a1) * 8
+    t3 = (a3 * 2217 - a2 * 5352 + 937) >> 9
     tmp = np.stack([t0, t1, t2, t3], axis=-1)  # [..., 4(row), 4(freq)]
-    # Vertical pass (along rows axis).
+    # Vertical pass (within each frequency column).
     m0, m1, m2, m3 = tmp[..., 0, :], tmp[..., 1, :], tmp[..., 2, :], tmp[..., 3, :]
     a0 = m0 + m3
     a1 = m1 + m2
@@ -122,20 +122,23 @@ def fdct4x4(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
 
 
 def fwht4x4(dcs: np.ndarray) -> np.ndarray:
-    """Batched forward WHT over the 16 luma sub-block DCs [..., 4, 4] int."""
+    """Batched forward WHT over the 16 luma sub-block DCs [..., 4, 4] int
+    (matches fTransformWHT, transforms.go:500)."""
     d = dcs.astype(np.int64)
-    # Vertical pass over rows (matches fTransformWHT, transforms.go:500).
-    i0, i1, i2, i3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
-    a0 = i0 + i2
-    a1 = i1 + i3
-    a2 = i1 - i3
-    a3 = i0 - i2
-    tmp = np.stack([a0 + a1, a3 + a2, a0 - a1, a3 - a2], axis=-2)
-    b0 = tmp[..., 0] + tmp[..., 2]
-    b1 = tmp[..., 1] + tmp[..., 3]
-    b2 = tmp[..., 1] - tmp[..., 3]
-    b3 = tmp[..., 0] - tmp[..., 2]
-    out = np.stack([b0 + b1, b3 + b2, b0 - b1, b3 - b2], axis=-1) >> 1
+    # First pass: within each row, over columns.
+    c0, c1, c2, c3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    a0 = c0 + c2
+    a1 = c1 + c3
+    a2 = c1 - c3
+    a3 = c0 - c2
+    tmp = np.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-1)  # [..., row, 4]
+    # Second pass: within each column, over rows.
+    r0, r1, r2, r3 = tmp[..., 0, :], tmp[..., 1, :], tmp[..., 2, :], tmp[..., 3, :]
+    a0 = r0 + r2
+    a1 = r1 + r3
+    a2 = r1 - r3
+    a3 = r0 - r2
+    out = np.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-2) >> 1
     return out.astype(np.int32)
 
 

@@ -1,0 +1,604 @@
+"""VP8 (lossy) keyframe encoder.
+
+TPU-first structure: the pixel math (prediction, FDCT/FWHT, quantization,
+reconstruction, SSE metrics) is batched array code with a numpy exact
+reference here and JAX/Pallas device versions in webp_tpu.ops. The serial
+boolean entropy coding (headers, modes, tokens) is host-side, mirroring the
+Phase-A/Phase-B split the reference uses (encode_parallel.go:168-246).
+
+Behavioral parity with /root/reference/internal/lossy/{encode.go,
+encode_frame.go,encode_quant.go,encode_syntax.go,encode_token.go}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitio.bool import BoolWriter
+from ..container.riff import WebPError
+from . import dsp
+from . import tables as T
+from .quant import SegmentQuant, quantize_block, MAX_LEVEL
+
+
+@dataclass
+class LossyConfig:
+    quality: int = 75
+    method: int = 4
+    segments: int = 1           # (multi-segment analysis: later milestone)
+    filter_strength: int = 60
+    filter_sharpness: int = 0
+    filter_type: int = 1        # 0 = simple, 1 = complex (strong)
+    partitions: int = 0         # log2(token partitions)
+    sns_strength: int = 50
+    i4_blocks: bool = True      # allow I4 mode decision
+
+
+# Fixed mode costs in bits<<8 for I16/UV mode signalling (libwebp cost_enc.c
+# VP8FixedCostsI16 / VP8FixedCostsUV).
+FIXED_COSTS_I16 = (663, 919, 872, 919)
+FIXED_COSTS_UV = (302, 984, 439, 642)
+
+
+def quality_to_qindex(quality: int) -> int:
+    """quality [0..100] -> quantizer index [0..127] (encode.go:1039-1063)."""
+    if quality <= 0:
+        return 127
+    if quality >= 100:
+        return 0
+    c = quality / 100.0
+    linear_c = c * (2.0 / 3.0) if c < 0.75 else 2.0 * c - 1.0
+    v = linear_c ** (1.0 / 3.0)
+    return max(0, min(127, int(127.0 * (1.0 - v))))
+
+
+# Filter-strength lookup (libwebp filter_enc.c kLevelsFromDelta) is generated:
+# strength s is the smallest level whose filtered delta covers `delta`.
+def _filter_strength_from_delta(sharpness: int, delta: int) -> int:
+    """Smallest filter level for which the filter modifies a step of `delta`
+    (mirrors libwebp VP8FilterStrengthFromDelta's closed form)."""
+    pos = max(0, min(63, delta))
+    if sharpness == 0:
+        return pos
+    # For sharpness > 0 the table is generated from the ilevel clamping rule.
+    for level in range(64):
+        ilevel = level
+        ilevel >>= 2 if sharpness > 4 else 1
+        ilevel = min(ilevel, 9 - sharpness)
+        ilevel = max(1, ilevel)
+        if 2 * level + ilevel >= 3 * pos:  # filter limit covers the delta
+            return level
+    return 63
+
+
+class VP8Encoder:
+    """Encodes Y/U/V planes (uint8, padded to MB multiples) to a VP8 frame."""
+
+    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 width: int, height: int, cfg: LossyConfig):
+        self.cfg = cfg
+        self.width, self.height = width, height
+        self.mb_w = (width + 15) >> 4
+        self.mb_h = (height + 15) >> 4
+        assert y.shape == (self.mb_h * 16, self.mb_w * 16)
+        assert u.shape == (self.mb_h * 8, self.mb_w * 8)
+        self.srcY, self.srcU, self.srcV = y, u, v
+
+        q = quality_to_qindex(cfg.quality)
+        self.base_q = q
+        dc_t, ac_t, ac2_t = T.DC_TABLE, T.AC_TABLE, T.AC_TABLE2
+        clip = lambda v, m: max(0, min(m, v))
+        self.y1 = SegmentQuant.make(int(dc_t[q]), int(ac_t[q]), 0, sharpen=True)
+        y2dc = max(8, int(dc_t[q]) * 2)
+        self.y2 = SegmentQuant.make(y2dc, int(ac2_t[q]), 1)
+        self.uv = SegmentQuant.make(int(dc_t[clip(q, 117)]), int(ac_t[q]), 2)
+
+        # RD lambdas (encode.go:1110-1125).
+        y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
+        q_i4 = (y1dc + 15 * y1ac + 8) >> 4
+        q_i16 = (y2dc + 15 * int(ac2_t[q]) + 8) >> 4
+        q_uv = (int(dc_t[clip(q, 117)]) + 15 * int(ac_t[q]) + 8) >> 4
+        self.lambda_i4 = max((3 * q_i4 * q_i4) >> 7, 1)
+        self.lambda_i16 = max(3 * q_i16 * q_i16, 1)
+        self.lambda_uv = max((3 * q_uv * q_uv) >> 6, 1)
+        self.lambda_mode = max((1 * q_i4 * q_i4) >> 7, 1)
+        self.i4_penalty = 1000 * q_i4 * q_i4
+
+        # Filter header (encode.go:1276-1320).
+        self.filter_sharpness = max(0, min(7, cfg.filter_sharpness))
+        self.filter_simple = cfg.filter_type == 0
+        if cfg.filter_strength <= 0:
+            self.filter_level = 0
+        else:
+            level0 = 5 * cfg.filter_strength
+            qstep = int(ac_t[clip(q, 127)]) >> 2
+            base = _filter_strength_from_delta(self.filter_sharpness, qstep)
+            f = base * level0 // (256 + 0)
+            self.filter_level = 0 if f < 2 else min(f, 63)
+
+        self.num_parts = 1 << max(0, min(3, cfg.partitions))
+
+        mbs = self.mb_h * self.mb_w
+        self.is_i4 = np.zeros((self.mb_h, self.mb_w), dtype=bool)
+        self.imodes = np.zeros((self.mb_h, self.mb_w, 16), dtype=np.uint8)
+        self.uvmode = np.zeros((self.mb_h, self.mb_w), dtype=np.uint8)
+        self.skip = np.zeros((self.mb_h, self.mb_w), dtype=bool)
+        # Quantized levels per MB: 24 blocks of 16 (zigzag order) + Y2 block.
+        self.levels = np.zeros((self.mb_h, self.mb_w, 24, 16), dtype=np.int32)
+        self.y2_levels = np.zeros((self.mb_h, self.mb_w, 16), dtype=np.int32)
+
+        # Reconstruction planes (context for prediction).
+        self.recY = np.zeros_like(y)
+        self.recU = np.zeros_like(u)
+        self.recV = np.zeros_like(v)
+
+    # ------------------------------------------------------------------
+    # Per-MB encode: mode pick + transform + quantize + reconstruct.
+    # ------------------------------------------------------------------
+    def _mb_halo(self, plane, x0, y0, size, mb_x, mb_y, tr_count):
+        B = np.zeros((size + 1, size + 1 + tr_count), dtype=np.int32)
+        if mb_y == 0:
+            B[0, :] = 127
+        else:
+            B[0, 1 : size + 1] = plane[y0 - 1, x0 : x0 + size]
+            B[0, 0] = plane[y0 - 1, x0 - 1] if mb_x > 0 else 129
+            if tr_count:
+                if mb_x >= self.mb_w - 1:
+                    B[0, size + 1 :] = plane[y0 - 1, x0 + size - 1]
+                else:
+                    B[0, size + 1 :] = plane[y0 - 1, x0 + size : x0 + size + tr_count]
+        if mb_x == 0:
+            B[1:, 0] = 129
+        else:
+            B[1 : size + 1, 0] = plane[y0 : y0 + size, x0 - 1]
+        return B
+
+    @staticmethod
+    def _check_mode(mb_x, mb_y, mode):
+        if mode == dsp.DC_PRED:
+            if mb_x == 0:
+                return dsp.DC_NO_TOPLEFT if mb_y == 0 else dsp.DC_NO_LEFT
+            return dsp.DC_NO_TOP if mb_y == 0 else dsp.DC_PRED
+        return mode
+
+    def _encode_mb(self, mb_x: int, mb_y: int) -> None:
+        y0, x0 = mb_y * 16, mb_x * 16
+        src = self.srcY[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32)
+        B = self._mb_halo(self.recY, x0, y0, 16, mb_x, mb_y, 4)
+        top = B[0, 1:17]
+        left = B[1:17, 0]
+        topleft = int(B[0, 0])
+
+        # ---- I16 candidate: try 4 whole-block modes by SSE + mode cost.
+        best_mode, best_score, best_pred = 0, None, None
+        for mode in range(4):
+            m = self._check_mode(mb_x, mb_y, mode)
+            pred = dsp.pred_block(m, 16, top, left, topleft)
+            sse = int(((src - pred) ** 2).sum())
+            score = (sse << 8) + self.lambda_mode * FIXED_COSTS_I16[mode]
+            if best_score is None or score < best_score:
+                best_mode, best_score, best_pred = mode, score, pred
+        i16_mode, i16_pred = best_mode, best_pred
+
+        # I16 path: fdct all 16 blocks, split DC -> WHT.
+        src_b = src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        pred_b = i16_pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        coeffs = dsp.fdct4x4(src_b, pred_b).reshape(16, 16)
+        dcs = coeffs[:, 0].reshape(4, 4)
+        wht = dsp.fwht4x4(dcs).reshape(16)
+        y2_lv, y2_dq, _ = quantize_block(wht, self.y2)
+        # Reconstruct DCs through the decoder's inverse WHT.
+        rec_dcs = dsp.wht4x4(y2_dq.reshape(4, 4)).reshape(16)
+        lv, dq, _ = quantize_block(coeffs, self.y1, first=1)
+        dq = dq.copy()
+        dq[:, 0] = rec_dcs
+        res = dsp.idct4x4(dq.reshape(16, 4, 4))
+        rec16 = np.clip(pred_b + res, 0, 255)
+
+        i16_nz = int(np.count_nonzero(y2_lv)) + int(np.count_nonzero(lv))
+
+        use_i4 = False
+        # ---- I4 candidate (method >= 3): per-subblock best-of-10 search.
+        if self.cfg.i4_blocks and self.cfg.method >= 3:
+            i16_disto = int(((src_b - rec16) ** 2).sum())
+            i16_score = (i16_disto << 8) + self.lambda_mode * FIXED_COSTS_I16[i16_mode]
+            i4_modes, i4_levels, rec4, i4_disto, i4_cost = self._pick_i4(
+                src, B, mb_x, mb_y
+            )
+            i4_score = (i4_disto << 8) + self.lambda_mode * i4_cost + self.i4_penalty
+            if i4_score < i16_score:
+                use_i4 = True
+
+        if use_i4:
+            self.is_i4[mb_y, mb_x] = True
+            self.imodes[mb_y, mb_x] = i4_modes
+            self.levels[mb_y, mb_x, :16] = i4_levels
+            self.y2_levels[mb_y, mb_x] = 0
+            self.recY[y0 : y0 + 16, x0 : x0 + 16] = rec4
+            luma_nz = int(np.count_nonzero(i4_levels))
+        else:
+            self.is_i4[mb_y, mb_x] = False
+            self.imodes[mb_y, mb_x, 0] = i16_mode
+            self.levels[mb_y, mb_x, :16] = lv
+            self.y2_levels[mb_y, mb_x] = y2_lv
+            rec = rec16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+            self.recY[y0 : y0 + 16, x0 : x0 + 16] = rec
+            luma_nz = i16_nz
+
+        # ---- Chroma: best of 4 modes, then quantize both planes.
+        yc0, xc0 = mb_y * 8, mb_x * 8
+        srcU = self.srcU[yc0 : yc0 + 8, xc0 : xc0 + 8].astype(np.int32)
+        srcV = self.srcV[yc0 : yc0 + 8, xc0 : xc0 + 8].astype(np.int32)
+        Bu = self._mb_halo(self.recU, xc0, yc0, 8, mb_x, mb_y, 0)
+        Bv = self._mb_halo(self.recV, xc0, yc0, 8, mb_x, mb_y, 0)
+        best_uv, best_score = 0, None
+        for mode in range(4):
+            m = self._check_mode(mb_x, mb_y, mode)
+            pu = dsp.pred_block(m, 8, Bu[0, 1:9], Bu[1:9, 0], int(Bu[0, 0]))
+            pv = dsp.pred_block(m, 8, Bv[0, 1:9], Bv[1:9, 0], int(Bv[0, 0]))
+            sse = int(((srcU - pu) ** 2).sum()) + int(((srcV - pv) ** 2).sum())
+            score = (sse << 8) + self.lambda_mode * FIXED_COSTS_UV[mode]
+            if best_score is None or score < best_score:
+                best_uv, best_score = mode, score
+        self.uvmode[mb_y, mb_x] = best_uv
+        m = self._check_mode(mb_x, mb_y, best_uv)
+        uv_nz = 0
+        for plane_src, B_c, rec_plane, base in (
+            (srcU, Bu, self.recU, 16),
+            (srcV, Bv, self.recV, 20),
+        ):
+            pred = dsp.pred_block(m, 8, B_c[0, 1:9], B_c[1:9, 0], int(B_c[0, 0]))
+            sb = plane_src.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+            pb = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+            coeffs = dsp.fdct4x4(sb, pb).reshape(4, 16)
+            lv, dq, _ = quantize_block(coeffs, self.uv)
+            self.levels[mb_y, mb_x, base : base + 4] = lv
+            res = dsp.idct4x4(dq.reshape(4, 4, 4))
+            rec = np.clip(pb + res, 0, 255).reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            rec_plane[yc0 : yc0 + 8, xc0 : xc0 + 8] = rec
+            uv_nz += int(np.count_nonzero(lv))
+
+        self.skip[mb_y, mb_x] = (luma_nz + uv_nz) == 0
+
+    def _pick_i4(self, src, B, mb_x, mb_y):
+        """Sequential 4x4 mode search (context-dependent within the MB)."""
+        modes = np.zeros(16, dtype=np.uint8)
+        levels = np.zeros((16, 16), dtype=np.int32)
+        work = B.copy()
+        mb_tr = B[0, 17:21].copy()
+        total_disto = 0
+        total_cost = 0
+        for n in range(16):
+            r, c = n >> 2, n & 3
+            top = work[r * 4, 1 + c * 4 : 5 + c * 4]
+            left = work[1 + r * 4 : 5 + r * 4, c * 4]
+            topleft = int(work[r * 4, c * 4])
+            tr = work[r * 4, 5 + c * 4 : 9 + c * 4] if c < 3 else mb_tr
+            sblk = src[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            best = None
+            for mode in range(10):
+                pred = dsp.pred_luma4(mode, top, left, topleft, tr)
+                coeffs = dsp.fdct4x4(sblk, pred).reshape(16)
+                lv, dq, _ = quantize_block(coeffs, self.y1)
+                rec = np.clip(pred + dsp.idct4x4(dq.reshape(4, 4)), 0, 255)
+                disto = int(((sblk - rec) ** 2).sum())
+                score = (disto << 8) + self.lambda_mode * 0  # mode cost TODO
+                if best is None or score < best[0]:
+                    best = (score, mode, lv, rec, disto)
+            _, mode, lv, rec, disto = best
+            modes[n] = mode
+            levels[n] = lv
+            work[1 + r * 4 : 5 + r * 4, 1 + c * 4 : 5 + c * 4] = rec
+            total_disto += disto
+        return modes, levels, work[1:17, 1:17], total_disto, total_cost
+
+    # ------------------------------------------------------------------
+    # Token writing.
+    # ------------------------------------------------------------------
+    def _put_coeffs(self, bw: BoolWriter, ptype: int, ctx: int,
+                    levels: np.ndarray, first: int) -> int:
+        """Writes one block's tokens (levels in zigzag order). Returns 1 if
+        the block has any non-zero coefficient (the nz context bit)."""
+        proba = self.proba
+        bands = T.BANDS
+        lv = levels
+        last = -1
+        for i in range(15, first - 1, -1):
+            if lv[i]:
+                last = i
+                break
+        n = first
+        p = proba[ptype, bands[n], ctx]
+        if last < first:
+            bw.put_bit(int(p[0]), 0)
+            return 0
+        while n <= last:
+            bw.put_bit(int(p[0]), 1)
+            # Zero run.
+            while lv[n] == 0:
+                bw.put_bit(int(p[1]), 0)
+                n += 1
+                p = proba[ptype, bands[n], 0]
+            bw.put_bit(int(p[1]), 1)
+            v = int(abs(lv[n]))
+            sign = lv[n] < 0
+            if v == 1:
+                bw.put_bit(int(p[2]), 0)
+                next_ctx = 1
+            else:
+                bw.put_bit(int(p[2]), 1)
+                if v <= 4:
+                    bw.put_bit(int(p[3]), 0)
+                    if v == 2:
+                        bw.put_bit(int(p[4]), 0)
+                    else:
+                        bw.put_bit(int(p[4]), 1)
+                        bw.put_bit(int(p[5]), v - 3)
+                elif v <= 10:
+                    bw.put_bit(int(p[3]), 1)
+                    bw.put_bit(int(p[6]), 0)
+                    if v <= 6:
+                        bw.put_bit(int(p[7]), 0)
+                        bw.put_bit(159, v - 5)
+                    else:
+                        bw.put_bit(int(p[7]), 1)
+                        bw.put_bit(165, (v - 7) >> 1)
+                        bw.put_bit(145, (v - 7) & 1)
+                else:
+                    bw.put_bit(int(p[3]), 1)
+                    bw.put_bit(int(p[6]), 1)
+                    if v <= 18:
+                        cat = 0
+                    elif v <= 34:
+                        cat = 1
+                    elif v <= 66:
+                        cat = 2
+                    else:
+                        cat = 3
+                    bw.put_bit(int(p[8]), cat >> 1)
+                    bw.put_bit(int(p[9 + (cat >> 1)]), cat & 1)
+                    extra = v - 3 - (8 << cat)
+                    nbits = len(T.CAT3456[cat])
+                    for b in range(nbits - 1, -1, -1):
+                        bw.put_bit(T.CAT3456[cat][nbits - 1 - b], (extra >> b) & 1)
+                next_ctx = 2
+            bw.put_bit(0x80, 1 if sign else 0)
+            n += 1
+            if n == 16:
+                return 1
+            p = proba[ptype, bands[n], next_ctx]
+        bw.put_bit(int(p[0]), 0)
+        return 1
+
+    def _emit_tokens(self, part_idx: int) -> bytes:
+        """Emits token data for all MB rows assigned to partition part_idx."""
+        bw = BoolWriter()
+        mb_w, mb_h = self.mb_w, self.mb_h
+        # nz context state must be tracked per partition from its own rows?
+        # No: contexts chain across rows; recompute globally, emit selectively.
+        top_nz = np.zeros(mb_w, dtype=np.uint32)
+        top_nz_dc = np.zeros(mb_w, dtype=np.uint8)
+        for mb_y in range(mb_h):
+            mine = (mb_y & (self.num_parts - 1)) == part_idx
+            left_nz = 0
+            left_nz_dc = 0
+            for mb_x in range(mb_w):
+                if self.use_skip and self.skip[mb_y, mb_x]:
+                    left_nz = 0
+                    top_nz[mb_x] = 0
+                    if not self.is_i4[mb_y, mb_x]:
+                        left_nz_dc = 0
+                        top_nz_dc[mb_x] = 0
+                    continue
+                out = self._write_mb_tokens(
+                    bw if mine else None, mb_x, mb_y,
+                    int(top_nz[mb_x]), left_nz, int(top_nz_dc[mb_x]), left_nz_dc)
+                top_nz[mb_x], left_nz, tdc, left_nz_dc = out
+                top_nz_dc[mb_x] = tdc
+        return bw.finish()
+
+    def _write_mb_tokens(self, bw, mb_x, mb_y, tnz_in, lnz_in, tdc, ldc):
+        """Writes (or dry-runs for context tracking) one MB's tokens."""
+        lv = self.levels[mb_y, mb_x]
+
+        class _Null:
+            def put_bit(self, p, b):
+                return b
+
+        sink = bw if bw is not None else _Null()
+        if not self.is_i4[mb_y, mb_x]:
+            ctx = tdc + ldc
+            nz = self._put_coeffs(sink, 1, ctx, self.y2_levels[mb_y, mb_x], 0)
+            tdc = ldc = nz
+            first, ptype = 1, 0
+        else:
+            first, ptype = 0, 3
+
+        tnz = tnz_in & 0x0F
+        lnz = lnz_in & 0x0F
+        for y in range(4):
+            l = lnz & 1
+            for x in range(4):
+                bi = y * 4 + x
+                ctx = l + (tnz & 1)
+                l = self._put_coeffs(sink, ptype, ctx, lv[bi], first)
+                tnz = (tnz >> 1) | (l << 7)
+            tnz >>= 4
+            lnz = (lnz >> 1) | (l << 7)
+        out_tnz = tnz
+        out_lnz = lnz >> 4
+
+        for ch in (0, 2):
+            tnz = tnz_in >> (4 + ch)
+            lnz = lnz_in >> (4 + ch)
+            for y in range(2):
+                l = lnz & 1
+                for x in range(2):
+                    bi = 16 + ch * 2 + y * 2 + x
+                    ctx = l + (tnz & 1)
+                    l = self._put_coeffs(sink, 2, ctx, lv[bi], 0)
+                    tnz = (tnz >> 1) | (l << 3)
+                tnz >>= 2
+                lnz = (lnz >> 1) | (l << 5)
+            out_tnz |= (tnz << 4) << ch
+            out_lnz |= (lnz & 0xF0) << ch
+        return out_tnz, out_lnz, tdc, ldc
+
+    # ------------------------------------------------------------------
+    # Syntax: partition 0.
+    # ------------------------------------------------------------------
+    def _emit_partition0(self) -> bytes:
+        bw = BoolWriter()
+        bw.put_bit(0x80, 0)  # colorspace
+        bw.put_bit(0x80, 0)  # clamp type
+        # Segment header: single segment -> disabled.
+        bw.put_bit(0x80, 0)
+        # Filter header.
+        bw.put_bit(0x80, 1 if self.filter_simple else 0)
+        bw.put_bits(self.filter_level, 6)
+        bw.put_bits(self.filter_sharpness, 3)
+        bw.put_bit(0x80, 0)  # no lf deltas
+        # Partitions.
+        bw.put_bits({1: 0, 2: 1, 4: 2, 8: 3}[self.num_parts], 2)
+        # Quant params: base q + five zero deltas.
+        bw.put_bits(self.base_q, 7)
+        for _ in range(5):
+            bw.put_bit(0x80, 0)
+        bw.put_bit(0x80, 0)  # refresh entropy probs (keyframe: ignored)
+        # Coefficient probabilities: emit updates vs defaults.
+        upd = T.COEFFS_UPDATE_PROBA
+        dflt = T.COEFFS_PROBA0
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for p in range(11):
+                        pv = int(self.proba[t, b, c, p])
+                        if pv != int(dflt[t, b, c, p]):
+                            bw.put_bit(int(upd[t, b, c, p]), 1)
+                            bw.put_bits(pv, 8)
+                        else:
+                            bw.put_bit(int(upd[t, b, c, p]), 0)
+        # Skip flag.
+        if self.num_skip > 0:
+            bw.put_bit(0x80, 1)
+            bw.put_bits(self.skip_proba, 8)
+        else:
+            bw.put_bit(0x80, 0)
+        # MB modes.
+        self._write_mb_modes(bw)
+        return bw.finish()
+
+    def _write_mb_modes(self, bw: BoolWriter) -> None:
+        tree = T.YMODES_INTRA4_TREE
+        bprob = T.BMODE_PROBA
+        top = np.zeros((self.mb_w, 4), dtype=np.uint8)
+        for mb_y in range(self.mb_h):
+            left = np.zeros(4, dtype=np.uint8)
+            for mb_x in range(self.mb_w):
+                if self.num_skip > 0:
+                    bw.put_bit(self.skip_proba, 1 if self.skip[mb_y, mb_x] else 0)
+                if self.is_i4[mb_y, mb_x]:
+                    bw.put_bit(145, 0)
+                    modes = self.imodes[mb_y, mb_x]
+                    for y in range(4):
+                        ymode = left[y]
+                        for x in range(4):
+                            prob = bprob[top[mb_x, x], ymode]
+                            self._write_tree_b(bw, tree, prob, int(modes[y * 4 + x]))
+                            ymode = modes[y * 4 + x]
+                            top[mb_x, x] = ymode
+                        left[y] = ymode
+                else:
+                    mode = int(self.imodes[mb_y, mb_x, 0])
+                    bw.put_bit(145, 1)
+                    if mode == dsp.DC_PRED:
+                        bw.put_bit(156, 0)
+                        bw.put_bit(163, 0)
+                    elif mode == dsp.V_PRED:
+                        bw.put_bit(156, 0)
+                        bw.put_bit(163, 1)
+                    elif mode == dsp.H_PRED:
+                        bw.put_bit(156, 1)
+                        bw.put_bit(128, 0)
+                    else:  # TM
+                        bw.put_bit(156, 1)
+                        bw.put_bit(128, 1)
+                    top[mb_x, :] = mode
+                    left[:] = mode
+                uv = int(self.uvmode[mb_y, mb_x])
+                if uv == dsp.DC_PRED:
+                    bw.put_bit(142, 0)
+                elif uv == dsp.V_PRED:
+                    bw.put_bit(142, 1)
+                    bw.put_bit(114, 0)
+                elif uv == dsp.H_PRED:
+                    bw.put_bit(142, 1)
+                    bw.put_bit(114, 1)
+                    bw.put_bit(183, 0)
+                else:
+                    bw.put_bit(142, 1)
+                    bw.put_bit(114, 1)
+                    bw.put_bit(183, 1)
+
+    # mode -> [(prob_index, bit), ...] paths through YMODES_INTRA4_TREE.
+    _BMODE_PATHS = None
+
+    @classmethod
+    def _bmode_paths(cls):
+        if cls._BMODE_PATHS is None:
+            tree = T.YMODES_INTRA4_TREE
+            paths = {}
+
+            def rec(node, path):
+                for bit in (0, 1):
+                    child = int(tree[2 * node + bit])
+                    p2 = path + [(node, bit)]
+                    if child <= 0:
+                        paths[-child] = p2
+                    else:
+                        rec(child, p2)
+
+            rec(0, [])
+            cls._BMODE_PATHS = paths
+        return cls._BMODE_PATHS
+
+    def _write_tree_b(self, bw: BoolWriter, tree, probs, mode: int) -> None:
+        for node, bit in self._bmode_paths()[mode]:
+            bw.put_bit(int(probs[node]), bit)
+
+    # ------------------------------------------------------------------
+    def encode(self) -> bytes:
+        # Wavefront-ordered MB encode (sequential reference; device path
+        # batches per anti-diagonal).
+        for mb_y in range(self.mb_h):
+            for mb_x in range(self.mb_w):
+                self._encode_mb(mb_x, mb_y)
+
+        self.num_skip = int(self.skip.sum())
+        total = self.mb_h * self.mb_w
+        self.skip_proba = max(1, min(255, (total - self.num_skip) * 255 // total)) \
+            if self.num_skip > 0 else 0
+        self.use_skip = self.num_skip > 0
+        if not self.use_skip:
+            self.skip[:] = False
+
+        self.proba = T.COEFFS_PROBA0.copy()  # (proba optimization: later)
+
+        part0 = self._emit_partition0()
+        parts = [self._emit_tokens(i) for i in range(self.num_parts)]
+
+        # Frame tag + picture header.
+        tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+        out = bytearray([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        out += bytes([0x9D, 0x01, 0x2A])
+        out += int(self.width & 0x3FFF).to_bytes(2, "little")
+        out += int(self.height & 0x3FFF).to_bytes(2, "little")
+        out += part0
+        for p in parts[:-1]:
+            out += len(p).to_bytes(3, "little")
+        for p in parts:
+            out += p
+        return bytes(out)
