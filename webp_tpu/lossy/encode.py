@@ -164,53 +164,56 @@ class VP8Encoder:
             return dsp.DC_NO_TOP if mb_y == 0 else dsp.DC_PRED
         return mode
 
+    def _rd_score(self, lam: int, rate: int, disto: int) -> int:
+        return rate * lam + 256 * disto
+
     def _encode_mb(self, mb_x: int, mb_y: int) -> None:
+        from . import cost as C
+
         y0, x0 = mb_y * 16, mb_x * 16
         src = self.srcY[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32)
         B = self._mb_halo(self.recY, x0, y0, 16, mb_x, mb_y, 4)
         top = B[0, 1:17]
         left = B[1:17, 0]
         topleft = int(B[0, 0])
+        ct = self.cost_tables
+        proba = self.proba
 
-        # ---- I16 candidate: try 4 whole-block modes by SSE + mode cost.
-        best_mode, best_score, best_pred = 0, None, None
+        # nz contexts from neighbors (for rate estimation).
+        tnz = int(self.top_nz[mb_x])
+        lnz = int(self.left_nz)
+        tdc, ldc = int(self.top_nz_dc[mb_x]), int(self.left_nz_dc)
+
+        # ---- I16: full RD over the 4 whole-block modes.
+        src_b = src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        best = None
         for mode in range(4):
             m = self._check_mode(mb_x, mb_y, mode)
             pred = dsp.pred_block(m, 16, top, left, topleft)
-            sse = int(((src - pred) ** 2).sum())
-            score = (sse << 8) + self.lambda_mode * FIXED_COSTS_I16[mode]
-            if best_score is None or score < best_score:
-                best_mode, best_score, best_pred = mode, score, pred
-        i16_mode, i16_pred = best_mode, best_pred
-
-        # I16 path: fdct all 16 blocks, split DC -> WHT.
-        src_b = src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
-        pred_b = i16_pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
-        coeffs = dsp.fdct4x4(src_b, pred_b).reshape(16, 16)
-        dcs = coeffs[:, 0].reshape(4, 4)
-        wht = dsp.fwht4x4(dcs).reshape(16)
-        y2_lv, y2_dq, _ = quantize_block(wht, self.y2)
-        # Reconstruct DCs through the decoder's inverse WHT.
-        rec_dcs = dsp.wht4x4(y2_dq.reshape(4, 4)).reshape(16)
-        lv, dq, _ = quantize_block(coeffs, self.y1, first=1)
-        dq = dq.copy()
-        dq[:, 0] = rec_dcs
-        res = dsp.idct4x4(dq.reshape(16, 4, 4))
-        rec16 = np.clip(pred_b + res, 0, 255)
-
-        i16_nz = int(np.count_nonzero(y2_lv)) + int(np.count_nonzero(lv))
+            pred_b = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+            coeffs = dsp.fdct4x4(src_b, pred_b).reshape(16, 16)
+            wht = dsp.fwht4x4(coeffs[:, 0].reshape(4, 4)).reshape(16)
+            y2_lv, y2_dq, _ = quantize_block(wht, self.y2)
+            rec_dcs = dsp.wht4x4(y2_dq.reshape(4, 4)).reshape(16)
+            lv, dq, _ = quantize_block(coeffs, self.y1, first=1)
+            dq = dq.copy()
+            dq[:, 0] = rec_dcs
+            rec = np.clip(pred_b + dsp.idct4x4(dq.reshape(16, 4, 4)), 0, 255)
+            disto = int(((src_b - rec) ** 2).sum())
+            rate = C.residual_cost(y2_lv, 0, tdc + ldc, 1, ct, proba)
+            rate += self._luma_rate(lv, 1, 0, tnz, lnz, ct, proba)
+            rate += FIXED_COSTS_I16[mode]
+            score = self._rd_score(self.lambda_i16, rate, disto)
+            if best is None or score < best[0]:
+                best = (score, mode, lv, y2_lv, rec)
+        i16_score, i16_mode, i16_lv, i16_y2lv, rec16 = best
 
         use_i4 = False
-        # ---- I4 candidate (method >= 3): per-subblock best-of-10 search.
         if self.cfg.i4_blocks and self.cfg.method >= 3:
-            i16_disto = int(((src_b - rec16) ** 2).sum())
-            i16_score = (i16_disto << 8) + self.lambda_mode * FIXED_COSTS_I16[i16_mode]
-            i4_modes, i4_levels, rec4, i4_disto, i4_cost = self._pick_i4(
-                src, B, mb_x, mb_y
-            )
-            i4_score = (i4_disto << 8) + self.lambda_mode * i4_cost + self.i4_penalty
-            if i4_score < i16_score:
+            r = self._pick_i4(src, B, mb_x, mb_y, i16_score, tnz, lnz)
+            if r is not None:
                 use_i4 = True
+                i4_modes, i4_levels, rec4 = r
 
         if use_i4:
             self.is_i4[mb_y, mb_x] = True
@@ -222,55 +225,112 @@ class VP8Encoder:
         else:
             self.is_i4[mb_y, mb_x] = False
             self.imodes[mb_y, mb_x, 0] = i16_mode
-            self.levels[mb_y, mb_x, :16] = lv
-            self.y2_levels[mb_y, mb_x] = y2_lv
+            self.levels[mb_y, mb_x, :16] = i16_lv
+            self.y2_levels[mb_y, mb_x] = i16_y2lv
             rec = rec16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
             self.recY[y0 : y0 + 16, x0 : x0 + 16] = rec
-            luma_nz = i16_nz
+            luma_nz = int(np.count_nonzero(i16_lv)) + int(np.count_nonzero(i16_y2lv))
 
-        # ---- Chroma: best of 4 modes, then quantize both planes.
+        # ---- Chroma RD: 4 modes with real rates.
         yc0, xc0 = mb_y * 8, mb_x * 8
         srcU = self.srcU[yc0 : yc0 + 8, xc0 : xc0 + 8].astype(np.int32)
         srcV = self.srcV[yc0 : yc0 + 8, xc0 : xc0 + 8].astype(np.int32)
         Bu = self._mb_halo(self.recU, xc0, yc0, 8, mb_x, mb_y, 0)
         Bv = self._mb_halo(self.recV, xc0, yc0, 8, mb_x, mb_y, 0)
-        best_uv, best_score = 0, None
+        best = None
         for mode in range(4):
             m = self._check_mode(mb_x, mb_y, mode)
             pu = dsp.pred_block(m, 8, Bu[0, 1:9], Bu[1:9, 0], int(Bu[0, 0]))
             pv = dsp.pred_block(m, 8, Bv[0, 1:9], Bv[1:9, 0], int(Bv[0, 0]))
-            sse = int(((srcU - pu) ** 2).sum()) + int(((srcV - pv) ** 2).sum())
-            score = (sse << 8) + self.lambda_mode * FIXED_COSTS_UV[mode]
-            if best_score is None or score < best_score:
-                best_uv, best_score = mode, score
-        self.uvmode[mb_y, mb_x] = best_uv
-        m = self._check_mode(mb_x, mb_y, best_uv)
+            disto = 0
+            rate = FIXED_COSTS_UV[mode]
+            lvs = []
+            recs = []
+            for plane_src, pred, ch in ((srcU, pu, 0), (srcV, pv, 2)):
+                sb = plane_src.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+                pb = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+                coeffs = dsp.fdct4x4(sb, pb).reshape(4, 16)
+                lv, dq, _ = quantize_block(coeffs, self.uv)
+                rec = np.clip(pb + dsp.idct4x4(dq.reshape(4, 4, 4)), 0, 255)
+                disto += int(((sb - rec) ** 2).sum())
+                rate += self._uv_rate(lv, ch, tnz, lnz, ct, proba)
+                lvs.append(lv)
+                recs.append(rec)
+            score = self._rd_score(self.lambda_uv, rate, disto)
+            if best is None or score < best[0]:
+                best = (score, mode, lvs, recs)
+        _, uv_mode, lvs, recs = best
+        self.uvmode[mb_y, mb_x] = uv_mode
         uv_nz = 0
-        for plane_src, B_c, rec_plane, base in (
-            (srcU, Bu, self.recU, 16),
-            (srcV, Bv, self.recV, 20),
-        ):
-            pred = dsp.pred_block(m, 8, B_c[0, 1:9], B_c[1:9, 0], int(B_c[0, 0]))
-            sb = plane_src.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
-            pb = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
-            coeffs = dsp.fdct4x4(sb, pb).reshape(4, 16)
-            lv, dq, _ = quantize_block(coeffs, self.uv)
+        for (lv, rec, rec_plane, base) in ((lvs[0], recs[0], self.recU, 16),
+                                           (lvs[1], recs[1], self.recV, 20)):
             self.levels[mb_y, mb_x, base : base + 4] = lv
-            res = dsp.idct4x4(dq.reshape(4, 4, 4))
-            rec = np.clip(pb + res, 0, 255).reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
-            rec_plane[yc0 : yc0 + 8, xc0 : xc0 + 8] = rec
+            r8 = rec.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            rec_plane[yc0 : yc0 + 8, xc0 : xc0 + 8] = r8
             uv_nz += int(np.count_nonzero(lv))
 
         self.skip[mb_y, mb_x] = (luma_nz + uv_nz) == 0
+        # Update nz context state (exact, same packing as the token writer).
+        out = self._write_mb_tokens(None, mb_x, mb_y, int(self.top_nz[mb_x]),
+                                    int(self.left_nz), int(self.top_nz_dc[mb_x]),
+                                    int(self.left_nz_dc))
+        self.top_nz[mb_x], self.left_nz, self.top_nz_dc[mb_x], self.left_nz_dc = out
 
-    def _pick_i4(self, src, B, mb_x, mb_y):
-        """Sequential 4x4 mode search (context-dependent within the MB)."""
+    def _luma_rate(self, lv, first, ptype, tnz, lnz, ct, proba) -> int:
+        from . import cost as C
+
+        rate = 0
+        tnz &= 0x0F
+        lnz &= 0x0F
+        for y in range(4):
+            l = lnz & 1
+            for x in range(4):
+                bi = y * 4 + x
+                ctx = l + (tnz & 1)
+                rate += C.residual_cost(lv[bi], first, ctx, ptype, ct, proba)
+                l = 1 if (lv[bi][first:] != 0).any() else 0
+                tnz = (tnz >> 1) | (l << 7)
+            tnz >>= 4
+            lnz = (lnz >> 1) | (l << 7)
+        return rate
+
+    def _uv_rate(self, lv, ch, tnz_in, lnz_in, ct, proba) -> int:
+        from . import cost as C
+
+        rate = 0
+        tnz = tnz_in >> (4 + ch)
+        lnz = lnz_in >> (4 + ch)
+        for y in range(2):
+            l = lnz & 1
+            for x in range(2):
+                bi = y * 2 + x
+                ctx = l + (tnz & 1)
+                rate += C.residual_cost(lv[bi], 0, ctx, 2, ct, proba)
+                l = 1 if (lv[bi] != 0).any() else 0
+                tnz = (tnz >> 1) | (l << 3)
+            tnz >>= 2
+            lnz = (lnz >> 1) | (l << 5)
+        return rate
+
+    def _pick_i4(self, src, B, mb_x, mb_y, i16_score, tnz_in, lnz_in):
+        """Sequential 4x4 RD mode search; None if I16 wins."""
+        from . import cost as C
+
+        ct = self.cost_tables
+        proba = self.proba
         modes = np.zeros(16, dtype=np.uint8)
         levels = np.zeros((16, 16), dtype=np.int32)
         work = B.copy()
         mb_tr = B[0, 17:21].copy()
+        # Mode context (top/left B-modes) for mode signalling cost.
+        top_modes = self._top_bmodes[mb_x].copy()
+        left_modes = self._left_bmodes.copy()
+        # nz context within the MB for rate estimation.
+        tnz = tnz_in & 0x0F
+        lnz = lnz_in & 0x0F
+        total_rate = 211  # i4 signalling overhead (libwebp's constant)
         total_disto = 0
-        total_cost = 0
+        lam = self.lambda_i4
         for n in range(16):
             r, c = n >> 2, n & 3
             top = work[r * 4, 1 + c * 4 : 5 + c * 4]
@@ -278,6 +338,10 @@ class VP8Encoder:
             topleft = int(work[r * 4, c * 4])
             tr = work[r * 4, 5 + c * 4 : 9 + c * 4] if c < 3 else mb_tr
             sblk = src[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            ctx = (lnz >> r) & 1
+            ctx += (tnz >> c) & 1
+            tmode = int(top_modes[c])
+            lmode = int(left_modes[r])
             best = None
             for mode in range(10):
                 pred = dsp.pred_luma4(mode, top, left, topleft, tr)
@@ -285,15 +349,29 @@ class VP8Encoder:
                 lv, dq, _ = quantize_block(coeffs, self.y1)
                 rec = np.clip(pred + dsp.idct4x4(dq.reshape(4, 4)), 0, 255)
                 disto = int(((sblk - rec) ** 2).sum())
-                score = (disto << 8) + self.lambda_mode * 0  # mode cost TODO
+                rate = C.residual_cost(lv, 0, ctx, 3, ct, proba)
+                rate += int(C.FIXED_COSTS_I4[tmode, lmode, mode])
+                score = self._rd_score(lam, rate, disto)
                 if best is None or score < best[0]:
-                    best = (score, mode, lv, rec, disto)
-            _, mode, lv, rec, disto = best
+                    best = (score, mode, lv, rec, disto, rate)
+            _, mode, lv, rec, disto, rate = best
             modes[n] = mode
             levels[n] = lv
             work[1 + r * 4 : 5 + r * 4, 1 + c * 4 : 5 + c * 4] = rec
             total_disto += disto
-        return modes, levels, work[1:17, 1:17], total_disto, total_cost
+            total_rate += rate
+            nz = 1 if (lv != 0).any() else 0
+            tnz = (tnz & ~(1 << c)) | (nz << c)
+            lnz = (lnz & ~(1 << r)) | (nz << r)
+            top_modes[c] = mode
+            left_modes[r] = mode
+            if self._rd_score(lam, total_rate, total_disto) >= i16_score:
+                return None
+        if self._rd_score(lam, total_rate, total_disto) >= i16_score:
+            return None
+        self._top_bmodes[mb_x] = top_modes
+        self._left_bmodes = left_modes
+        return modes, levels, work[1:17, 1:17]
 
     # ------------------------------------------------------------------
     # Token writing.
@@ -570,12 +648,174 @@ class VP8Encoder:
             bw.put_bit(int(probs[node]), bit)
 
     # ------------------------------------------------------------------
+    # Probability optimization (parity with encode_proba.go optimizeProba).
+    # ------------------------------------------------------------------
+    class _StatsSink:
+        """put_bit-compatible sink that counts branch events per proba slot."""
+
+        def __init__(self, stats):
+            self.stats = stats
+            self.slot = None
+
+        def put_bit(self, prob, bit):
+            return bit
+
+        def record(self, t, b, c, pi, bit):
+            self.stats[t, b, c, pi, bit] += 1
+
+    def _record_stats(self) -> np.ndarray:
+        """Counts (bit==0, bit==1) events at every proba branch position."""
+        stats = np.zeros((4, 8, 3, 11, 2), dtype=np.int64)
+        bands = T.BANDS
+
+        def record(ptype, ctx, levels, first):
+            n = first
+            last = -1
+            for i in range(15, first - 1, -1):
+                if levels[i]:
+                    last = i
+                    break
+            if last < first:
+                stats[ptype, bands[n], ctx, 0, 0] += 1
+                return 0
+            # Walk mirrors _put_coeffs branch-for-branch.
+            cur_ctx = ctx
+            while n <= last:
+                stats[ptype, bands[n], cur_ctx, 0, 1] += 1
+                while levels[n] == 0:
+                    stats[ptype, bands[n], cur_ctx, 1, 0] += 1
+                    n += 1
+                    cur_ctx = 0
+                stats[ptype, bands[n], cur_ctx, 1, 1] += 1
+                v = abs(int(levels[n]))
+                p = (ptype, bands[n], cur_ctx)
+                if v == 1:
+                    stats[p[0], p[1], p[2], 2, 0] += 1
+                    nxt = 1
+                else:
+                    stats[p[0], p[1], p[2], 2, 1] += 1
+                    if v <= 4:
+                        stats[p[0], p[1], p[2], 3, 0] += 1
+                        stats[p[0], p[1], p[2], 4, 0 if v == 2 else 1] += 1
+                        if v != 2:
+                            stats[p[0], p[1], p[2], 5, v - 3] += 1
+                    elif v <= 10:
+                        stats[p[0], p[1], p[2], 3, 1] += 1
+                        stats[p[0], p[1], p[2], 6, 0] += 1
+                        stats[p[0], p[1], p[2], 7, 0 if v <= 6 else 1] += 1
+                    else:
+                        stats[p[0], p[1], p[2], 3, 1] += 1
+                        stats[p[0], p[1], p[2], 6, 1] += 1
+                        cat = 0 if v <= 18 else (1 if v <= 34 else (2 if v <= 66 else 3))
+                        stats[p[0], p[1], p[2], 8, cat >> 1] += 1
+                        stats[p[0], p[1], p[2], 9 + (cat >> 1), cat & 1] += 1
+                    nxt = 2
+                n += 1
+                cur_ctx = nxt
+            if n < 16:
+                stats[ptype, bands[n], cur_ctx, 0, 0] += 1
+            return 1
+
+        # Walk all MBs with the same context chaining as the token writer.
+        top_nz = np.zeros(self.mb_w, dtype=np.uint32)
+        top_nz_dc = np.zeros(self.mb_w, dtype=np.uint8)
+        for mb_y in range(self.mb_h):
+            left_nz = 0
+            left_nz_dc = 0
+            for mb_x in range(self.mb_w):
+                if self.use_skip and self.skip[mb_y, mb_x]:
+                    left_nz = 0
+                    top_nz[mb_x] = 0
+                    if not self.is_i4[mb_y, mb_x]:
+                        left_nz_dc = 0
+                        top_nz_dc[mb_x] = 0
+                    continue
+                lv = self.levels[mb_y, mb_x]
+                if not self.is_i4[mb_y, mb_x]:
+                    ctx = int(top_nz_dc[mb_x]) + left_nz_dc
+                    nz = record(1, ctx, self.y2_levels[mb_y, mb_x], 0)
+                    top_nz_dc[mb_x] = left_nz_dc = nz
+                    first, ptype = 1, 0
+                else:
+                    first, ptype = 0, 3
+                tnz = int(top_nz[mb_x]) & 0x0F
+                lnz = left_nz & 0x0F
+                for y in range(4):
+                    l = lnz & 1
+                    for x in range(4):
+                        bi = y * 4 + x
+                        l = record(ptype, l + (tnz & 1), lv[bi], first)
+                        tnz = (tnz >> 1) | (l << 7)
+                    tnz >>= 4
+                    lnz = (lnz >> 1) | (l << 7)
+                out_tnz = tnz
+                out_lnz = lnz >> 4
+                for ch in (0, 2):
+                    tnz = int(top_nz[mb_x]) >> (4 + ch)
+                    lnz = left_nz >> (4 + ch)
+                    for y in range(2):
+                        l = lnz & 1
+                        for x in range(2):
+                            bi = 16 + ch * 2 + y * 2 + x
+                            l = record(2, l + (tnz & 1), lv[bi], 0)
+                            tnz = (tnz >> 1) | (l << 3)
+                        tnz >>= 2
+                        lnz = (lnz >> 1) | (l << 5)
+                    out_tnz |= (tnz << 4) << ch
+                    out_lnz |= (lnz & 0xF0) << ch
+                top_nz[mb_x] = out_tnz
+                left_nz = out_lnz
+        return stats
+
+    def _optimize_probas(self) -> None:
+        from .cost import bit_cost
+
+        stats = self._record_stats()
+        proba = T.COEFFS_PROBA0.copy()
+        upd = T.COEFFS_UPDATE_PROBA
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for pi in range(11):
+                        n0, n1 = int(stats[t, b, c, pi, 0]), int(stats[t, b, c, pi, 1])
+                        total = n0 + n1
+                        if total == 0:
+                            continue
+                        old_p = int(proba[t, b, c, pi])
+                        new_p = 255 - n1 * 255 // total if n1 else 255
+                        new_p = max(1, min(255, new_p))
+                        up = int(upd[t, b, c, pi])
+                        old_cost = (n1 * bit_cost(1, old_p) + n0 * bit_cost(0, old_p)
+                                    + bit_cost(0, up))
+                        new_cost = (n1 * bit_cost(1, new_p) + n0 * bit_cost(0, new_p)
+                                    + bit_cost(1, up) + 8 * 256)
+                        if new_cost < old_cost:
+                            proba[t, b, c, pi] = new_p
+        self.proba = proba
+
+    # ------------------------------------------------------------------
     def encode(self) -> bytes:
+        self.proba = T.COEFFS_PROBA0.copy()
+        from .cost import compute_level_cost_tables
+
+        self.cost_tables = compute_level_cost_tables(self.proba)
+        self.top_nz = np.zeros(self.mb_w, dtype=np.uint32)
+        self.top_nz_dc = np.zeros(self.mb_w, dtype=np.uint8)
+        self._top_bmodes = np.zeros((self.mb_w, 4), dtype=np.uint8)
+        self.use_skip = False  # during encode pass, contexts chain as if no skip
+
         # Wavefront-ordered MB encode (sequential reference; device path
         # batches per anti-diagonal).
         for mb_y in range(self.mb_h):
+            self.left_nz = 0
+            self.left_nz_dc = 0
+            self._left_bmodes = np.zeros(4, dtype=np.uint8)
             for mb_x in range(self.mb_w):
                 self._encode_mb(mb_x, mb_y)
+                if not self.is_i4[mb_y, mb_x]:
+                    m = int(self.imodes[mb_y, mb_x, 0])
+                    self._top_bmodes[mb_x, :] = m
+                    self._left_bmodes[:] = m
 
         self.num_skip = int(self.skip.sum())
         total = self.mb_h * self.mb_w
@@ -585,7 +825,7 @@ class VP8Encoder:
         if not self.use_skip:
             self.skip[:] = False
 
-        self.proba = T.COEFFS_PROBA0.copy()  # (proba optimization: later)
+        self._optimize_probas()
 
         part0 = self._emit_partition0()
         parts = [self._emit_tokens(i) for i in range(self.num_parts)]
