@@ -1,0 +1,91 @@
+"""VP8L lossless encode: bit-exact round-trip via both libwebp and our own
+decoder, plus ALPH alpha and VP8X metadata assembly."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import webp_tpu
+from webp_tpu.container.parser import Parser
+from tests.conftest import pil_decode_rgba
+
+
+def _rgba(img):
+    if img.shape[2] == 4:
+        return img
+    return np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+
+
+def _roundtrip_exact(img) -> bool:
+    data = webp_tpu.encode(img, lossless=True)
+    want = _rgba(img)
+    if not np.array_equal(pil_decode_rgba(data), want):
+        return False
+    return np.array_equal(webp_tpu.decode_rgba(data), want)
+
+
+@pytest.fixture(scope="module")
+def photo():
+    return np.array(Image.open("/root/reference/testdata/test.png").resize((96, 72)))
+
+
+def test_photo_rgba(photo):
+    assert _roundtrip_exact(photo)
+
+
+def test_photo_rgb(photo):
+    assert _roundtrip_exact(photo[..., :3])
+
+
+@pytest.mark.parametrize("colors", [2, 5, 13, 200])
+def test_palette(photo, colors):
+    im = Image.fromarray(photo[..., :3]).convert("P", palette=Image.ADAPTIVE,
+                                                  colors=colors).convert("RGB")
+    assert _roundtrip_exact(np.array(im))
+
+
+@pytest.mark.parametrize("size", [(1, 1), (1, 9), (9, 1), (17, 3), (64, 64)])
+def test_dimensions(photo, size):
+    im = np.array(Image.fromarray(photo).resize(size))
+    assert _roundtrip_exact(im)
+
+
+def test_noise_image():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    assert _roundtrip_exact(img)
+
+
+def test_alpha_plane_roundtrip(photo):
+    a = photo.copy()
+    a[..., 3] = ((np.arange(a.shape[0])[:, None] * 3
+                  + np.arange(a.shape[1])[None, :]) % 256).astype(np.uint8)
+    data = webp_tpu.encode(a, quality=75)  # lossy + ALPH
+    assert np.array_equal(pil_decode_rgba(data)[..., 3], a[..., 3])
+    assert np.array_equal(webp_tpu.decode_rgba(data), pil_decode_rgba(data))
+
+
+def test_alpha_raw_method(photo):
+    a = photo.copy()
+    rng = np.random.default_rng(3)
+    a[..., 3] = rng.integers(0, 256, a.shape[:2]).astype(np.uint8)  # incompressible
+    data = webp_tpu.encode(a, quality=75, alpha_compression=0)
+    assert np.array_equal(pil_decode_rgba(data)[..., 3], a[..., 3])
+
+
+def test_metadata_roundtrip(photo):
+    data = webp_tpu.encode(photo[..., :3], quality=75,
+                           iccp=b"icc", exif=b"exif", xmp=b"<x/>")
+    p = Parser(data)
+    assert p.parsed.iccp == b"icc"
+    assert p.parsed.exif == b"exif"
+    assert p.parsed.xmp == b"<x/>"
+    # libwebp still decodes the extended file.
+    assert pil_decode_rgba(data).shape[:2] == photo.shape[:2]
+
+
+def test_lossless_metadata(photo):
+    data = webp_tpu.encode(photo, lossless=True, exif=b"E")
+    assert np.array_equal(pil_decode_rgba(data), _rgba(photo))

@@ -1,0 +1,459 @@
+"""VP8L lossless encoder.
+
+Pipeline (parity with /root/reference/internal/lossless/encode.go):
+analyze (palette vs photo) -> transforms (palette / subtract-green +
+per-tile predictor) -> LZ77 backward references (hash chain, greedy) ->
+histograms -> canonical Huffman codes -> bitstream emission.
+
+The transform residual computation is batched array math (numpy reference
+here; JAX device versions in webp_tpu.ops.lossless). The LZ77 scan and
+bit emission are host-side (native C++ fast path planned).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..bitio.lossless import LosslessBitWriter
+from ..container.riff import WebPError
+from . import transforms as tf
+from .decode import CODE_TO_PLANE, sub_sample_size
+from .huffman import NUM_LENGTH_CODES, NUM_LITERAL_CODES, NUM_DISTANCE_CODES
+from .huffman_enc import HuffmanCode, write_huffman_code
+
+MAX_PALETTE_SIZE = 256
+WINDOW_SIZE = (1 << 20) - 120
+MAX_LENGTH = 4096
+HASH_BITS = 18
+HASH_SIZE = 1 << HASH_BITS
+
+
+# ---------------------------------------------------------------------------
+# Prefix coding (inverse of decode.get_copy_distance).
+# ---------------------------------------------------------------------------
+
+def prefix_encode(value: int) -> Tuple[int, int, int]:
+    """value (>=1) -> (code, n_extra_bits, extra_value)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    h = x.bit_length() - 1
+    b = (x >> (h - 1)) & 1
+    code = 2 * h + b
+    return code, h - 1, x & ((1 << (h - 1)) - 1)
+
+
+def _plane_code_map(xsize: int) -> dict:
+    m = {}
+    for i, (dx, dy) in enumerate(CODE_TO_PLANE):
+        d = dy * xsize + dx
+        if d >= 1 and d not in m:
+            m[d] = i + 1
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Tokens.
+# ---------------------------------------------------------------------------
+
+TOK_LITERAL = 0
+TOK_COPY = 1
+TOK_CACHE = 2
+
+
+# ---------------------------------------------------------------------------
+# LZ77 hash-chain backward references (greedy).
+# ---------------------------------------------------------------------------
+
+def _hash2(a: np.ndarray) -> np.ndarray:
+    """Hash of pixel pairs (argb[i], argb[i+1]) -> HASH_BITS."""
+    lo = a[:-1].astype(np.uint64)
+    hi = a[1:].astype(np.uint64)
+    key = (hi << np.uint64(32)) | lo
+    key = (key * np.uint64(0x9E3779B185EBCA87)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (key >> np.uint64(64 - HASH_BITS)).astype(np.int64)
+
+
+def backward_references(argb: np.ndarray, xsize: int, quality: int) -> list:
+    """Greedy LZ77 over the pixel stream. Returns token list."""
+    n = len(argb)
+    tokens = []
+    if n == 0:
+        return tokens
+    max_chain = 8 if quality < 25 else (32 if quality < 50 else
+                                        (128 if quality < 75 else 512))
+    hashes = _hash2(argb) if n > 1 else np.zeros(0, dtype=np.int64)
+    head = np.full(HASH_SIZE, -1, dtype=np.int64)
+    prev = np.full(n, -1, dtype=np.int64)
+    a = argb
+    pos = 0
+    while pos < n:
+        best_len = 0
+        best_dist = 0
+        if pos + 1 < n:
+            h = int(hashes[pos])
+            cand = int(head[h])
+            chain = 0
+            min_pos = max(0, pos - WINDOW_SIZE)
+            limit = min(n - pos, MAX_LENGTH)
+            while cand >= min_pos and chain < max_chain:
+                if best_len >= limit:
+                    break
+                # quick check at best_len position
+                if best_len == 0 or (pos + best_len < n
+                                     and a[cand + best_len] == a[pos + best_len]):
+                    length = 0
+                    while length < limit and a[cand + length] == a[pos + length]:
+                        length += 1
+                    if length > best_len:
+                        best_len = length
+                        best_dist = pos - cand
+                cand = int(prev[cand])
+                chain += 1
+            # Also try distance == xsize (pixel above) explicitly.
+            if pos >= xsize:
+                cand = pos - xsize
+                length = 0
+                limit2 = min(n - pos, MAX_LENGTH)
+                while length < limit2 and a[cand + length] == a[pos + length]:
+                    length += 1
+                if length > best_len or (length == best_len and length > 0
+                                         and best_dist != xsize):
+                    if length >= max(best_len, 1):
+                        if length > best_len or xsize < best_dist:
+                            best_len = length
+                            best_dist = xsize
+        if best_len >= 3:
+            tokens.append((TOK_COPY, best_len, best_dist))
+            end = min(pos + best_len, n - 1)
+            for p in range(pos, end):
+                h = int(hashes[p])
+                prev[p] = head[h]
+                head[h] = p
+            pos += best_len
+        else:
+            tokens.append((TOK_LITERAL, int(a[pos]), 0))
+            if pos + 1 < n:
+                h = int(hashes[pos])
+                prev[pos] = head[h]
+                head[h] = pos
+            pos += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Histogram + emission.
+# ---------------------------------------------------------------------------
+
+def _histogram(tokens: list, xsize: int, cache_bits: int):
+    pmap = _plane_code_map(xsize)
+    green = np.zeros(NUM_LITERAL_CODES + NUM_LENGTH_CODES + (1 << cache_bits if cache_bits else 0), dtype=np.int64)
+    red = np.zeros(256, dtype=np.int64)
+    blue = np.zeros(256, dtype=np.int64)
+    alpha = np.zeros(256, dtype=np.int64)
+    dist = np.zeros(NUM_DISTANCE_CODES, dtype=np.int64)
+    for kind, v, d in tokens:
+        if kind == TOK_LITERAL:
+            green[(v >> 8) & 0xFF] += 1
+            red[(v >> 16) & 0xFF] += 1
+            blue[v & 0xFF] += 1
+            alpha[(v >> 24) & 0xFF] += 1
+        elif kind == TOK_COPY:
+            code, _, _ = prefix_encode(v)
+            green[NUM_LITERAL_CODES + code] += 1
+            dcode = pmap.get(d, d + 120)
+            dc, _, _ = prefix_encode(dcode)
+            dist[dc] += 1
+        else:
+            green[NUM_LITERAL_CODES + NUM_LENGTH_CODES + v] += 1
+    return [green, red, blue, alpha, dist]
+
+
+def _emit_tokens(bw: LosslessBitWriter, tokens: list, codes: List[HuffmanCode],
+                 xsize: int) -> None:
+    pmap = _plane_code_map(xsize)
+    g, r, b, a, d = codes
+    for kind, v, dd in tokens:
+        if kind == TOK_LITERAL:
+            g.write_symbol(bw, (v >> 8) & 0xFF)
+            r.write_symbol(bw, (v >> 16) & 0xFF)
+            b.write_symbol(bw, v & 0xFF)
+            a.write_symbol(bw, (v >> 24) & 0xFF)
+        elif kind == TOK_COPY:
+            code, nbits, extra = prefix_encode(v)
+            g.write_symbol(bw, NUM_LITERAL_CODES + code)
+            if nbits:
+                bw.write_bits(extra, nbits)
+            dcode = pmap.get(dd, dd + 120)
+            dc, dnbits, dextra = prefix_encode(dcode)
+            d.write_symbol(bw, dc)
+            if dnbits:
+                bw.write_bits(dextra, dnbits)
+        else:
+            g.write_symbol(bw, NUM_LITERAL_CODES + NUM_LENGTH_CODES + v)
+
+
+def _encode_entropy_coded_image(bw: LosslessBitWriter, argb: np.ndarray,
+                                xsize: int, quality: int,
+                                is_level0: bool = False) -> None:
+    """color-cache bit + (level0: meta-huffman bit) + trees + LZ77 data."""
+    tokens = backward_references(argb, xsize, quality)
+    hists = _histogram(tokens, xsize, 0)
+    codes = [HuffmanCode.from_counts(h) for h in hists]
+    bw.write_bits(0, 1)  # no color cache
+    if is_level0:
+        bw.write_bits(0, 1)  # single huffman group (no entropy image)
+    for c in codes:
+        write_huffman_code(bw, c.desc_lengths)
+    _emit_tokens(bw, tokens, codes, xsize)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (encoder side).
+# ---------------------------------------------------------------------------
+
+def _sub_pixels(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-channel (a - b) mod 256 on packed uint32 (borrow-safe: biased per
+    16-bit lane so borrows never cross channels, like libwebp VP8LSubPixels)."""
+    with np.errstate(over="ignore"):
+        ag = (np.uint32(0x00FF00FF) + (a & np.uint32(0xFF00FF00))
+              - (b & np.uint32(0xFF00FF00))) & np.uint32(0xFF00FF00)
+        rb = (np.uint32(0xFF00FF00) + (a & np.uint32(0x00FF00FF))
+              - (b & np.uint32(0x00FF00FF))) & np.uint32(0x00FF00FF)
+        return ag | rb
+
+
+def subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((argb >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    b = ((argb & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    return (argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _predict_all(img: np.ndarray, mode: int) -> np.ndarray:
+    """Predicted value for every pixel under `mode` (interior rule only;
+    the caller fixes up row 0 / col 0 which always use L/T/black)."""
+    h, w = img.shape
+    L = np.zeros_like(img)
+    T = np.zeros_like(img)
+    TL = np.zeros_like(img)
+    TR = np.zeros_like(img)
+    L[:, 1:] = img[:, :-1]
+    T[1:, :] = img[:-1, :]
+    TL[1:, 1:] = img[:-1, :-1]
+    TR[1:, :-1] = img[:-1, 1:]
+    TR[1:, -1] = img[1:, 0]  # spec: TR at last column = current row pixel 0
+    av2 = tf._avg2
+    if mode == 0:
+        return np.full_like(img, 0xFF000000)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return av2(av2(L, TR), T)
+    if mode == 6:
+        return av2(L, TL)
+    if mode == 7:
+        return av2(L, T)
+    if mode == 8:
+        return av2(TL, T)
+    if mode == 9:
+        return av2(T, TR)
+    if mode == 10:
+        return av2(av2(L, TL), av2(T, TR))
+    if mode == 11:
+        return _select_vec(T, L, TL)
+    if mode == 12:
+        return _clamp_add_sub_full_vec(L, T, TL)
+    if mode == 13:
+        return _clamp_add_sub_half_vec(L, T, TL)
+    raise ValueError(mode)
+
+
+def _channels_i32(px):
+    return [((px >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32)
+            for s in (0, 8, 16, 24)]
+
+
+def _select_vec(t, l, tl):
+    pa = np.zeros(t.shape, dtype=np.int32)
+    for (tc, lc, tlc) in zip(_channels_i32(t), _channels_i32(l), _channels_i32(tl)):
+        pa += np.abs(lc - tlc) - np.abs(tc - tlc)
+    return np.where(pa <= 0, t, l)
+
+
+def _clamp_add_sub_full_vec(l, t, tl):
+    out = np.zeros(l.shape, dtype=np.uint32)
+    for s in (0, 8, 16, 24):
+        v = (((l >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32)
+             + ((t >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32)
+             - ((tl >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32))
+        out |= np.clip(v, 0, 255).astype(np.uint32) << np.uint32(s)
+    return out
+
+
+def _clamp_add_sub_half_vec(l, t, tl):
+    avg = tf._avg2(l, t)
+    out = np.zeros(l.shape, dtype=np.uint32)
+    for s in (0, 8, 16, 24):
+        va = ((avg >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32)
+        vc = ((tl >> np.uint32(s)) & np.uint32(0xFF)).astype(np.int32)
+        d = va - vc
+        v = va + np.sign(d) * (np.abs(d) // 2)
+        out |= np.clip(v, 0, 255).astype(np.uint32) << np.uint32(s)
+    return out
+
+
+def predictor_transform(img: np.ndarray, bits: int, quality: int):
+    """Chooses per-tile predictors (entropy proxy: sum of |residual byte|
+    distances from 0/256 wraparound) and returns (residuals, tile_image)."""
+    h, w = img.shape
+    tx, ty = sub_sample_size(w, bits), sub_sample_size(h, bits)
+    preds = [_predict_all(img, m) for m in range(14)]
+    residuals = [_sub_pixels(img, p) for p in preds]
+    # Cost proxy per pixel: sum over channels of min(v, 256-v).
+    costs = []
+    for res in residuals:
+        b = res.view(np.uint8).reshape(h, w, 4).astype(np.int32)
+        costs.append(np.minimum(b, 256 - b).sum(axis=2))
+    costs = np.stack(costs, axis=0)  # [14, h, w]
+
+    tile_modes = np.zeros((ty, tx), dtype=np.int32)
+    out = np.zeros_like(img)
+    tile = 1 << bits
+    for tyi in range(ty):
+        for txi in range(tx):
+            ys, xs = tyi * tile, txi * tile
+            ye, xe = min(ys + tile, h), min(xs + tile, w)
+            csum = costs[:, ys:ye, xs:xe].reshape(14, -1).sum(axis=1)
+            mode = int(np.argmin(csum))
+            tile_modes[tyi, txi] = mode
+            out[ys:ye, xs:xe] = residuals[mode][ys:ye, xs:xe]
+    # Edge rules: row 0 uses L (except pixel 0: black), col 0 uses T.
+    out[0, 0] = _sub_pixels(img[0:1, 0:1], np.uint32(0xFF000000))[0, 0]
+    if w > 1:
+        out[0, 1:] = _sub_pixels(img[0:1, 1:], img[0:1, :-1])
+    if h > 1:
+        out[1:, 0] = _sub_pixels(img[1:, 0], img[:-1, 0])
+    tile_img = (np.uint32(0xFF000000) | (tile_modes.astype(np.uint32) << np.uint32(8))).reshape(-1)
+    return out, tile_img
+
+
+# ---------------------------------------------------------------------------
+# Palette.
+# ---------------------------------------------------------------------------
+
+def build_palette(argb_flat: np.ndarray) -> Optional[np.ndarray]:
+    colors = np.unique(argb_flat)
+    if len(colors) > MAX_PALETTE_SIZE:
+        return None
+    return colors  # sorted ascending (uint32) — deterministic valid order
+
+
+def apply_palette(argb: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Maps pixels to indices stored in the green channel, with bundling."""
+    h, w = argb.shape
+    idx = np.searchsorted(palette, argb.reshape(-1)).reshape(h, w).astype(np.uint32)
+    n = len(palette)
+    if n > 16:
+        xbits = 0
+    elif n > 4:
+        xbits = 1
+    elif n > 2:
+        xbits = 2
+    else:
+        xbits = 3
+    if xbits == 0:
+        packed = idx
+    else:
+        ppb = 1 << xbits  # pixels per byte
+        bpp = 8 >> xbits  # bits per pixel
+        pw = sub_sample_size(w, xbits)
+        pad_w = pw * ppb
+        padded = np.zeros((h, pad_w), dtype=np.uint32)
+        padded[:, :w] = idx
+        packed = np.zeros((h, pw), dtype=np.uint32)
+        for i in range(ppb):
+            packed |= padded[:, i::ppb] << np.uint32(i * bpp)
+    return (np.uint32(0xFF000000) | (packed << np.uint32(8))), xbits
+
+
+# ---------------------------------------------------------------------------
+# Top level.
+# ---------------------------------------------------------------------------
+
+def rgba_to_argb(a: np.ndarray) -> np.ndarray:
+    """uint8 [h,w,3|4] -> packed uint32 ARGB [h,w]."""
+    h, w = a.shape[:2]
+    r = a[..., 0].astype(np.uint32)
+    g = a[..., 1].astype(np.uint32)
+    b = a[..., 2].astype(np.uint32)
+    al = a[..., 3].astype(np.uint32) if a.shape[2] == 4 else np.full((h, w), 255, np.uint32)
+    return (al << np.uint32(24)) | (r << np.uint32(16)) | (g << np.uint32(8)) | b
+
+
+def encode_vp8l(img: np.ndarray, quality: int = 75, method: int = 4,
+                exact: bool = False, near_lossless: int = 100) -> bytes:
+    """Encodes an RGB(A) uint8 array to a VP8L payload."""
+    argb = rgba_to_argb(np.asarray(img))
+    has_alpha = bool(((argb >> np.uint32(24)) != 255).any())
+    return encode_vp8l_argb(argb, quality=quality, method=method,
+                            with_header=True, alpha_hint=has_alpha)
+
+
+def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
+                     with_header: bool = True, alpha_hint: bool = False) -> bytes:
+    """Encodes a packed ARGB uint32 [h, w] image; optionally headerless
+    (as required for ALPH payloads)."""
+    h, w = argb.shape
+
+    bw = LosslessBitWriter()
+    if with_header:
+        bw.write_bits(0x2F, 8)
+        bw.write_bits(w - 1, 14)
+        bw.write_bits(h - 1, 14)
+        bw.write_bits(1 if alpha_hint else 0, 1)
+        bw.write_bits(0, 3)  # version
+
+    flat = argb.reshape(-1)
+    palette = build_palette(flat) if method > 0 else None
+
+    if palette is not None and len(palette) <= 256:
+        packed, xbits = apply_palette(argb, palette)
+        # Transform: color indexing.
+        bw.write_bits(1, 1)  # transform present
+        bw.write_bits(3, 2)  # COLOR_INDEXING
+        bw.write_bits(len(palette) - 1, 8)
+        # Palette stored delta-coded as a 1-high image.
+        pal = palette.astype(np.uint32)
+        deltas = pal.copy()
+        deltas[1:] = _sub_pixels(pal[1:], pal[:-1])
+        _encode_entropy_coded_image(bw, deltas, len(palette), quality)
+        bw.write_bits(0, 1)  # no more transforms
+        _encode_entropy_coded_image(bw, packed.reshape(-1),
+                                    packed.shape[1], quality, is_level0=True)
+    else:
+        cur = argb
+        bw.write_bits(1, 1)
+        bw.write_bits(2, 2)  # SUBTRACT_GREEN
+        cur = subtract_green(cur)
+        # Predictor transform.
+        bits = 4
+        bw.write_bits(1, 1)
+        bw.write_bits(0, 2)  # PREDICTOR
+        bw.write_bits(bits - 2, 3)
+        residuals, tile_img = predictor_transform(cur, bits, quality)
+        _encode_entropy_coded_image(bw, tile_img, sub_sample_size(w, bits), quality)
+        bw.write_bits(0, 1)  # no more transforms
+        _encode_entropy_coded_image(bw, residuals.reshape(-1), w, quality,
+                                    is_level0=True)
+
+    return bw.finish()
