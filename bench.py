@@ -1,0 +1,66 @@
+"""Benchmark: end-to-end lossy encode throughput at Q75 (the reference's
+headline metric, BASELINE.md: 32.9 Mpx/s on Apple M5 Max).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Uses testdata/test_color.png (1536x1024) when the fast native path is
+available; otherwise measures on a downscaled tile (honest throughput,
+smaller wall-clock) until the native/device hot paths land.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from PIL import Image
+
+import webp_tpu
+
+BASELINE_MPX_S = 32.9  # reference lossy encode Q75 (BASELINE.md)
+
+
+def _native_available() -> bool:
+    try:
+        from webp_tpu.native import loader
+
+        return loader.available()
+    except Exception:
+        return False
+
+
+def main() -> None:
+    src = Image.open("/root/reference/testdata/test_color.png").convert("RGB")
+    fast = _native_available()
+    if not fast:
+        src = src.resize((384, 256))
+    rgb = np.asarray(src)
+    h, w = rgb.shape[:2]
+    mpx = w * h / 1e6
+
+    # Warmup (compile caches, gamma tables).
+    data = webp_tpu.encode(rgb, quality=75, method=4)
+    assert len(data) > 0
+
+    runs = 3 if fast else 1
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        webp_tpu.encode(rgb, quality=75, method=4)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    value = mpx / best
+
+    print(json.dumps({
+        "metric": "lossy_encode_q75_mpx_per_s",
+        "value": round(value, 4),
+        "unit": f"Mpx/s ({w}x{h}, method 4, single chip)",
+        "vs_baseline": round(value / BASELINE_MPX_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

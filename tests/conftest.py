@@ -3,11 +3,17 @@ without TPU hardware (mirrors the driver's dryrun_multichip environment)."""
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax backend init. The environment pins JAX_PLATFORMS=axon
+# globally (TPU tunnel) and sitecustomize pre-imports the plugin, so override
+# via jax.config, which re-resolves backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import io
 import numpy as np
