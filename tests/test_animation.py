@@ -1,0 +1,130 @@
+"""Animation encode/decode, mux/demux, CLI, and sharpyuv tests."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import webp_tpu
+from webp_tpu.animation.animation import (
+    AnimDecoder, AnimEncoder, AnimEncodeOptions, decode_animation,
+    encode_animation,
+)
+from webp_tpu.container.parser import Parser
+from webp_tpu.mux.mux import Demuxer, Muxer, MuxFrame
+
+
+@pytest.fixture(scope="module")
+def frames_rgba():
+    base = Image.open("/root/reference/testdata/test.png").convert("RGBA").resize((48, 32))
+    return [np.array(base.rotate(i * 20)) for i in range(4)]
+
+
+def test_decode_composites_match_libwebp(frames_rgba):
+    ims = [Image.fromarray(f) for f in frames_rgba]
+    buf = io.BytesIO()
+    ims[0].save(buf, format="WEBP", save_all=True, append_images=ims[1:],
+                duration=70, loop=1, lossless=True)
+    anim = decode_animation(buf.getvalue())
+    pil = Image.open(buf)
+    for i, (canvas, dur) in enumerate(AnimDecoder(anim)):
+        pil.seek(i)
+        assert np.array_equal(canvas, np.array(pil.convert("RGBA"))), f"frame {i}"
+        assert dur == 70
+
+
+def test_encode_roundtrip_lossless(frames_rgba):
+    data = encode_animation(frames_rgba, 60, lossless=True, loop_count=2)
+    pil = Image.open(io.BytesIO(data))
+    assert pil.n_frames == len(frames_rgba)
+    for i, f in enumerate(frames_rgba):
+        pil.seek(i)
+        assert np.array_equal(np.array(pil.convert("RGBA")), f), f"frame {i}"
+    # And through our own compositor.
+    anim = decode_animation(data)
+    for i, (canvas, _) in enumerate(AnimDecoder(anim)):
+        assert np.array_equal(canvas, frames_rgba[i])
+
+
+def test_encode_lossy_animation(frames_rgba):
+    data = encode_animation(frames_rgba, 60, lossless=False, quality=80)
+    pil = Image.open(io.BytesIO(data))
+    assert pil.n_frames == len(frames_rgba)
+    mine = decode_animation(data)
+    for i, (canvas, _) in enumerate(AnimDecoder(mine)):
+        pil.seek(i)
+        assert np.array_equal(canvas, np.array(pil.convert("RGBA"))), f"frame {i}"
+
+
+def test_identical_frames_merge(frames_rgba):
+    data = encode_animation([frames_rgba[0]] * 3 + [frames_rgba[1]], 50,
+                            lossless=True)
+    p = Parser(data)
+    assert len(p.frames()) == 2
+    assert p.frames()[0].duration_ms == 150
+
+
+def test_single_frame_fallback(frames_rgba):
+    enc = AnimEncoder(48, 32, AnimEncodeOptions(lossless=True))
+    enc.add_frame(frames_rgba[0], 100)
+    data = enc.assemble()
+    f = webp_tpu.get_features(data)
+    assert not f.has_anim
+    assert np.array_equal(webp_tpu.decode_rgba(data), frames_rgba[0])
+
+
+def test_demuxer(frames_rgba):
+    data = encode_animation(frames_rgba, 60, lossless=True)
+    d = Demuxer(data)
+    assert d.features.has_anim
+    assert d.num_frames() == len(frames_rgba)
+    it = d.frames()
+    first = it.next()
+    assert first is not None and first.is_lossless
+
+
+def test_cli_roundtrip(tmp_path, frames_rgba):
+    png = tmp_path / "in.png"
+    Image.fromarray(frames_rgba[0][..., :3]).save(png)
+    webp = tmp_path / "out.webp"
+    out_png = tmp_path / "out.png"
+    from webp_tpu.cli import main
+
+    assert main(["enc", "-q", "80", str(png), str(webp)]) == 0
+    assert main(["dec", str(webp), str(out_png)]) == 0
+    assert np.array(Image.open(out_png)).shape[:2] == (32, 48)
+    assert main(["info", str(webp)]) == 0
+
+
+def test_sharpyuv_improves_luma_objective():
+    import webp_tpu.sharpyuv.convert as S
+    from webp_tpu.encoder import rgb_to_yuv420
+    from webp_tpu.lossy.yuv import yuv_to_rgb_fancy
+
+    S._init_tables()
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, :16] = [255, 0, 0]
+    img[:, 16:] = [0, 0, 255]
+    pad = img.astype(np.int64) << 2
+    target = S._update_w(pad)
+
+    def objective(Y, U, V):
+        rgb = yuv_to_rgb_fancy(Y, U, V).astype(np.int64) << 2
+        return np.abs(S._update_w(rgb) - target).mean()
+
+    Ys, Us, Vs = S.sharp_rgb_to_yuv420_planes(img)
+    Y2, U2, V2 = rgb_to_yuv420(img)
+    sharp = objective(Ys, Us, Vs)
+    std = objective(Y2[:32, :32], U2[:16, :16], V2[:16, :16])
+    assert sharp < std * 0.7, (sharp, std)
+
+
+def test_sharpyuv_encode_decodes(frames_rgba):
+    img = frames_rgba[0][..., :3]
+    data = webp_tpu.encode(img, quality=80, use_sharp_yuv=True)
+    out = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert out.shape == img.shape
+    assert np.array_equal(webp_tpu.decode(data), out)

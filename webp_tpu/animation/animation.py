@@ -1,0 +1,309 @@
+"""Animated WebP (ANIM/ANMF): decode compositor + encoder.
+
+Parity with /root/reference/animation/animation.go: frame model, canvas
+compositor (dispose-to-background = transparent black, exact integer alpha
+blend), and an encoder with identical-frame merging, changed-rect sub-frame
+encoding, kmin/kmax keyframe policy, per-frame lossy/lossless choice, and
+single-frame simple-WebP fallback.
+
+The compositor is vectorized numpy (device version would be trivial — it is
+pure elementwise math; frames shard across hosts per SURVEY.md §2.7 P6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..container import riff as r
+from ..container.parser import Parser
+from ..container.riff import BlendMethod, DisposeMethod, WebPError
+from ..mux.mux import Muxer, MuxFrame
+
+
+@dataclass
+class Frame:
+    """One decoded animation frame (pre-composition)."""
+
+    rgba: np.ndarray  # uint8 [h, w, 4]
+    x_offset: int = 0
+    y_offset: int = 0
+    duration_ms: int = 100
+    dispose: DisposeMethod = DisposeMethod.NONE
+    blend: BlendMethod = BlendMethod.ALPHA
+    has_alpha: bool = False
+
+
+@dataclass
+class Animation:
+    canvas_width: int = 0
+    canvas_height: int = 0
+    loop_count: int = 0
+    bgcolor: int = 0
+    frames: List[Frame] = field(default_factory=list)
+
+
+def decode_animation(data: bytes) -> Animation:
+    """Parses + pixel-decodes every frame of an animated WebP."""
+    p = Parser(data)
+    f = p.features
+    anim = Animation(
+        canvas_width=f.width or f.canvas_width,
+        canvas_height=f.height or f.canvas_height,
+        loop_count=f.loop_count,
+        bgcolor=f.bgcolor,
+    )
+    for fr in p.frames():
+        if fr.is_lossless:
+            from ..lossless.decode import decode_vp8l, argb_to_rgba
+
+            argb, _ = decode_vp8l(fr.bitstream)
+            rgba = argb_to_rgba(argb)
+        else:
+            from ..lossy.decode import decode_vp8_rgba
+
+            rgba = decode_vp8_rgba(fr.bitstream, fr.alpha if fr.alpha else None)
+        anim.frames.append(Frame(
+            rgba=rgba, x_offset=fr.x_offset, y_offset=fr.y_offset,
+            duration_ms=fr.duration_ms, dispose=fr.dispose, blend=fr.blend,
+            has_alpha=fr.has_alpha,
+        ))
+    if not anim.frames:
+        raise WebPError("webp: no animation frames")
+    if anim.canvas_width == 0:
+        anim.canvas_width = anim.frames[0].rgba.shape[1]
+        anim.canvas_height = anim.frames[0].rgba.shape[0]
+    return anim
+
+
+def alpha_blend(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact integer alpha blend (animation.go:1243-1279), vectorized."""
+    src_a = src[..., 3].astype(np.uint32)
+    dst_a = dst[..., 3].astype(np.uint32)
+    dst_factor_a = (dst_a * (256 - src_a)) >> 8
+    blend_a = src_a + dst_factor_a
+    scale = np.where(blend_a > 0, (1 << 24) // np.maximum(blend_a, 1), 0)
+    out = np.empty_like(src)
+    for c in range(3):
+        v = ((src[..., c].astype(np.uint64) * src_a
+              + dst[..., c].astype(np.uint64) * dst_factor_a)
+             * scale.astype(np.uint64)) >> 24
+        out[..., c] = np.minimum(v, 255).astype(np.uint8)
+    out[..., 3] = np.minimum(blend_a, 255).astype(np.uint8)
+    # src fully transparent -> dst; src opaque or dst transparent -> src.
+    take_dst = (src_a == 0)[..., None]
+    take_src = ((src_a == 255) | (dst_a == 0))[..., None]
+    return np.where(take_dst, dst, np.where(take_src, src, out))
+
+
+class AnimDecoder:
+    """Canvas compositor over a decoded Animation (animation.go:279-457)."""
+
+    def __init__(self, anim: Animation):
+        if anim.canvas_width <= 0 or anim.canvas_height <= 0:
+            raise WebPError("animation: invalid canvas")
+        if anim.canvas_width * anim.canvas_height > 1 << 30:
+            raise WebPError("animation: canvas too large")
+        self.anim = anim
+        self.reset()
+
+    def reset(self) -> None:
+        h, w = self.anim.canvas_height, self.anim.canvas_width
+        self._canvas = np.zeros((h, w, 4), dtype=np.uint8)
+        self._prev_disposed = np.zeros((h, w, 4), dtype=np.uint8)
+        self._pos = 0
+
+    def has_more(self) -> bool:
+        return self._pos < len(self.anim.frames)
+
+    def next(self) -> Tuple[np.ndarray, int]:
+        """Returns (composited canvas copy, duration_ms)."""
+        if not self.has_more():
+            raise WebPError("animation: no more frames")
+        f = self.anim.frames[self._pos]
+        canvas = self._prev_disposed.copy()
+        self._composite(canvas, f)
+        snap = canvas.copy()
+        # Prepare next iteration's base canvas.
+        self._prev_disposed = canvas
+        if f.dispose == DisposeMethod.BACKGROUND:
+            x0, y0 = f.x_offset, f.y_offset
+            fh, fw = f.rgba.shape[:2]
+            self._prev_disposed = canvas.copy()
+            self._prev_disposed[y0 : y0 + fh, x0 : x0 + fw] = 0
+        self._pos += 1
+        return snap, f.duration_ms
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, int]]:
+        self.reset()
+        while self.has_more():
+            yield self.next()
+
+    def _composite(self, canvas: np.ndarray, f: Frame) -> None:
+        ch, cw = canvas.shape[:2]
+        fh, fw = f.rgba.shape[:2]
+        x0 = max(0, f.x_offset)
+        y0 = max(0, f.y_offset)
+        x1 = min(cw, f.x_offset + fw)
+        y1 = min(ch, f.y_offset + fh)
+        if x1 <= x0 or y1 <= y0:
+            return
+        src = f.rgba[y0 - f.y_offset : y1 - f.y_offset,
+                     x0 - f.x_offset : x1 - f.x_offset]
+        if f.blend == BlendMethod.NONE:
+            canvas[y0:y1, x0:x1] = src
+        else:
+            canvas[y0:y1, x0:x1] = alpha_blend(src, canvas[y0:y1, x0:x1])
+
+
+# ---------------------------------------------------------------------------
+# Encoding.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AnimEncodeOptions:
+    """Parity with reference EncodeOptions (animation.go:484-507)."""
+
+    lossless: bool = False
+    quality: float = 75.0
+    method: int = 4
+    kmin: int = 0  # 0 -> derived from kmax
+    kmax: int = 0  # 0 -> default (9 lossy / 17 lossless); 1 -> all keyframes
+    allow_mixed: bool = False
+    loop_count: int = 0
+    bgcolor: int = 0
+    minimize_size: bool = False
+
+
+def _snap_to_even(v: int) -> int:
+    return v & ~1
+
+
+def _changed_rect(prev: np.ndarray, cur: np.ndarray) -> Optional[tuple]:
+    """Smallest even-aligned rect where cur differs from prev; None if equal."""
+    diff = (prev != cur).any(axis=-1)
+    if not diff.any():
+        return None
+    ys, xs = np.nonzero(diff)
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    x0 = _snap_to_even(x0)
+    y0 = _snap_to_even(y0)
+    return x0, y0, x1, y1
+
+
+class AnimEncoder:
+    """Incremental animated-WebP encoder (animation.go:590-1234)."""
+
+    def __init__(self, width: int, height: int,
+                 options: Optional[AnimEncodeOptions] = None):
+        self.opts = options or AnimEncodeOptions()
+        self.width = width
+        self.height = height
+        self.mux = Muxer()
+        self.mux.loop_count = self.opts.loop_count
+        self.mux.bgcolor = self.opts.bgcolor
+        self.mux.canvas_width = width
+        self.mux.canvas_height = height
+        self._prev_canvas: Optional[np.ndarray] = None
+        self._frames_since_key = 0
+        kmax = self.opts.kmax
+        if kmax == 0:
+            kmax = 17 if self.opts.lossless else 9
+        kmin = self.opts.kmin
+        if kmin <= 0:
+            kmin = (kmax // 2) + 1
+        self.kmin, self.kmax = kmin, kmax
+        self._count = 0
+
+    # -- internals ----------------------------------------------------
+    def _encode_rect(self, rgba: np.ndarray) -> MuxFrame:
+        from .. import encoder as E
+
+        o = self.opts
+        if o.lossless:
+            from ..lossless.encode import encode_vp8l
+
+            return MuxFrame(bitstream=encode_vp8l(rgba, quality=int(o.quality),
+                                                  method=o.method),
+                            is_lossless=True)
+        from ..encoder import rgb_to_yuv420
+        from ..lossy.encode import VP8Encoder, LossyConfig
+
+        h, w = rgba.shape[:2]
+        Y, U, V = rgb_to_yuv420(rgba[..., :3])
+        cfg = LossyConfig(quality=int(o.quality), method=o.method)
+        vp8 = VP8Encoder(Y, U, V, w, h, cfg).encode()
+        alpha = b""
+        if rgba.shape[2] == 4 and bool((rgba[..., 3] != 255).any()):
+            from ..lossy.alpha_enc import encode_alpha
+
+            alpha = encode_alpha(rgba[..., 3], effort=o.method)
+        return MuxFrame(bitstream=vp8, alpha=alpha, is_lossless=False)
+
+    def add_frame(self, canvas: np.ndarray, duration_ms: int) -> None:
+        """Adds one full-canvas RGBA frame."""
+        canvas = np.asarray(canvas, dtype=np.uint8)
+        if canvas.ndim != 3 or canvas.shape[:2] != (self.height, self.width):
+            raise WebPError("animation: frame must match canvas size")
+        if canvas.shape[2] == 3:
+            canvas = np.dstack([canvas, np.full(canvas.shape[:2], 255, np.uint8)])
+
+        keyframe = (self._prev_canvas is None
+                    or self._frames_since_key >= self.kmax)
+        if not keyframe:
+            rect = _changed_rect(self._prev_canvas, canvas)
+            if rect is None:
+                # Identical frame: extend previous duration (animation.go:974).
+                if self.mux.frames:
+                    self.mux.frames[-1].duration_ms += duration_ms
+                    self._count += 1
+                    return
+                rect = (0, 0, min(2, self.width), min(2, self.height))
+            x0, y0, x1, y1 = rect
+            # >90% changed -> promote to keyframe (animation.go:927).
+            if (x1 - x0) * (y1 - y0) > 0.9 * self.width * self.height:
+                keyframe = True
+        if keyframe:
+            x0, y0, x1, y1 = 0, 0, self.width, self.height
+            self._frames_since_key = 0
+
+        sub = canvas[y0:y1, x0:x1]
+        mf = self._encode_rect(sub)
+        mf.x_offset, mf.y_offset = x0, y0
+        mf.duration_ms = duration_ms
+        mf.blend = BlendMethod.NONE  # sub-rect overwrites the canvas
+        mf.dispose = DisposeMethod.NONE
+        self.mux.add_frame(mf)
+        self._prev_canvas = canvas.copy()
+        self._frames_since_key += 1
+        self._count += 1
+
+    def assemble(self) -> bytes:
+        """Finishes the stream (single frame falls back to simple WebP)."""
+        if not self.mux.frames:
+            raise WebPError("animation: no frames added")
+        if self._count == 1 and len(self.mux.frames) == 1:
+            f = self.mux.frames[0]
+            if f.x_offset == 0 and f.y_offset == 0 and not f.alpha:
+                tag = r.VP8L if f.is_lossless else r.VP8
+                return r.assemble_riff([r.Chunk(tag, f.bitstream)])
+        return self.mux.assemble()
+
+    close = assemble  # reference naming parity (AnimEncoder.Close)
+
+
+def encode_animation(frames: List[np.ndarray], durations, **options) -> bytes:
+    """Convenience: encodes a list of full-canvas RGBA frames."""
+    if not frames:
+        raise WebPError("animation: no frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+    opts = AnimEncodeOptions(**options)
+    enc = AnimEncoder(w, h, opts)
+    if isinstance(durations, int):
+        durations = [durations] * len(frames)
+    for f, d in zip(frames, durations):
+        enc.add_frame(f, d)
+    return enc.assemble()

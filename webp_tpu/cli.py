@@ -1,0 +1,161 @@
+"""gwebp-equivalent CLI: enc / dec / info subcommands.
+
+Parity with /root/reference/cmd/gwebp/main.go: encode (PNG/JPEG/GIF ->
+WebP, animated GIF -> ANIM), decode (WebP -> PNG, animated WebP -> GIF),
+info (container summary). stdin/stdout via '-'.
+
+Usage:
+  python -m webp_tpu.cli enc [-q N] [-m N] [-lossless] [-sharp_yuv] ... in out
+  python -m webp_tpu.cli dec in out
+  python -m webp_tpu.cli info in
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+
+import numpy as np
+
+
+def _read(path: str) -> bytes:
+    if path == "-":
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path: str, data: bytes) -> None:
+    if path == "-":
+        sys.stdout.buffer.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def cmd_enc(args) -> int:
+    from PIL import Image
+
+    import webp_tpu
+    from .animation.animation import AnimEncoder, AnimEncodeOptions
+
+    raw = _read(args.input)
+    im = Image.open(io.BytesIO(raw))
+    is_anim = getattr(im, "is_animated", False)
+
+    if is_anim:
+        # GIF (or any animated input) -> animated WebP with full compositing.
+        opts = AnimEncodeOptions(lossless=args.lossless, quality=args.q,
+                                 method=args.m,
+                                 loop_count=im.info.get("loop", 0))
+        w, h = im.size
+        enc = AnimEncoder(w, h, opts)
+        for i in range(im.n_frames):
+            im.seek(i)
+            dur = int(im.info.get("duration", 100)) or 100
+            enc.add_frame(np.array(im.convert("RGBA")), dur)
+        _write(args.output, enc.assemble())
+        return 0
+
+    arr = np.array(im.convert("RGBA" if "A" in im.getbands() else "RGB"))
+    data = webp_tpu.encode(
+        arr, lossless=args.lossless, quality=args.q, method=args.m,
+        use_sharp_yuv=args.sharp_yuv, exact=args.exact,
+        filter_strength=args.f, segments=args.segments,
+        alpha_quality=args.alpha_q, partitions=args.partitions,
+    )
+    _write(args.output, data)
+    return 0
+
+
+def cmd_dec(args) -> int:
+    from PIL import Image
+
+    import webp_tpu
+    from .container.parser import get_features
+
+    data = _read(args.input)
+    f = get_features(data)
+    if f.has_anim:
+        from .animation.animation import decode_animation, AnimDecoder
+
+        anim = decode_animation(data)
+        dec = AnimDecoder(anim)
+        frames = []
+        durations = []
+        for canvas, dur in dec:
+            frames.append(Image.fromarray(canvas))
+            durations.append(max(dur, 10))
+        buf = io.BytesIO()
+        frames[0].save(buf, format="GIF", save_all=True,
+                       append_images=frames[1:], duration=durations,
+                       loop=anim.loop_count, disposal=2)
+        _write(args.output, buf.getvalue())
+        return 0
+
+    img = webp_tpu.decode(data)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    _write(args.output, buf.getvalue())
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .container.parser import Parser
+
+    data = _read(args.input)
+    p = Parser(data)
+    f = p.features
+    print(f"format:      {f.format.name}")
+    print(f"dimensions:  {f.width}x{f.height}")
+    print(f"alpha:       {f.has_alpha}")
+    print(f"animation:   {f.has_anim}")
+    if f.has_anim:
+        print(f"frames:      {len(p.frames())}")
+        print(f"loop count:  {f.loop_count}")
+    meta = [name for name, present in
+            (("ICCP", f.has_iccp), ("EXIF", f.has_exif), ("XMP", f.has_xmp))
+            if present]
+    print(f"metadata:    {', '.join(meta) if meta else 'none'}")
+    print(f"file size:   {len(data)} bytes")
+    print("chunks:      " + " ".join(
+        f"{c.tag.decode('ascii', 'replace').strip()}({len(c.payload)})"
+        for c in p.chunks()))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="webp_tpu",
+                                 description="TPU-native WebP codec CLI")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("enc", help="encode image to WebP")
+    enc.add_argument("-q", type=float, default=75, help="quality 0-100")
+    enc.add_argument("-m", type=int, default=4, help="method 0-6")
+    enc.add_argument("-lossless", action="store_true")
+    enc.add_argument("-sharp_yuv", action="store_true")
+    enc.add_argument("-exact", action="store_true")
+    enc.add_argument("-f", type=int, default=60, help="filter strength")
+    enc.add_argument("-segments", type=int, default=4)
+    enc.add_argument("-alpha_q", type=int, default=100)
+    enc.add_argument("-partitions", type=int, default=0)
+    enc.add_argument("input")
+    enc.add_argument("output")
+    enc.set_defaults(fn=cmd_enc)
+
+    dec = sub.add_parser("dec", help="decode WebP to PNG (or GIF if animated)")
+    dec.add_argument("input")
+    dec.add_argument("output")
+    dec.set_defaults(fn=cmd_dec)
+
+    info = sub.add_parser("info", help="show WebP file info")
+    info.add_argument("input")
+    info.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
