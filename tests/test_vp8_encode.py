@@ -63,3 +63,32 @@ def test_flat_image_skips(photo):
 def test_partitions(photo):
     data = webp_tpu.encode(photo, quality=75, partitions=2)  # 4 partitions
     assert np.array_equal(webp_tpu.decode(data), pil_decode_rgba(data)[..., :3])
+
+
+def test_device_backend_matches_host_i16(photo):
+    """Device wavefront must reproduce the host encoder's I16 path exactly
+    (same levels/modes) on CPU-jax, modulo float32 near-tie mode choices."""
+    import jax
+
+    from webp_tpu.encoder import rgb_to_yuv420
+    from webp_tpu.lossy.encode import VP8Encoder, LossyConfig
+    from webp_tpu.ops.wavefront import wavefront_encode_fn
+
+    img = photo[:64, :80]
+    h, w = img.shape[:2]
+    Y, U, V = rgb_to_yuv420(img)
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    fn = wavefront_encode_fn(mbw, mbh, 75)
+    lv, y2, modes, uvm, skip = [np.asarray(o) for o in fn(Y, U, V)]
+    enc = VP8Encoder(Y, U, V, w, h, LossyConfig(quality=75, i4_blocks=False))
+    enc.encode()
+    assert np.array_equal(lv.reshape(mbh, mbw, 24, 16), enc.levels)
+    assert np.array_equal(y2.reshape(mbh, mbw, 16), enc.y2_levels)
+    assert np.array_equal(modes.reshape(mbh, mbw), enc.imodes[..., 0])
+
+
+def test_device_backend_end_to_end(photo):
+    data = webp_tpu.encode(photo, quality=75, backend="device")
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)
+    assert _psnr(photo, ref) > 25

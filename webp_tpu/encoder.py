@@ -44,6 +44,7 @@ class EncoderOptions:
     use_sharp_yuv: bool = False
     exact: bool = False
     near_lossless: int = 100
+    backend: str = "host"  # "host" | "device" (TPU wavefront) | "auto"
     # Metadata
     iccp: bytes = b""
     exif: bytes = b""
@@ -171,6 +172,15 @@ def _pad_plane(p: np.ndarray, h: int, w: int) -> None:
         p[h:, :] = p[h - 1 : h, :]
 
 
+def _device_ok() -> bool:
+    try:
+        import jax
+
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
 # --- Encode entry points -----------------------------------------------------
 
 
@@ -219,7 +229,23 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         partitions=opts.partitions,
         sns_strength=opts.sns_strength,
     )
-    enc = VP8Encoder(Y, U, V, w, h, cfg)
+    if opts.backend == "device" or (opts.backend == "auto" and _device_ok()):
+        # TPU wavefront path (I16+UV RD on device, host entropy coding).
+        from .lossy.device_encode import DeviceVP8Encoder
+
+        enc = DeviceVP8Encoder(Y, U, V, w, h, cfg)
+        if not opts.use_sharp_yuv:
+            # Fused device path: RGB import happens on-device too.
+            mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+            pad = np.zeros((mbh * 16, mbw * 16, 3), dtype=np.uint8)
+            pad[:h, :w] = rgb
+            if w < pad.shape[1]:
+                pad[:h, w:] = rgb[:, w - 1 :]
+            if h < pad.shape[0]:
+                pad[h:] = pad[h - 1 : h]
+            enc.rgb_input = pad
+    else:
+        enc = VP8Encoder(Y, U, V, w, h, cfg)
     vp8 = enc.encode()
 
     alpha_payload = b""

@@ -1,0 +1,72 @@
+"""Device-accelerated lossy encode: TPU wavefront compute + native entropy.
+
+The split mirrors the reference's Phase A / Phase B pipeline
+(encode_parallel.go:168-246): the TPU runs the wavefront mode decision,
+transforms, quantization and reconstruction (webp_tpu.ops.wavefront); the
+host runs probability optimization and boolean entropy coding (C++ native
+fast path when built).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import tables as T
+from .encode import VP8Encoder, LossyConfig
+
+
+@functools.lru_cache(maxsize=16)
+def _get_fn(mb_w: int, mb_h: int, quality: int):
+    from ..ops.wavefront import wavefront_encode_fn
+
+    return wavefront_encode_fn(mb_w, mb_h, quality)
+
+
+class DeviceVP8Encoder(VP8Encoder):
+    """VP8Encoder whose MB loop runs on the device (I16+UV wavefront)."""
+
+    rgb_input = None  # optional uint8 [H, W, 3] (padded); fuses YUV on device
+
+    def encode(self) -> bytes:
+        import jax
+
+        self.proba = T.COEFFS_PROBA0.copy()
+        fn = _get_fn(self.mb_w, self.mb_h, self.cfg.quality)
+        if self.rgb_input is not None:
+            lv, y2, modes, uvm, skip = fn.rgb(self.rgb_input)
+        else:
+            lv, y2, modes, uvm, skip = fn(self.srcY, self.srcU, self.srcV)
+        jax.block_until_ready(lv)
+        mb_h, mb_w = self.mb_h, self.mb_w
+        self.levels = np.asarray(lv).reshape(mb_h, mb_w, 24, 16)
+        self.y2_levels = np.asarray(y2).reshape(mb_h, mb_w, 16)
+        self.imodes[..., 0] = np.asarray(modes).reshape(mb_h, mb_w)
+        self.uvmode = np.asarray(uvm).reshape(mb_h, mb_w)
+        self.skip = np.asarray(skip).reshape(mb_h, mb_w).copy()
+        self.is_i4[:] = False
+
+        self.num_skip = int(self.skip.sum())
+        total = mb_h * mb_w
+        self.skip_proba = max(1, min(255, (total - self.num_skip) * 255 // total)) \
+            if self.num_skip > 0 else 0
+        self.use_skip = self.num_skip > 0
+        if not self.use_skip:
+            self.skip[:] = False
+
+        self._optimize_probas()
+        part0 = self._emit_partition0()
+        parts = [self._emit_tokens(i) for i in range(self.num_parts)]
+
+        tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+        out = bytearray([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        out += bytes([0x9D, 0x01, 0x2A])
+        out += int(self.width & 0x3FFF).to_bytes(2, "little")
+        out += int(self.height & 0x3FFF).to_bytes(2, "little")
+        out += part0
+        for p in parts[:-1]:
+            out += len(p).to_bytes(3, "little")
+        for p in parts:
+            out += p
+        return bytes(out)

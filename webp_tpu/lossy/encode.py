@@ -453,6 +453,16 @@ class VP8Encoder:
 
     def _emit_tokens(self, part_idx: int) -> bytes:
         """Emits token data for all MB rows assigned to partition part_idx."""
+        from ..native import api as native
+
+        if native.available():
+            nmb = self.mb_h * self.mb_w
+            return native.emit_tokens(
+                self.levels.reshape(nmb, 24, 16),
+                self.y2_levels.reshape(nmb, 16),
+                self.is_i4.reshape(nmb), self.skip.reshape(nmb),
+                self.proba.astype(np.uint8), self.mb_w, self.mb_h,
+                self.use_skip, part_idx, self.num_parts)
         bw = BoolWriter()
         mb_w, mb_h = self.mb_w, self.mb_h
         # nz context state must be tracked per partition from its own rows?
@@ -529,7 +539,10 @@ class VP8Encoder:
     # Syntax: partition 0.
     # ------------------------------------------------------------------
     def _emit_partition0(self) -> bytes:
-        bw = BoolWriter()
+        from ..native import api as native
+
+        use_native = native.available()
+        bw = native.NativeBoolWriter() if use_native else BoolWriter()
         bw.put_bit(0x80, 0)  # colorspace
         bw.put_bit(0x80, 0)  # clamp type
         # Segment header: single segment -> disabled.
@@ -566,7 +579,19 @@ class VP8Encoder:
         else:
             bw.put_bit(0x80, 0)
         # MB modes.
-        self._write_mb_modes(bw)
+        if use_native:
+            nmb = self.mb_h * self.mb_w
+            bw.write_mb_modes(
+                np.ascontiguousarray(self.imodes.reshape(nmb, 16), dtype=np.uint8),
+                np.ascontiguousarray(self.is_i4.reshape(nmb), dtype=np.uint8),
+                np.ascontiguousarray(self.uvmode.reshape(nmb), dtype=np.uint8),
+                np.ascontiguousarray(self.skip.reshape(nmb), dtype=np.uint8),
+                1 if self.num_skip > 0 else 0, self.skip_proba,
+                np.ascontiguousarray(T.BMODE_PROBA, dtype=np.uint8),
+                np.ascontiguousarray(T.YMODES_INTRA4_TREE, dtype=np.int8),
+                self.mb_w, self.mb_h)
+        else:
+            self._write_mb_modes(bw)
         return bw.finish()
 
     def _write_mb_modes(self, bw: BoolWriter) -> None:
@@ -769,8 +794,17 @@ class VP8Encoder:
 
     def _optimize_probas(self) -> None:
         from .cost import bit_cost
+        from ..native import api as native
 
-        stats = self._record_stats()
+        if native.available():
+            nmb = self.mb_h * self.mb_w
+            stats = native.record_stats(
+                self.levels.reshape(nmb, 24, 16),
+                self.y2_levels.reshape(nmb, 16),
+                self.is_i4.reshape(nmb), self.skip.reshape(nmb),
+                self.mb_w, self.mb_h, self.use_skip)
+        else:
+            stats = self._record_stats()
         proba = T.COEFFS_PROBA0.copy()
         upd = T.COEFFS_UPDATE_PROBA
         for t in range(4):

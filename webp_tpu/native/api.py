@@ -1,0 +1,127 @@
+"""ctypes bindings for the native fast paths (libwebptpu.so)."""
+
+from __future__ import annotations
+
+import ctypes as ct
+
+import numpy as np
+
+from . import loader
+
+
+def _setup(lib):
+    lib.bw_new.restype = ct.c_void_p
+    lib.bw_free.argtypes = [ct.c_void_p]
+    lib.bw_put_bit.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+    lib.bw_put_bits.argtypes = [ct.c_void_p, ct.c_uint32, ct.c_int]
+    lib.bw_put_signed_bits.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+    lib.bw_size.argtypes = [ct.c_void_p]
+    lib.bw_size.restype = ct.c_long
+    lib.bw_finish.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_long]
+    lib.bw_finish.restype = ct.c_long
+    lib.bw_write_mb_modes.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_int, ct.c_int, ct.c_void_p, ct.c_void_p, ct.c_int, ct.c_int,
+    ]
+    lib.vp8_emit_tokens.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_void_p,
+        ct.c_long,
+    ]
+    lib.vp8_emit_tokens.restype = ct.c_long
+    lib.vp8_record_stats.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_int, ct.c_int, ct.c_int, ct.c_void_p,
+    ]
+    return lib
+
+
+_lib = None
+
+
+def get():
+    global _lib
+    if _lib is None:
+        raw = loader.load()
+        if raw is not None:
+            _lib = _setup(raw)
+    return _lib
+
+
+def available() -> bool:
+    return get() is not None
+
+
+class NativeBoolWriter:
+    """Drop-in replacement for bitio.bool.BoolWriter backed by C++."""
+
+    def __init__(self):
+        self._lib = get()
+        self._h = self._lib.bw_new()
+
+    def put_bit(self, prob: int, bit: int) -> int:
+        self._lib.bw_put_bit(self._h, prob, 1 if bit else 0)
+        return bit
+
+    def put_bits(self, value: int, nbits: int) -> None:
+        self._lib.bw_put_bits(self._h, value, nbits)
+
+    def put_signed_bits(self, value: int, nbits: int) -> None:
+        self._lib.bw_put_signed_bits(self._h, value, nbits)
+
+    def num_bytes(self) -> int:
+        return int(self._lib.bw_size(self._h))
+
+    def write_mb_modes(self, imodes, is_i4, uvmode, skip, use_skip, skip_prob,
+                       bmode_prob, tree, mb_w, mb_h) -> None:
+        self._lib.bw_write_mb_modes(
+            self._h,
+            _ptr(imodes), _ptr(is_i4), _ptr(uvmode), _ptr(skip),
+            int(use_skip), int(skip_prob), _ptr(bmode_prob), _ptr(tree),
+            mb_w, mb_h)
+
+    def finish(self) -> bytes:
+        cap = self.num_bytes() + 64
+        out = np.zeros(cap, dtype=np.uint8)
+        n = self._lib.bw_finish(self._h, _ptr(out), cap)
+        assert n >= 0
+        data = bytes(out[:n].tobytes())
+        self._lib.bw_free(self._h)
+        self._h = None
+        return data
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ct.c_void_p)
+
+
+def emit_tokens(levels: np.ndarray, y2_levels: np.ndarray, is_i4: np.ndarray,
+                skip: np.ndarray, proba: np.ndarray, mb_w: int, mb_h: int,
+                use_skip: bool, part_idx: int, num_parts: int) -> bytes:
+    lib = get()
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    y2 = np.ascontiguousarray(y2_levels, dtype=np.int32)
+    i4 = np.ascontiguousarray(is_i4, dtype=np.uint8)
+    sk = np.ascontiguousarray(skip, dtype=np.uint8)
+    pr = np.ascontiguousarray(proba, dtype=np.uint8)
+    cap = levels.size * 4 + 65536
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.vp8_emit_tokens(_ptr(levels), _ptr(y2), _ptr(i4), _ptr(sk),
+                            _ptr(pr), mb_w, mb_h, int(use_skip), part_idx,
+                            num_parts, _ptr(out), cap)
+    if n < 0:
+        raise RuntimeError("native token emission overflow")
+    return bytes(out[:n].tobytes())
+
+
+def record_stats(levels, y2_levels, is_i4, skip, mb_w, mb_h,
+                 use_skip) -> np.ndarray:
+    lib = get()
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    y2 = np.ascontiguousarray(y2_levels, dtype=np.int32)
+    i4 = np.ascontiguousarray(is_i4, dtype=np.uint8)
+    sk = np.ascontiguousarray(skip, dtype=np.uint8)
+    stats = np.zeros((4, 8, 3, 11, 2), dtype=np.int64)
+    lib.vp8_record_stats(_ptr(levels), _ptr(y2), _ptr(i4), _ptr(sk),
+                         mb_w, mb_h, int(use_skip), _ptr(stats))
+    return stats
