@@ -80,7 +80,9 @@ def test_device_backend_matches_host_i16(photo):
     mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
     fn = wavefront_encode_fn(mbw, mbh, 75)
     lv, y2, modes, uvm, skip = [np.asarray(o) for o in fn(Y, U, V)]
-    enc = VP8Encoder(Y, U, V, w, h, LossyConfig(quality=75, i4_blocks=False))
+    enc = VP8Encoder(Y, U, V, w, h,
+                     LossyConfig(quality=75, i4_blocks=False,
+                                 segments=1, sns_strength=0))
     enc.encode()
     assert np.array_equal(lv.reshape(mbh, mbw, 24, 16), enc.levels)
     assert np.array_equal(y2.reshape(mbh, mbw, 16), enc.y2_levels)
@@ -92,3 +94,15 @@ def test_device_backend_end_to_end(photo):
     ref = pil_decode_rgba(data)[..., :3]
     assert np.array_equal(webp_tpu.decode(data), ref)
     assert _psnr(photo, ref) > 25
+
+
+def test_segments_4(photo):
+    data = webp_tpu.encode(photo, quality=60, segments=4)
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)
+    # Bitstream declares segmentation.
+    from webp_tpu.container.parser import Parser
+    from webp_tpu.lossy.decode import VP8Decoder
+
+    dec = VP8Decoder(Parser(data).frames()[0].bitstream)
+    assert dec.seg_hdr.use_segment

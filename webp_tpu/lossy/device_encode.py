@@ -25,9 +25,20 @@ def _get_fn(mb_w: int, mb_h: int, quality: int):
 
 
 class DeviceVP8Encoder(VP8Encoder):
-    """VP8Encoder whose MB loop runs on the device (I16+UV wavefront)."""
+    """VP8Encoder whose MB loop runs on the device (I16+UV wavefront).
+
+    The wavefront currently quantizes with segment-0 parameters and no UV
+    deltas, so the header plan is pinned to a single plain segment
+    (multi-segment device support: later round).
+    """
 
     rgb_input = None  # optional uint8 [H, W, 3] (padded); fuses YUV on device
+
+    def __init__(self, y, u, v, width, height, cfg):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, segments=1, sns_strength=0)
+        super().__init__(y, u, v, width, height, cfg)
 
     def encode(self) -> bytes:
         import jax

@@ -87,37 +87,54 @@ class VP8Encoder:
         assert u.shape == (self.mb_h * 8, self.mb_w * 8)
         self.srcY, self.srcU, self.srcV = y, u, v
 
-        q = quality_to_qindex(cfg.quality)
-        self.base_q = q
+        # Analysis pass: segments + SNS quantizer modulation + UV deltas
+        # (encode_analysis.go analysis()/setSegmentParams flow).
+        num_segs = max(1, min(4, cfg.segments)) if cfg.method >= 1 else 1
+        from .analysis import plan_segments
+
+        self.plan = plan_segments(
+            y, u, v, self.mb_w, self.mb_h, cfg.quality, num_segs,
+            cfg.sns_strength, cfg.filter_strength, cfg.filter_sharpness)
+        self.num_segments = self.plan.num_segments
+        self.segment_map = self.plan.segment_map.reshape(self.mb_h, self.mb_w)
+        self.base_q = self.plan.quant[0]
+
+        # Per-segment quantizers + lambdas (setupSegment, encode.go:1084).
         dc_t, ac_t, ac2_t = T.DC_TABLE, T.AC_TABLE, T.AC_TABLE2
         clip = lambda v, m: max(0, min(m, v))
-        self.y1 = SegmentQuant.make(int(dc_t[q]), int(ac_t[q]), 0, sharpen=True)
-        y2dc = max(8, int(dc_t[q]) * 2)
-        self.y2 = SegmentQuant.make(y2dc, int(ac2_t[q]), 1)
-        self.uv = SegmentQuant.make(int(dc_t[clip(q, 117)]), int(ac_t[q]), 2)
-
-        # RD lambdas (encode.go:1110-1125).
-        y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
-        q_i4 = (y1dc + 15 * y1ac + 8) >> 4
-        q_i16 = (y2dc + 15 * int(ac2_t[q]) + 8) >> 4
-        q_uv = (int(dc_t[clip(q, 117)]) + 15 * int(ac_t[q]) + 8) >> 4
-        self.lambda_i4 = max((3 * q_i4 * q_i4) >> 7, 1)
-        self.lambda_i16 = max(3 * q_i16 * q_i16, 1)
-        self.lambda_uv = max((3 * q_uv * q_uv) >> 6, 1)
-        self.lambda_mode = max((1 * q_i4 * q_i4) >> 7, 1)
-        self.i4_penalty = 1000 * q_i4 * q_i4
+        self.seg_q = []
+        for s in range(4):
+            q = self.plan.quant[s]
+            y1 = SegmentQuant.make(int(dc_t[q]), int(ac_t[q]), 0, sharpen=True)
+            y2dc = max(8, int(dc_t[q]) * 2)
+            y2 = SegmentQuant.make(y2dc, int(ac2_t[q]), 1)
+            uvq_dc = int(dc_t[clip(q + self.plan.dq_uv_dc, 117)])
+            uvq_ac = int(ac_t[clip(q + self.plan.dq_uv_ac, 127)])
+            uv = SegmentQuant.make(uvq_dc, uvq_ac, 2)
+            y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
+            q_i4 = (y1dc + 15 * y1ac + 8) >> 4
+            q_i16 = (y2dc + 15 * int(ac2_t[q]) + 8) >> 4
+            q_uv = (uvq_dc + 15 * uvq_ac + 8) >> 4
+            lam = {
+                "i4": max((3 * q_i4 * q_i4) >> 7, 1),
+                "i16": max(3 * q_i16 * q_i16, 1),
+                "uv": max((3 * q_uv * q_uv) >> 6, 1),
+                "mode": max((1 * q_i4 * q_i4) >> 7, 1),
+                "i4_penalty": 1000 * q_i4 * q_i4,
+            }
+            self.seg_q.append((y1, y2, uv, lam))
+        # Segment-0 aliases (single-segment fast paths + device encoder).
+        self.y1, self.y2, self.uv, lam0 = self.seg_q[0]
+        self.lambda_i4 = lam0["i4"]
+        self.lambda_i16 = lam0["i16"]
+        self.lambda_uv = lam0["uv"]
+        self.lambda_mode = lam0["mode"]
+        self.i4_penalty = lam0["i4_penalty"]
 
         # Filter header (encode.go:1276-1320).
         self.filter_sharpness = max(0, min(7, cfg.filter_sharpness))
         self.filter_simple = cfg.filter_type == 0
-        if cfg.filter_strength <= 0:
-            self.filter_level = 0
-        else:
-            level0 = 5 * cfg.filter_strength
-            qstep = int(ac_t[clip(q, 127)]) >> 2
-            base = _filter_strength_from_delta(self.filter_sharpness, qstep)
-            f = base * level0 // (256 + 0)
-            self.filter_level = 0 if f < 2 else min(f, 63)
+        self.filter_level = self.plan.fstrength[0] if cfg.filter_strength > 0 else 0
 
         self.num_parts = 1 << max(0, min(3, cfg.partitions))
 
@@ -178,6 +195,8 @@ class VP8Encoder:
         topleft = int(B[0, 0])
         ct = self.cost_tables
         proba = self.proba
+        seg = int(self.segment_map[mb_y, mb_x])
+        y1q, y2q, uvq, lam = self.seg_q[seg]
 
         # nz contexts from neighbors (for rate estimation).
         tnz = int(self.top_nz[mb_x])
@@ -193,9 +212,9 @@ class VP8Encoder:
             pred_b = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
             coeffs = dsp.fdct4x4(src_b, pred_b).reshape(16, 16)
             wht = dsp.fwht4x4(coeffs[:, 0].reshape(4, 4)).reshape(16)
-            y2_lv, y2_dq, _ = quantize_block(wht, self.y2)
+            y2_lv, y2_dq, _ = quantize_block(wht, y2q)
             rec_dcs = dsp.wht4x4(y2_dq.reshape(4, 4)).reshape(16)
-            lv, dq, _ = quantize_block(coeffs, self.y1, first=1)
+            lv, dq, _ = quantize_block(coeffs, y1q, first=1)
             dq = dq.copy()
             dq[:, 0] = rec_dcs
             rec = np.clip(pred_b + dsp.idct4x4(dq.reshape(16, 4, 4)), 0, 255)
@@ -203,14 +222,14 @@ class VP8Encoder:
             rate = C.residual_cost(y2_lv, 0, tdc + ldc, 1, ct, proba)
             rate += self._luma_rate(lv, 1, 0, tnz, lnz, ct, proba)
             rate += FIXED_COSTS_I16[mode]
-            score = self._rd_score(self.lambda_i16, rate, disto)
+            score = self._rd_score(lam["i16"], rate, disto)
             if best is None or score < best[0]:
                 best = (score, mode, lv, y2_lv, rec)
         i16_score, i16_mode, i16_lv, i16_y2lv, rec16 = best
 
         use_i4 = False
         if self.cfg.i4_blocks and self.cfg.method >= 3:
-            r = self._pick_i4(src, B, mb_x, mb_y, i16_score, tnz, lnz)
+            r = self._pick_i4(src, B, mb_x, mb_y, i16_score, tnz, lnz, y1q, lam)
             if r is not None:
                 use_i4 = True
                 i4_modes, i4_levels, rec4 = r
@@ -250,13 +269,13 @@ class VP8Encoder:
                 sb = plane_src.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
                 pb = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
                 coeffs = dsp.fdct4x4(sb, pb).reshape(4, 16)
-                lv, dq, _ = quantize_block(coeffs, self.uv)
+                lv, dq, _ = quantize_block(coeffs, uvq)
                 rec = np.clip(pb + dsp.idct4x4(dq.reshape(4, 4, 4)), 0, 255)
                 disto += int(((sb - rec) ** 2).sum())
                 rate += self._uv_rate(lv, ch, tnz, lnz, ct, proba)
                 lvs.append(lv)
                 recs.append(rec)
-            score = self._rd_score(self.lambda_uv, rate, disto)
+            score = self._rd_score(lam["uv"], rate, disto)
             if best is None or score < best[0]:
                 best = (score, mode, lvs, recs)
         _, uv_mode, lvs, recs = best
@@ -312,8 +331,12 @@ class VP8Encoder:
             lnz = (lnz >> 1) | (l << 5)
         return rate
 
-    def _pick_i4(self, src, B, mb_x, mb_y, i16_score, tnz_in, lnz_in):
+    def _pick_i4(self, src, B, mb_x, mb_y, i16_score, tnz_in, lnz_in,
+                 y1q=None, lam=None):
         """Sequential 4x4 RD mode search; None if I16 wins."""
+        if y1q is None:
+            y1q, lam = self.y1, {"i4": self.lambda_i4,
+                                 "i4_penalty": self.i4_penalty}
         from . import cost as C
 
         ct = self.cost_tables
@@ -330,7 +353,7 @@ class VP8Encoder:
         lnz = lnz_in & 0x0F
         total_rate = 211  # i4 signalling overhead (libwebp's constant)
         total_disto = 0
-        lam = self.lambda_i4
+        lam_i4 = lam["i4"]
         for n in range(16):
             r, c = n >> 2, n & 3
             top = work[r * 4, 1 + c * 4 : 5 + c * 4]
@@ -346,12 +369,12 @@ class VP8Encoder:
             for mode in range(10):
                 pred = dsp.pred_luma4(mode, top, left, topleft, tr)
                 coeffs = dsp.fdct4x4(sblk, pred).reshape(16)
-                lv, dq, _ = quantize_block(coeffs, self.y1)
+                lv, dq, _ = quantize_block(coeffs, y1q)
                 rec = np.clip(pred + dsp.idct4x4(dq.reshape(4, 4)), 0, 255)
                 disto = int(((sblk - rec) ** 2).sum())
                 rate = C.residual_cost(lv, 0, ctx, 3, ct, proba)
                 rate += int(C.FIXED_COSTS_I4[tmode, lmode, mode])
-                score = self._rd_score(lam, rate, disto)
+                score = self._rd_score(lam_i4, rate, disto)
                 if best is None or score < best[0]:
                     best = (score, mode, lv, rec, disto, rate)
             _, mode, lv, rec, disto, rate = best
@@ -365,9 +388,9 @@ class VP8Encoder:
             lnz = (lnz & ~(1 << r)) | (nz << r)
             top_modes[c] = mode
             left_modes[r] = mode
-            if self._rd_score(lam, total_rate, total_disto) >= i16_score:
+            if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
                 return None
-        if self._rd_score(lam, total_rate, total_disto) >= i16_score:
+        if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
             return None
         self._top_bmodes[mb_x] = top_modes
         self._left_bmodes = left_modes
@@ -545,8 +568,28 @@ class VP8Encoder:
         bw = native.NativeBoolWriter() if use_native else BoolWriter()
         bw.put_bit(0x80, 0)  # colorspace
         bw.put_bit(0x80, 0)  # clamp type
-        # Segment header: single segment -> disabled.
-        bw.put_bit(0x80, 0)
+        # Segment header (RFC 6386 9.3).
+        if self.num_segments > 1:
+            bw.put_bit(0x80, 1)  # use_segment
+            bw.put_bit(0x80, 1)  # update_map
+            bw.put_bit(0x80, 1)  # update feature data
+            bw.put_bit(0x80, 1)  # absolute values
+            for sq in self.plan.quant:
+                bw.put_bit(0x80, 1)
+                bw.put_bits(sq, 7)
+                bw.put_bit(0x80, 0)  # sign
+            for fs in self.plan.fstrength:
+                bw.put_bit(0x80, 1)
+                bw.put_bits(fs, 6)
+                bw.put_bit(0x80, 0)
+            for pb in self.plan.probas:
+                if pb == 255:
+                    bw.put_bit(0x80, 0)
+                else:
+                    bw.put_bit(0x80, 1)
+                    bw.put_bits(pb, 8)
+        else:
+            bw.put_bit(0x80, 0)
         # Filter header.
         bw.put_bit(0x80, 1 if self.filter_simple else 0)
         bw.put_bits(self.filter_level, 6)
@@ -554,10 +597,16 @@ class VP8Encoder:
         bw.put_bit(0x80, 0)  # no lf deltas
         # Partitions.
         bw.put_bits({1: 0, 2: 1, 4: 2, 8: 3}[self.num_parts], 2)
-        # Quant params: base q + five zero deltas.
+        # Quant params: base q + per-class deltas (y deltas 0; uv from SNS).
         bw.put_bits(self.base_q, 7)
-        for _ in range(5):
-            bw.put_bit(0x80, 0)
+        for _ in range(3):
+            bw.put_bit(0x80, 0)  # y1_dc, y2_dc, y2_ac deltas
+        for delta in (self.plan.dq_uv_dc, self.plan.dq_uv_ac):
+            if delta:
+                bw.put_bit(0x80, 1)
+                bw.put_signed_bits(delta, 4)
+            else:
+                bw.put_bit(0x80, 0)
         bw.put_bit(0x80, 0)  # refresh entropy probs (keyframe: ignored)
         # Coefficient probabilities: emit updates vs defaults.
         upd = T.COEFFS_UPDATE_PROBA
@@ -579,6 +628,8 @@ class VP8Encoder:
         else:
             bw.put_bit(0x80, 0)
         # MB modes.
+        if use_native and self.num_segments > 1:
+            use_native = False  # segment ids: python writer (native ext later)
         if use_native:
             nmb = self.mb_h * self.mb_w
             bw.write_mb_modes(
@@ -601,6 +652,15 @@ class VP8Encoder:
         for mb_y in range(self.mb_h):
             left = np.zeros(4, dtype=np.uint8)
             for mb_x in range(self.mb_w):
+                if self.num_segments > 1:
+                    seg = int(self.segment_map[mb_y, mb_x])
+                    sp = self.plan.probas
+                    if seg < 2:
+                        bw.put_bit(sp[0], 0)
+                        bw.put_bit(sp[1], seg & 1)
+                    else:
+                        bw.put_bit(sp[0], 1)
+                        bw.put_bit(sp[2], seg & 1)
                 if self.num_skip > 0:
                     bw.put_bit(self.skip_proba, 1 if self.skip[mb_y, mb_x] else 0)
                 if self.is_i4[mb_y, mb_x]:
