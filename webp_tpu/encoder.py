@@ -45,6 +45,7 @@ class EncoderOptions:
     exact: bool = False
     near_lossless: int = 100
     backend: str = "host"  # "host" | "device" (TPU wavefront) | "auto"
+    dithering: float = 0.0  # 0..1 dither strength for RGB->YUV import
     # Metadata
     iccp: bytes = b""
     exif: bytes = b""
@@ -116,18 +117,26 @@ def _linear_to_gamma_interp(base: np.ndarray, shift: int) -> np.ndarray:
     return (y + (K_GAMMA_TAB_SCALE >> 1)) >> K_GAMMA_TAB_FIX
 
 
-def rgb_to_yuv420(rgb: np.ndarray):
+def rgb_to_yuv420(rgb: np.ndarray, dithering: float = 0.0):
     """Converts uint8 RGB [h, w, 3] to YUV420 planes padded to MB multiples.
 
     Matches the reference's standard import path (lossy/encode.go:671-838):
-    per-pixel Y; chroma from gamma-corrected 2x2 RGB accumulation.
+    per-pixel Y; chroma from gamma-corrected 2x2 RGB accumulation. With
+    dithering > 0, the Y rounding term comes from the VP8Random lagged-
+    Fibonacci stream (dithered import, encode.go:690-695).
     """
     h, w = rgb.shape[:2]
     mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
     rgbi = rgb.astype(np.int64)
     red, green, blue = rgbi[..., 0], rgbi[..., 1], rgbi[..., 2]
+    if dithering > 0.0:
+        from .utils.random import random_stream
+
+        rounding = random_stream(h * w, YUV_FIX, dithering).reshape(h, w)
+    else:
+        rounding = YUV_HALF
     yy = (K_RGB_TO_Y[0] * red + K_RGB_TO_Y[1] * green + K_RGB_TO_Y[2] * blue
-          + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX
+          + rounding + (16 << YUV_FIX)) >> YUV_FIX
     Y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
     Y[:h, :w] = np.clip(yy, 0, 255).astype(np.uint8)
 
@@ -201,7 +210,75 @@ def encode(img, **options) -> bytes:
         raise WebPError("webp: invalid dimensions")
     if opts.lossless:
         return _encode_lossless(a, opts)
+    if opts.target_size > 0 or opts.target_psnr > 0:
+        return _encode_lossy_rate_controlled(a, opts)
     return _encode_lossy(a, opts)
+
+
+@dataclass
+class EncStats:
+    """Per-encode statistics (parity with reference EncStats,
+    lossy/encode.go:326-337)."""
+
+    psnr: float = 0.0
+    size: int = 0
+    quality: float = 0.0
+    passes: int = 1
+
+
+LAST_STATS = EncStats()
+
+
+def _psnr_of(a: np.ndarray, data: bytes) -> float:
+    import io
+
+    import webp_tpu
+
+    out = webp_tpu.decode_rgba(data)[..., : a.shape[2]]
+    mse = float(np.mean((out.astype(np.float64) - a.astype(np.float64)) ** 2))
+    return 99.0 if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
+    """Multi-pass quality search toward target_size / target_psnr
+    (the role of statLoop/computeNextQ/adjustQuantForTarget in the
+    reference, lossy/encode.go:1405-1612)."""
+    from dataclasses import replace
+
+    global LAST_STATS
+    lo, hi = 1.0, 100.0
+    q = opts.quality if 0 < opts.quality <= 100 else 75.0
+    best_hit = None    # (q, data): best result satisfying the target
+    best_any = None    # fallback when no pass satisfies it
+    max_passes = max(3, opts.pass_count if opts.pass_count > 1 else 6)
+    for p in range(max_passes):
+        data = _encode_lossy(a, replace(opts, quality=q,
+                                        target_size=0, target_psnr=0.0))
+        if opts.target_size > 0:
+            hit = len(data) <= opts.target_size
+            # Want the LARGEST q that fits in the budget.
+            if hit and (best_hit is None or q > best_hit[0]):
+                best_hit = (q, data)
+            if best_any is None or len(data) < len(best_any[1]):
+                best_any = (q, data)
+            lo, hi = (q, hi) if hit else (lo, q)
+        else:
+            psnr = _psnr_of(a, data)
+            hit = psnr >= opts.target_psnr
+            # Want the SMALLEST q that reaches the PSNR target.
+            if hit and (best_hit is None or q < best_hit[0]):
+                best_hit = (q, data)
+            if best_any is None or psnr > best_any[2]:
+                best_any = (q, data, psnr)
+            lo, hi = (lo, q) if hit else (q, hi)
+        new_q = (lo + hi) / 2
+        if abs(new_q - q) < 0.75:
+            break
+        q = new_q
+    q_used, data = best_hit if best_hit is not None else best_any[:2]
+    LAST_STATS = EncStats(psnr=_psnr_of(a, data), size=len(data),
+                          quality=q_used, passes=p + 1)
+    return data
 
 
 def _has_alpha(a: np.ndarray) -> bool:
@@ -218,7 +295,7 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
 
         Y, U, V = sharp_rgb_to_yuv420(rgb)
     else:
-        Y, U, V = rgb_to_yuv420(rgb)
+        Y, U, V = rgb_to_yuv420(rgb, dithering=opts.dithering)
     cfg = LossyConfig(
         quality=int(opts.quality),
         method=opts.method,

@@ -196,14 +196,72 @@ def _emit_tokens(bw: LosslessBitWriter, tokens: list, codes: List[HuffmanCode],
             g.write_symbol(bw, NUM_LITERAL_CODES + NUM_LENGTH_CODES + v)
 
 
+def _apply_color_cache(tokens: list, argb: np.ndarray, cache_bits: int) -> list:
+    """Replays a token stream through a color cache, converting literals
+    that hit into cache references (libwebp BackwardRefsWithLocalCache)."""
+    if cache_bits == 0:
+        return tokens
+    shift = 32 - cache_bits
+    cache = [-1] * (1 << cache_bits)
+    out = []
+    pos = 0
+    a = argb
+    for kind, v, d in tokens:
+        if kind == TOK_LITERAL:
+            key = (0x1E35A7BD * v & 0xFFFFFFFF) >> shift
+            if cache[key] == v:
+                out.append((TOK_CACHE, key, 0))
+            else:
+                cache[key] = v
+                out.append((kind, v, d))
+            pos += 1
+        else:  # copy: insert every copied pixel
+            for p in range(pos, pos + v):
+                px = int(a[p])
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+            pos += v
+            out.append((kind, v, d))
+    return out
+
+
+def _histo_cost_bits(hists) -> float:
+    """Shannon-entropy cost estimate of a histogram set (in bits)."""
+    import math
+
+    total_bits = 0.0
+    for h in hists:
+        n = int(h.sum())
+        if n == 0:
+            continue
+        nz = h[h > 0].astype(np.float64)
+        total_bits += float((nz * (np.log2(n) - np.log2(nz))).sum())
+        total_bits += 40 + 5 * (h > 0).sum()  # rough tree transmission cost
+    return total_bits
+
+
 def _encode_entropy_coded_image(bw: LosslessBitWriter, argb: np.ndarray,
                                 xsize: int, quality: int,
                                 is_level0: bool = False) -> None:
     """color-cache bit + (level0: meta-huffman bit) + trees + LZ77 data."""
-    tokens = backward_references(argb, xsize, quality)
-    hists = _histogram(tokens, xsize, 0)
+    base_tokens = backward_references(argb, xsize, quality)
+    # Color-cache search: replay the token stream per candidate size and
+    # keep the entropy-cheapest (encode_backward.go cache-size search analog).
+    best = (None, _histo_cost_bits(_histogram(base_tokens, xsize, 0)),
+            base_tokens, 0)
+    if is_level0 and len(argb) >= 512 and quality >= 25:
+        for cb in (6, 8, 10):
+            toks = _apply_color_cache(base_tokens, argb, cb)
+            cost = _histo_cost_bits(_histogram(toks, xsize, cb))
+            if cost < best[1]:
+                best = (None, cost, toks, cb)
+    _, _, tokens, cache_bits = best
+    hists = _histogram(tokens, xsize, cache_bits)
     codes = [HuffmanCode.from_counts(h) for h in hists]
-    bw.write_bits(0, 1)  # no color cache
+    if cache_bits:
+        bw.write_bits(1, 1)
+        bw.write_bits(cache_bits, 4)
+    else:
+        bw.write_bits(0, 1)
     if is_level0:
         bw.write_bits(0, 1)  # single huffman group (no entropy image)
     for c in codes:
@@ -404,6 +462,10 @@ def encode_vp8l(img: np.ndarray, quality: int = 75, method: int = 4,
                 exact: bool = False, near_lossless: int = 100) -> bytes:
     """Encodes an RGB(A) uint8 array to a VP8L payload."""
     argb = rgba_to_argb(np.asarray(img))
+    if near_lossless < 100:
+        from .near_lossless import apply_near_lossless
+
+        argb = apply_near_lossless(argb, near_lossless)
     has_alpha = bool(((argb >> np.uint32(24)) != 255).any())
     return encode_vp8l_argb(argb, quality=quality, method=method,
                             with_header=True, alpha_hint=has_alpha)
