@@ -224,8 +224,32 @@ class VP8Encoder:
             rate += FIXED_COSTS_I16[mode]
             score = self._rd_score(lam["i16"], rate, disto)
             if best is None or score < best[0]:
-                best = (score, mode, lv, y2_lv, rec)
-        i16_score, i16_mode, i16_lv, i16_y2lv, rec16 = best
+                best = (score, mode, lv, y2_lv, rec, coeffs, pred_b, rec_dcs)
+        (i16_score, i16_mode, i16_lv, i16_y2lv, rec16,
+         i16_coeffs, i16_pred_b, i16_rec_dcs) = best
+
+        # Trellis refinement of the chosen I16 AC blocks (method >= 5).
+        if self.cfg.method >= 5:
+            from .quant import trellis_quantize_block
+
+            tlam = max((  # TLambdaI16 (encode.go:1125)
+                ((y1q.q[0] + 15 * y1q.q[1] + 8) >> 4) ** 2) >> 2, 1)
+            nzg = np.zeros((4, 4), dtype=np.int32)
+            lv_new = i16_lv.copy()
+            dq_new = np.zeros((16, 16), dtype=np.int32)
+            for bi in range(16):
+                by, bx = bi >> 2, bi & 3
+                t_ctx = ((tnz >> bx) & 1) if by == 0 else nzg[by - 1, bx]
+                l_ctx = ((lnz >> by) & 1) if bx == 0 else nzg[by, bx - 1]
+                lvb, dqb = trellis_quantize_block(
+                    i16_coeffs[bi], y1q, 1, 0, t_ctx + l_ctx, proba, tlam)
+                lv_new[bi] = lvb
+                dq_new[bi] = dqb
+                nzg[by, bx] = 1 if (lvb[1:] != 0).any() else 0
+            dq_new[:, 0] = i16_rec_dcs
+            rec16 = np.clip(i16_pred_b + dsp.idct4x4(dq_new.reshape(16, 4, 4)),
+                            0, 255)
+            i16_lv = lv_new
 
         use_i4 = False
         if self.cfg.i4_blocks and self.cfg.method >= 3:
@@ -378,6 +402,16 @@ class VP8Encoder:
                 if best is None or score < best[0]:
                     best = (score, mode, lv, rec, disto, rate)
             _, mode, lv, rec, disto, rate = best
+            if self.cfg.method >= 4:
+                from .quant import trellis_quantize_block
+
+                pred = dsp.pred_luma4(int(mode), top, left, topleft, tr)
+                coeffs = dsp.fdct4x4(sblk, pred).reshape(16)
+                tlam = max((7 * ((y1q.q[0] + 15 * y1q.q[1] + 8) >> 4) ** 2) >> 3, 1)
+                lv_t, dq_t = trellis_quantize_block(
+                    coeffs, y1q, 0, 3, ctx, proba, int(tlam))
+                rec = np.clip(pred + dsp.idct4x4(dq_t.reshape(4, 4)), 0, 255)
+                lv = lv_t
             modes[n] = mode
             levels[n] = lv
             work[1 + r * 4 : 5 + r * 4, 1 + c * 4 : 5 + c * 4] = rec
