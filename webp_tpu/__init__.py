@@ -24,6 +24,7 @@ from .container.riff import Features, FormatType, WebPError
 __version__ = "0.1.0"
 
 __all__ = [
+    "encode_batch",
     "decode",
     "decode_rgba",
     "decode_config",
@@ -65,6 +66,27 @@ def decode(data: bytes) -> np.ndarray:
 def decode_config(data: bytes) -> Features:
     """Parses headers only (dimensions, format, alpha) without pixel decode."""
     return get_features(data)
+
+
+def encode_batch(images, quality: int = 75, **options) -> list:
+    """Encodes a batch of same-sized RGB images in one device launch
+    (lossy, TPU wavefront) — the batched throughput path."""
+    import numpy as np
+
+    from .lossy.device_encode import encode_lossy_batch
+    from .container import riff as r
+
+    rgbs = np.stack([np.asarray(im)[..., :3] for im in images])
+    B, h, w = rgbs.shape[:3]
+    if h % 16 or w % 16:
+        pad = np.zeros((B, (h + 15) // 16 * 16, (w + 15) // 16 * 16, 3), np.uint8)
+        pad[:, :h, :w] = rgbs
+        pad[:, h:, :w] = rgbs[:, h - 1 : h, :]
+        pad[:, :, w:] = pad[:, :, w - 1 : w]
+        rgbs = pad
+    bitstreams = encode_lossy_batch(rgbs, quality=int(quality),
+                                    true_width=w, true_height=h, **options)
+    return [r.assemble_riff([r.Chunk(r.VP8, b)]) for b in bitstreams]
 
 
 def encode(img: np.ndarray, **options) -> bytes:

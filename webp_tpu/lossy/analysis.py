@@ -150,6 +150,21 @@ def plan_segments(Y, U, V, mb_w, mb_h, quality: int, num_segs: int,
 
     plan = SegmentPlan()
     num_segs = max(1, min(4, num_segs))
+    if num_segs == 1 and sns_strength <= 0:
+        # Trivial plan: no segmentation, no SNS modulation -> skip the
+        # analysis pass entirely (device path / method 0).
+        plan.num_segments = 1
+        plan.segment_map = np.zeros(mb_w * mb_h, dtype=np.uint8)
+        plan.quant[:] = [max(0, min(127, int(127.0 * (1.0 - _quality_to_compression(quality)))))] * 4
+        if filter_strength > 0:
+            from . import tables as T
+            from .encode import _filter_strength_from_delta
+
+            qstep = int(T.AC_TABLE[plan.quant[0]]) >> 2
+            base = _filter_strength_from_delta(max(0, min(7, filter_sharpness)), qstep)
+            f = base * (5 * filter_strength) // 256
+            plan.fstrength[:] = [0 if f < 2 else min(f, 63)] * 4
+        return plan
     alphas, global_uv = compute_alphas(Y, U, V, mb_w, mb_h)
 
     if num_segs == 1:

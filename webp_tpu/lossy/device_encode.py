@@ -57,9 +57,11 @@ class DeviceVP8Encoder(VP8Encoder):
         self.uvmode = np.asarray(uvm).reshape(mb_h, mb_w)
         self.skip = np.asarray(skip).reshape(mb_h, mb_w).copy()
         self.is_i4[:] = False
+        return self._finish_bitstream()
 
+    def _finish_bitstream(self) -> bytes:
+        total = self.mb_h * self.mb_w
         self.num_skip = int(self.skip.sum())
-        total = mb_h * mb_w
         self.skip_proba = max(1, min(255, (total - self.num_skip) * 255 // total)) \
             if self.num_skip > 0 else 0
         self.use_skip = self.num_skip > 0
@@ -81,3 +83,53 @@ class DeviceVP8Encoder(VP8Encoder):
         for p in parts:
             out += p
         return bytes(out)
+
+
+def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
+                       filter_strength: int = 60, num_threads: int = 8,
+                       true_width: int = None, true_height: int = None):
+    """Batched device encode: one vmapped wavefront launch over a stack of
+    same-sized images, then parallel host entropy coding (the native C++
+    calls release the GIL). This is the TPU batching superpower the
+    single-image reference cannot express (SURVEY.md §7.9).
+
+    rgbs: uint8 [B, H, W, 3] with H, W multiples of 16 (pre-padded).
+    Returns a list of VP8 bitstreams.
+    """
+    import concurrent.futures
+
+    import jax
+
+    B, H, W, _ = rgbs.shape
+    mb_w, mb_h = W // 16, H // 16
+    fn = _get_fn(mb_w, mb_h, quality)
+    lv, y2, modes, uvm, skip = fn.rgb_batch(rgbs)
+    jax.block_until_ready(lv)
+    lv = np.asarray(lv)
+    y2 = np.asarray(y2)
+    modes = np.asarray(modes)
+    uvm = np.asarray(uvm)
+    skip = np.asarray(skip)
+
+    dummyY = np.zeros((H, W), np.uint8)
+    dummyU = np.zeros((H // 2, W // 2), np.uint8)
+
+    tw = true_width or W
+    th = true_height or H
+
+    def emit(i):
+        enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, tw, th,
+                               LossyConfig(quality=quality,
+                                           partitions=partitions,
+                                           filter_strength=filter_strength))
+        enc.proba = T.COEFFS_PROBA0.copy()
+        enc.levels = lv[i].reshape(mb_h, mb_w, 24, 16)
+        enc.y2_levels = y2[i].reshape(mb_h, mb_w, 16)
+        enc.imodes[..., 0] = modes[i].reshape(mb_h, mb_w)
+        enc.uvmode = uvm[i].reshape(mb_h, mb_w)
+        enc.skip = skip[i].reshape(mb_h, mb_w).copy()
+        enc.is_i4[:] = False
+        return enc._finish_bitstream()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=num_threads) as ex:
+        return list(ex.map(emit, range(B)))

@@ -441,4 +441,5 @@ def wavefront_encode_fn(mb_w: int, mb_h: int, quality: int):
         return out_lv, out_y2, out_modes, out_uv, out_skip
 
     encode.rgb = encode_rgb
+    encode.rgb_batch = jax.jit(jax.vmap(encode_rgb))
     return encode
