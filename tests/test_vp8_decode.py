@@ -62,7 +62,9 @@ def test_not_keyframe_rejected(test_png):
     fr = Parser(data).frames()[0]
     bad = bytearray(fr.bitstream)
     bad[0] |= 1  # set inter-frame bit
-    with pytest.raises(VP8Error):
+    from webp_tpu.container.riff import WebPError
+
+    with pytest.raises(WebPError):
         decode_vp8_rgba(bytes(bad))
 
 

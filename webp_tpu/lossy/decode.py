@@ -543,8 +543,12 @@ class VP8Decoder:
                 seg = int(self.segment[mb_y, mb_x]) & 3
                 i4 = bool(self.is_i4[mb_y, mb_x])
                 fi = fstr[seg][1 if i4 else 0]
-                skip = self.skip[mb_y, mb_x] if self.use_skip_proba else False
-                inner = fi.inner or not skip
+                # The inner-edge filter flag uses "MB actually has non-zero
+                # coefficients" (libwebp: skip = ParseResiduals(...) return),
+                # not just the bitstream skip flag.
+                has_coeffs = bool(self.nonzero_y[mb_y, mb_x]
+                                  | self.nonzero_uv[mb_y, mb_x])
+                inner = fi.inner or has_coeffs
                 limit = fi.limit
                 if limit == 0:
                     continue
@@ -595,6 +599,14 @@ class VP8Decoder:
 
 
 def decode_vp8_yuv(data: bytes):
+    from ..native import api as native
+
+    if native.available():
+        out = native.vp8_decode(data)
+        if out is not None:
+            (Y, U, V), (w, h) = out
+            cw, ch = (w + 1) >> 1, (h + 1) >> 1
+            return Y[:h, :w], U[:ch, :cw], V[:ch, :cw]
     dec = VP8Decoder(data)
     return dec.decode()
 
@@ -603,8 +615,7 @@ def decode_vp8_rgba(data: bytes, alpha_data: Optional[bytes] = None) -> np.ndarr
     """Full VP8 (+optional ALPH) decode to RGBA uint8 [h, w, 4]."""
     from .yuv import yuv_to_rgb_fancy
 
-    dec = VP8Decoder(data)
-    y, u, v = dec.decode()
+    y, u, v = decode_vp8_yuv(data)
     rgb = yuv_to_rgb_fancy(y, u, v)
     h, w = rgb.shape[:2]
     rgba = np.empty((h, w, 4), dtype=np.uint8)

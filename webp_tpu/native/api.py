@@ -125,3 +125,47 @@ def record_stats(levels, y2_levels, is_i4, skip, mb_w, mb_h,
     lib.vp8_record_stats(_ptr(levels), _ptr(y2), _ptr(i4), _ptr(sk),
                          mb_w, mb_h, int(use_skip), _ptr(stats))
     return stats
+
+
+def _setup_dec(lib):
+    if getattr(lib, "_dec_ready", False):
+        return lib
+    lib.vp8_decode.argtypes = [ct.c_void_p, ct.c_long] + [ct.c_void_p] * 6 + \
+        [ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p]
+    lib.vp8_decode.restype = ct.c_int
+    lib._dec_ready = True
+    return lib
+
+
+def vp8_decode(data: bytes):
+    """Native VP8 keyframe decode -> (Y, U, V) mb-padded planes, (w, h).
+    Returns None when the native library is unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8_decode"):
+        return None
+    _setup_dec(lib)
+    from ..lossy import tables as T
+    from ..container.parser import parse_vp8_dimensions
+
+    w, h = parse_vp8_dimensions(data)
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    Y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
+    U = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+    V = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+    dims = np.zeros(4, dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cp = np.ascontiguousarray(T.COEFFS_PROBA0, dtype=np.uint8)
+    up = np.ascontiguousarray(T.COEFFS_UPDATE_PROBA, dtype=np.uint8)
+    dc = np.ascontiguousarray(T.DC_TABLE, dtype=np.int32)
+    ac = np.ascontiguousarray(T.AC_TABLE, dtype=np.int32)
+    bm = np.ascontiguousarray(T.BMODE_PROBA, dtype=np.uint8)
+    tr = np.ascontiguousarray(T.YMODES_INTRA4_TREE, dtype=np.int8)
+    rc = lib.vp8_decode(_ptr(buf), len(data), _ptr(cp), _ptr(up), _ptr(dc),
+                        _ptr(ac), _ptr(bm), _ptr(tr), _ptr(Y), _ptr(U),
+                        _ptr(V), _ptr(dims))
+    if rc != 0:
+        from ..lossy.decode import VP8Error
+
+        raise VP8Error("vp8: native decode failed" if rc == -1
+                       else "vp8: premature EOF in tokens")
+    return (Y, U, V), (w, h)
