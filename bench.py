@@ -1,11 +1,15 @@
 """Benchmark: end-to-end lossy encode throughput at Q75 (the reference's
 headline metric, BASELINE.md: 32.9 Mpx/s on Apple M5 Max).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Uses testdata/test_color.png (1536x1024) when the fast native path is
-available; otherwise measures on a downscaled tile (honest throughput,
-smaller wall-clock) until the native/device hot paths land.
+The headline value is honest end-to-end pipelined throughput on a stream
+of 1536x1024 images: host->device upload, device two-phase encode (mode
+search + closed-loop wavefront), device->host packed-level fetch, and host
+entropy coding, all overlapped. `detail` separates the device-compute
+throughput from the link: in this harness the TPU is reached over a
+tunnel whose bandwidth (~10-30 MB/s aggregate) is ~100x below a real PCIe
+attach, so the end-to-end number is link-bound, not chip-bound.
 """
 
 import json
@@ -18,18 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 from PIL import Image
 
-import webp_tpu
-
 BASELINE_MPX_S = 32.9  # reference lossy encode Q75 (BASELINE.md)
-
-
-def _native_available() -> bool:
-    try:
-        from webp_tpu.native import loader
-
-        return loader.available()
-    except Exception:
-        return False
 
 
 def _device_available() -> bool:
@@ -44,45 +37,76 @@ def _device_available() -> bool:
 def main() -> None:
     src = Image.open("/root/reference/testdata/test_color.png").convert("RGB")
     device = _device_available()
-    native = _native_available()
-    backend = "device" if device else "host"
-    if not device and not native:
-        src = src.resize((384, 256))  # pure-Python fallback: honest but small
+    if not device:
+        # Host-only fallback: honest but small tile.
+        import webp_tpu
+
+        rgb = np.asarray(src.resize((384, 256)))
+        h, w = rgb.shape[:2]
+        data = webp_tpu.encode(rgb, quality=75, method=4)
+        assert len(data) > 0
+        t0 = time.perf_counter()
+        webp_tpu.encode(rgb, quality=75, method=4)
+        value = w * h / 1e6 / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "lossy_encode_q75_mpx_per_s",
+            "value": round(value, 4),
+            "unit": f"Mpx/s ({w}x{h}, q75, host numpy path, no device)",
+            "vs_baseline": round(value / BASELINE_MPX_S, 4),
+        }))
+        return
+
+    import jax
+
+    from webp_tpu.lossy.device_encode import encode_lossy_stream
+    from webp_tpu.ops.fastpath import fast_encode_fn
+
     rgb = np.asarray(src)
     h, w = rgb.shape[:2]
     mpx = w * h / 1e6
+    variants = [rgb, rgb[::-1].copy(), rgb[:, ::-1].copy(),
+                np.rot90(rgb, 2).copy()]
+    imgs = ([v for v in variants]
+            + [np.roll(v, 7, axis=1) for v in variants]) * 4  # 32 distinct-ish
 
-    if device:
-        # Batched device throughput: 8 distinct full-size images per launch.
-        variants = [rgb, rgb[::-1].copy(), rgb[:, ::-1].copy(),
-                    np.rot90(rgb, 2).copy()]
-        rgbs = [v for v in variants] + [np.roll(v, 7, axis=1) for v in variants]
-        out = webp_tpu.encode_batch(rgbs, quality=75)  # warmup/compile
-        assert all(len(o) > 0 for o in out)
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            webp_tpu.encode_batch(rgbs, quality=75)
-            times.append(time.perf_counter() - t0)
-        value = len(rgbs) * mpx / min(times)
-        unit = f"Mpx/s ({w}x{h} x{len(rgbs)} batch, q75, device+native, 1 chip)"
-    else:
-        data = webp_tpu.encode(rgb, quality=75, method=4, backend=backend)
-        assert len(data) > 0
-        runs = 4 if native else 1
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            webp_tpu.encode(rgb, quality=75, method=4, backend=backend)
-            times.append(time.perf_counter() - t0)
-        value = mpx / min(times)
-        unit = f"Mpx/s ({w}x{h}, q75, backend={backend}, 1 chip)"
+    # Warmup / compile.
+    out = encode_lossy_stream(imgs[:8], quality=75, batch=8)
+    assert all(len(o) > 0 for o in out)
+
+    # Device-compute-only throughput (input resident, scalar readback).
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    fn = fast_encode_fn(W // 16, H // 16, 75)
+    pad = np.zeros((8, H, W, 3), np.uint8)
+    pad[:, :h, :w] = np.stack(imgs[:8])
+    dev_in = jax.device_put(pad)
+    _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])  # sync
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])
+    dev_mpx_s = 3 * 8 * mpx / (time.perf_counter() - t0)
+
+    # End-to-end pipelined stream (the honest headline).
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = encode_lossy_stream(imgs, quality=75, batch=8)
+        times.append(time.perf_counter() - t0)
+    assert len(res) == len(imgs) and all(len(o) > 0 for o in res)
+    value = len(imgs) * mpx / min(times)
 
     print(json.dumps({
         "metric": "lossy_encode_q75_mpx_per_s",
         "value": round(value, 4),
-        "unit": unit,
+        "unit": f"Mpx/s ({w}x{h} stream of {len(imgs)}, q75, pipelined "
+                f"end-to-end incl. tunnel transfers, 1 chip)",
         "vs_baseline": round(value / BASELINE_MPX_S, 4),
+        "detail": {
+            "device_compute_mpx_per_s": round(dev_mpx_s, 2),
+            "device_compute_vs_baseline": round(dev_mpx_s / BASELINE_MPX_S, 3),
+            "note": "end-to-end is bound by the dev-harness tunnel "
+                    "(~10-30 MB/s to the chip, ~100x below PCIe); "
+                    "device_compute is the chip-side encode throughput",
+        },
     }))
 
 

@@ -1,14 +1,17 @@
-"""Device-accelerated lossy encode: TPU wavefront compute + native entropy.
+"""Device-accelerated lossy encode: TPU two-phase compute + native entropy.
 
 The split mirrors the reference's Phase A / Phase B pipeline
-(encode_parallel.go:168-246): the TPU runs the wavefront mode decision,
-transforms, quantization and reconstruction (webp_tpu.ops.wavefront); the
-host runs probability optimization and boolean entropy coding (C++ native
-fast path when built).
+(encode_parallel.go:168-246): the TPU runs mode decision, transforms,
+quantization and closed-loop reconstruction (webp_tpu.ops.fastpath — a
+fully-parallel RD search plus a light skew-1 wavefront); the host runs
+probability optimization and boolean entropy coding (C++ native fast path
+when built). Levels cross the link nibble-packed because host<->device
+bandwidth, not chip FLOPs, is the scarce resource.
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 
 import numpy as np
@@ -19,17 +22,56 @@ from .encode import VP8Encoder, LossyConfig
 
 @functools.lru_cache(maxsize=16)
 def _get_fn(mb_w: int, mb_h: int, quality: int):
+    """Exact-parity wavefront (kept for differential tests)."""
     from ..ops.wavefront import wavefront_encode_fn
 
     return wavefront_encode_fn(mb_w, mb_h, quality)
 
 
-class DeviceVP8Encoder(VP8Encoder):
-    """VP8Encoder whose MB loop runs on the device (I16+UV wavefront).
+def _fetch(arrs: dict, pool=None) -> dict:
+    """Device->host fetch, one parallel stream per output array.
 
-    The wavefront currently quantizes with segment-0 parameters and no UV
-    deltas, so the header plan is pinned to a single plain segment
-    (multi-segment device support: later round).
+    The tunnel link caps out per-stream, so concurrent whole-array fetches
+    multiply effective bandwidth. Never slice device arrays here: a slice
+    is a device computation and serializes the link.
+    """
+    own_pool = pool is None
+    ex = pool or concurrent.futures.ThreadPoolExecutor(max_workers=8)
+    try:
+        keys = list(arrs.keys())
+        vals = list(ex.map(np.asarray, (arrs[k] for k in keys)))
+    finally:
+        if own_pool:
+            ex.shutdown(wait=False)
+    return dict(zip(keys, vals))
+
+
+def _finish_one(out_i: dict, mb_w: int, mb_h: int, width: int, height: int,
+                cfg: LossyConfig) -> bytes:
+    """Host tail for one image: unpack levels, entropy-code, frame-assemble."""
+    from ..ops.fastpath import unpack_levels
+
+    n_mb = mb_w * mb_h
+    lv24 = unpack_levels(out_i["packed"], out_i["esc_idx"], out_i["esc_val"],
+                         out_i["esc_cnt"], n_mb)
+    dummyY = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+    dummyU = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, width, height, cfg)
+    enc.proba = T.COEFFS_PROBA0.copy()
+    enc.levels = lv24.astype(np.int32).reshape(mb_h, mb_w, 24, 16)
+    enc.y2_levels = out_i["y2"].astype(np.int32).reshape(mb_h, mb_w, 16)
+    enc.imodes[..., 0] = out_i["modes"].reshape(mb_h, mb_w)
+    enc.uvmode = out_i["uvmodes"].reshape(mb_h, mb_w)
+    enc.skip = out_i["skip"].reshape(mb_h, mb_w).copy()
+    enc.is_i4[:] = False
+    return enc._finish_bitstream()
+
+
+class DeviceVP8Encoder(VP8Encoder):
+    """VP8Encoder whose MB loop runs on the device (two-phase fast path).
+
+    The device path quantizes with segment-0 parameters and no UV deltas,
+    so the header plan is pinned to a single plain segment.
     """
 
     rgb_input = None  # optional uint8 [H, W, 3] (padded); fuses YUV on device
@@ -41,21 +83,29 @@ class DeviceVP8Encoder(VP8Encoder):
         super().__init__(y, u, v, width, height, cfg)
 
     def encode(self) -> bytes:
-        import jax
+        from ..ops.fastpath import fast_encode_fn, unpack_levels
 
-        self.proba = T.COEFFS_PROBA0.copy()
-        fn = _get_fn(self.mb_w, self.mb_h, self.cfg.quality)
+        fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality)
         if self.rgb_input is not None:
-            lv, y2, modes, uvm, skip = fn.rgb(self.rgb_input)
+            out = fn.rgb(self.rgb_input[None])
         else:
-            lv, y2, modes, uvm, skip = fn(self.srcY, self.srcU, self.srcV)
-        jax.block_until_ready(lv)
-        mb_h, mb_w = self.mb_h, self.mb_w
-        self.levels = np.asarray(lv).reshape(mb_h, mb_w, 24, 16)
-        self.y2_levels = np.asarray(y2).reshape(mb_h, mb_w, 16)
-        self.imodes[..., 0] = np.asarray(modes).reshape(mb_h, mb_w)
-        self.uvmode = np.asarray(uvm).reshape(mb_h, mb_w)
-        self.skip = np.asarray(skip).reshape(mb_h, mb_w).copy()
+            out = fn(self.srcY[None], self.srcU[None], self.srcV[None])
+        host = _fetch(out)
+        cnt = int(host["esc_cnt"][0])
+        if cnt > fn.esc_cap:  # pathological content: exact host fallback
+            return VP8Encoder(self.srcY, self.srcU, self.srcV, self.width,
+                              self.height, self.cfg).encode()
+        n_mb = self.mb_h * self.mb_w
+        lv24 = unpack_levels(host["packed"][0], host["esc_idx"][0],
+                             host["esc_val"][0], host["esc_cnt"][0], n_mb)
+        self.proba = T.COEFFS_PROBA0.copy()
+        self.levels = lv24.astype(np.int32).reshape(
+            self.mb_h, self.mb_w, 24, 16)
+        self.y2_levels = host["y2"][0].astype(np.int32).reshape(
+            self.mb_h, self.mb_w, 16)
+        self.imodes[..., 0] = host["modes"][0].reshape(self.mb_h, self.mb_w)
+        self.uvmode = host["uvmodes"][0].reshape(self.mb_h, self.mb_w)
+        self.skip = host["skip"][0].reshape(self.mb_h, self.mb_w).copy()
         self.is_i4[:] = False
         return self._finish_bitstream()
 
@@ -87,49 +137,151 @@ class DeviceVP8Encoder(VP8Encoder):
 
 def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
                        filter_strength: int = 60, num_threads: int = 8,
-                       true_width: int = None, true_height: int = None):
-    """Batched device encode: one vmapped wavefront launch over a stack of
+                       true_width: int = None, true_height: int = None,
+                       device_out=None):
+    """Batched device encode: one vmapped two-phase launch over a stack of
     same-sized images, then parallel host entropy coding (the native C++
     calls release the GIL). This is the TPU batching superpower the
     single-image reference cannot express (SURVEY.md §7.9).
 
     rgbs: uint8 [B, H, W, 3] with H, W multiples of 16 (pre-padded).
+    device_out: optional pre-launched fn.rgb(rgbs) result (for pipelining).
     Returns a list of VP8 bitstreams.
     """
-    import concurrent.futures
-
-    import jax
+    from ..ops.fastpath import fast_encode_fn
 
     B, H, W, _ = rgbs.shape
     mb_w, mb_h = W // 16, H // 16
-    fn = _get_fn(mb_w, mb_h, quality)
-    lv, y2, modes, uvm, skip = fn.rgb_batch(rgbs)
-    jax.block_until_ready(lv)
-    lv = np.asarray(lv)
-    y2 = np.asarray(y2)
-    modes = np.asarray(modes)
-    uvm = np.asarray(uvm)
-    skip = np.asarray(skip)
-
-    dummyY = np.zeros((H, W), np.uint8)
-    dummyU = np.zeros((H // 2, W // 2), np.uint8)
+    fn = fast_encode_fn(mb_w, mb_h, quality)
+    out = device_out if device_out is not None else fn.rgb(rgbs)
 
     tw = true_width or W
     th = true_height or H
-
-    def emit(i):
-        enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, tw, th,
-                               LossyConfig(quality=quality,
-                                           partitions=partitions,
-                                           filter_strength=filter_strength))
-        enc.proba = T.COEFFS_PROBA0.copy()
-        enc.levels = lv[i].reshape(mb_h, mb_w, 24, 16)
-        enc.y2_levels = y2[i].reshape(mb_h, mb_w, 16)
-        enc.imodes[..., 0] = modes[i].reshape(mb_h, mb_w)
-        enc.uvmode = uvm[i].reshape(mb_h, mb_w)
-        enc.skip = skip[i].reshape(mb_h, mb_w).copy()
-        enc.is_i4[:] = False
-        return enc._finish_bitstream()
+    cfg = LossyConfig(quality=quality, partitions=partitions,
+                      filter_strength=filter_strength)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=num_threads) as ex:
+        host = _fetch(out, pool=ex)
+
+        def emit(i):
+            if int(host["esc_cnt"][i]) > fn.esc_cap:
+                from ..encoder import rgb_to_yuv420
+
+                Y, U, V = rgb_to_yuv420(np.asarray(rgbs[i]))
+                return VP8Encoder(Y, U, V, tw, th, cfg).encode()
+            return _finish_one({k: v[i] for k, v in host.items()},
+                               mb_w, mb_h, tw, th, cfg)
+
         return list(ex.map(emit, range(B)))
+
+
+def launch_batch(rgbs, quality: int = 75):
+    """Starts the device compute for a batch without blocking (pipelining)."""
+    from ..ops.fastpath import fast_encode_fn
+
+    B, H, W, _ = rgbs.shape
+    fn = fast_encode_fn(W // 16, H // 16, quality)
+    return fn.rgb(rgbs)
+
+
+def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
+                        partitions: int = 0, filter_strength: int = 60,
+                        num_threads: int = 12, host_yuv: bool = False):
+    """Pipelined high-throughput encode of a stream of same-sized images.
+
+    Three overlapped stages, mirroring the reference's Phase A/B overlap
+    (encode_parallel.go:238-246) but across the host<->device link:
+      upload(i+1)  ||  device compute(i)  ||  fetch+entropy(i-1)
+    Uploads and fetches use one stream per image/array because the link
+    caps out per-stream; color conversion runs fused on device (host numpy
+    YUV is GIL-bound and slower than the upload it saves — host_yuv=True
+    is only for hosts with fast vectorized conversion and a thin link).
+    Device dispatch is async, so the Python loop never blocks on compute —
+    only on the result fetch of the *previous* batch.
+
+    images: list of uint8 [h, w, 3] arrays (same size). Returns VP8
+    bitstream list in order.
+    """
+    import jax
+
+    from ..ops.fastpath import fast_encode_fn
+
+    if not images:
+        return []
+    h, w = images[0].shape[:2]
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    mb_w, mb_h = W // 16, H // 16
+    fn = fast_encode_fn(mb_w, mb_h, quality)
+    cfg = LossyConfig(quality=quality, partitions=partitions,
+                      filter_strength=filter_strength)
+
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=num_threads)
+
+    def prep_one(img):
+        """Pad + (optionally) convert to YUV on host; returns host arrays."""
+        if img.shape[0] != H or img.shape[1] != W:
+            pad = np.empty((H, W, 3), np.uint8)
+            pad[:h, :w] = img[..., :3]
+            if H > h:
+                pad[h:, :w] = img[h - 1:h, :, :3]
+            if W > w:
+                pad[:, w:] = pad[:, w - 1:w]
+            img = pad
+        else:
+            img = img[..., :3]
+        if not host_yuv:
+            return (img,)
+        from ..encoder import rgb_to_yuv420
+
+        return rgb_to_yuv420(img)
+
+    def upload(imgs):
+        """Threaded host prep + one H2D stream per image (or per plane)."""
+        planes = list(ex.map(prep_one, imgs))
+        if host_yuv:
+            stacks = [np.stack(p) for p in zip(*planes)]
+            return list(ex.map(jax.device_put, stacks))
+        return list(ex.map(jax.device_put, (p[0] for p in planes)))
+
+    def launch(devs):
+        import jax.numpy as jnp
+
+        if host_yuv:
+            return fn(*devs)
+        return fn.rgb(jnp.stack(devs))
+
+    chunks = [images[i:i + batch] for i in range(0, len(images), batch)]
+    results = []
+    up = upload(chunks[0])
+    inflight = None  # (device outputs, chunk)
+    for i, c in enumerate(chunks):
+        out = launch(up)
+        if i + 1 < len(chunks):
+            up_fut = ex.submit(upload, chunks[i + 1])
+        else:
+            up_fut = None
+        if inflight is not None:
+            results.extend(_drain(inflight, fn, mb_w, mb_h, w, h, cfg, ex))
+        inflight = (out, c)
+        if up_fut is not None:
+            up = up_fut.result()
+    results.extend(_drain(inflight, fn, mb_w, mb_h, w, h, cfg, ex))
+    ex.shutdown(wait=False)
+    return results
+
+
+def _drain(inflight, fn, mb_w, mb_h, w, h, cfg, ex):
+    """Fetch one batch's device outputs and entropy-code them."""
+    out, chunk = inflight
+    host = _fetch(out, pool=ex)
+
+    def emit(i):
+        if int(host["esc_cnt"][i]) > fn.esc_cap:
+            from ..encoder import rgb_to_yuv420
+
+            Y, U, V = rgb_to_yuv420(np.asarray(chunk[i])[..., :3])
+            return VP8Encoder(Y, U, V, w, h, cfg).encode()
+        return _finish_one({k: v[i] for k, v in host.items()},
+                           mb_w, mb_h, w, h, cfg)
+
+    return list(ex.map(emit, range(len(chunk))))

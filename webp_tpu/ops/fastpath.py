@@ -1,0 +1,496 @@
+"""Fast two-phase device VP8 encoder (the production TPU path).
+
+The exact wavefront kernel (ops/wavefront.py) reproduces the host encoder
+bit-for-bit but pays for it: every one of the ~mbW+2*mbH diagonal steps
+re-runs the full 4-mode RD search, so almost all FLOPs sit on the serial
+critical path. This module splits the work the TPU-native way:
+
+  Phase 1 — mode search, fully parallel. RD-scores all 4 I16 modes and all
+    4 UV modes for every macroblock at once, using *source* pixels as the
+    prediction context (the decoder never sees the encoder's search
+    context, so this only perturbs near-tie mode choices; the reference
+    encoder itself approximates mode search below method 4,
+    encode_analysis.go:1075). One huge batched tensor program: predictions,
+    FDCT/WHT, quantization, reconstruction, distortion and a fused
+    elementwise rate model all map straight onto the VPU/MXU.
+
+  Phase 2 — closed-loop reconstruction, light wavefront. With modes fixed,
+    a lax.scan over anti-diagonals t = x + y (I16 prediction needs no
+    top-right neighbor, so the skew is 1, not the reference's 2-column
+    skew rowSync.waitFor(y-1, x+2)) computes exact levels and reconstructed
+    context. Sources and modes are pre-skewed into [n_steps, mbH, ...]
+    arrays outside the scan, so every step is pure static slices + shifted
+    carries: no gathers, no scatters, ~1/20th of the exact kernel's work.
+
+  The emitted bitstream is fully closed-loop: levels are quantized against
+  predictions built from true reconstructed neighbors, exactly what the
+  decoder reconstructs. Only the *choice* of mode used source context.
+
+Output packing: levels are nibble-packed on device (4 bits/coefficient,
+escape list for |level| > 7) because the host link, not the chip, is the
+scarce resource — 25 blocks * 16 coeffs collapse from 800 B/MB to 200 B/MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lossy import tables as T
+from ..lossy.cost import (
+    ENTROPY_COST,
+    LEVEL_FIXED_COSTS,
+    compute_level_cost_tables,
+)
+from ..lossy.encode import FIXED_COSTS_I16, FIXED_COSTS_UV, quality_to_qindex
+from . import dct
+from .quant import quantize
+
+ZIGZAG = np.asarray(T.ZIGZAG)
+BANDS = np.asarray(T.BANDS[:16])
+
+# Escape-list capacity per image: levels with |v| > 7 (they cannot ride the
+# nibble plane). At practical qualities these are a fraction of a percent of
+# all coefficients (the y2 block, where large levels are common, travels as
+# int16 instead); overflow falls back to the exact single-image path.
+ESC_PER_MB = 6
+
+
+def rd_params(quality: int):
+    """Quantizers + RD lambdas, identical to VP8Encoder.__init__."""
+    from .pipeline import quant_params
+
+    qp = quant_params(quality)
+    q = quality_to_qindex(quality)
+    dc_t, ac_t, ac2_t = T.DC_TABLE, T.AC_TABLE, T.AC_TABLE2
+    clip = lambda v, m: max(0, min(m, v))
+    y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
+    y2dc = max(8, y1dc * 2)
+    q_i4 = (y1dc + 15 * y1ac + 8) >> 4
+    q_i16 = (y2dc + 15 * int(ac2_t[q]) + 8) >> 4
+    q_uv = (int(dc_t[clip(q, 117)]) + 15 * int(ac_t[q]) + 8) >> 4
+    lambdas = {
+        "i16": max(3 * q_i16 * q_i16, 1),
+        "uv": max((3 * q_uv * q_uv) >> 6, 1),
+        "mode": max((1 * q_i4 * q_i4) >> 7, 1),
+    }
+    return qp, lambdas
+
+
+# ---------------------------------------------------------------------------
+# Fused elementwise rate model (phase 1 only; emission rates stay exact on
+# the host). Exact for |level| <= 7 per (band, ctx); piecewise-constant tail
+# above, anchored to LEVEL_FIXED_COSTS — plenty for ranking 4 modes.
+# ---------------------------------------------------------------------------
+
+class RateTables:
+    def __init__(self, proba: np.ndarray):
+        lc = compute_level_cost_tables(proba)          # [4, 8, 3, 68]
+        fl = np.asarray(LEVEL_FIXED_COSTS)
+        ec = np.asarray(ENTROPY_COST)
+        p0 = proba[..., 0].astype(np.int64)
+        self.cost1_p0 = ec[255 - p0]                   # [4, 8, 3]
+        self.cost0_p0 = ec[p0]
+        # comb[pt][ctx][n, v] for v <= 7 (n = zigzag position).
+        self.comb = lc[:, BANDS] + fl[None, None, None, :68]  # [4,16,3,68]
+        # Tail anchors: average increment over v in each bucket vs v=7.
+        base = self.comb[..., 7:8]
+        self.tail = np.stack([
+            (self.comb[..., 8:11].mean(-1) - base[..., 0]),
+            (self.comb[..., 11:19].mean(-1) - base[..., 0]),
+            (self.comb[..., 19:35].mean(-1) - base[..., 0]),
+            (self.comb[..., 35:68].mean(-1) - base[..., 0]),
+        ], axis=-1).astype(np.int32)                   # [4,16,3,4]
+        # EOB table: cost of the "no more coeffs" bit at position n+1.
+        bn = np.asarray(list(T.BANDS[1:16]) + [0])
+        self.eob = self.cost0_p0[:, bn]                # [4, 16, 3]
+
+
+def _sel_ctx(tab_by_ctx, ctx):
+    """tab_by_ctx: [3, ...broadcastable], ctx: int tensor. Fused 3-way select."""
+    return jnp.where(ctx == 0, tab_by_ctx[0],
+                     jnp.where(ctx == 1, tab_by_ctx[1], tab_by_ctx[2]))
+
+
+def approx_block_rate(levels, first, ctx0, pt, rt: RateTables):
+    """Approximate rate of zigzag level blocks [..., 16] -> int32 [...].
+
+    Everything is fused elementwise math (selects over small constant
+    vectors); no gathers, no one-hot matmuls.
+    """
+    v = jnp.abs(levels)
+    idx = jnp.arange(16)
+    nzv = (v != 0) & (idx >= first)
+    has_any = nzv.any(axis=-1)
+    last = 15 - jnp.argmax(nzv[..., ::-1], axis=-1)
+    last = jnp.where(has_any, last, 0)
+
+    prev = jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+    ctx = jnp.minimum(prev, 2)
+    ctx = jnp.where(idx == first, ctx0[..., None], ctx)
+
+    comb = rt.comb[pt]                                  # [16, 3, 68] numpy
+    vc = jnp.minimum(v, 7)
+    # cost(vc) = sum_k (vc==k) * comb[n, ctx, k]: 8 fused multiply-adds.
+    cost = jnp.zeros(v.shape, jnp.int32)
+    for k in range(8):
+        tab = jnp.asarray(comb[:, :, k].T, jnp.int32)   # [3, 16]
+        cost = cost + jnp.where(vc == k, _sel_ctx(tab, ctx), 0)
+    # Tail buckets for v > 7.
+    tails = rt.tail[pt]                                 # [16, 3, 4] numpy
+    for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35), (35, 1 << 30))):
+        tab = jnp.asarray(tails[:, :, b].T, jnp.int32)
+        cost = cost + jnp.where((v >= lo) & (v < hi), _sel_ctx(tab, ctx), 0)
+
+    in_run = (idx >= first) & (idx <= last[..., None])
+    total = jnp.where(in_run, cost, 0).sum(axis=-1)
+
+    b_first = int(T.BANDS[first])
+    extra = jnp.where(ctx0 == 0, int(rt.cost1_p0[pt, b_first, 0]), 0)
+    last_v = jnp.take_along_axis(v, last[..., None], axis=-1)[..., 0]
+    eob_ctx = jnp.where(last_v == 1, 1, 2)
+    eob_tab = jnp.asarray(rt.eob[pt].T, jnp.int32)      # [3, 16]
+    eob_n = _sel_ctx(eob_tab, eob_ctx[..., None] * jnp.ones(16, jnp.int32))
+    eob = jnp.take_along_axis(
+        eob_n, jnp.minimum(last, 15)[..., None], axis=-1)[..., 0]
+    eob = jnp.where(last < 15, eob, 0)
+    empty = _sel_ctx(jnp.asarray(rt.cost0_p0[pt, b_first], jnp.int32), ctx0)
+    return jnp.where(has_any, total + extra + eob, empty)
+
+
+# ---------------------------------------------------------------------------
+# Shared prediction math. All mode builders take [..., S] context rows.
+# ---------------------------------------------------------------------------
+
+def _preds4(size, top, left, tl, has_top, has_left):
+    """[..., size] contexts -> [..., 4, size, size] preds (DC/TM/V/H)."""
+    shift = 5 if size == 16 else 4
+    ht = has_top[..., None]
+    hl = has_left[..., None]
+    top_m = jnp.where(ht, top, 127)
+    left_m = jnp.where(hl, left, 129)
+    tl_m = jnp.where(has_top & has_left, tl,
+                     jnp.where(has_top, 129, 127))
+    sum_t = top_m.sum(axis=-1)
+    sum_l = left_m.sum(axis=-1)
+    dc = jnp.where(
+        has_top & has_left, (sum_t + sum_l + size) >> shift,
+        jnp.where(has_top, (sum_t + (size >> 1)) >> (shift - 1),
+                  jnp.where(has_left, (sum_l + (size >> 1)) >> (shift - 1),
+                            0x80)))
+    shape = dc.shape + (size, size)
+    pred_dc = jnp.broadcast_to(dc[..., None, None], shape)
+    pred_v = jnp.broadcast_to(top_m[..., None, :], shape)
+    pred_h = jnp.broadcast_to(left_m[..., :, None], shape)
+    pred_tm = jnp.clip(
+        left_m[..., :, None] + top_m[..., None, :] - tl_m[..., None, None],
+        0, 255)
+    return jnp.stack([pred_dc, pred_tm, pred_v, pred_h], axis=-3)
+
+
+def _block(x, size):
+    """[..., S, S] -> [..., (S/4)^2, 4, 4] raster 4x4 blocks."""
+    *lead, S, _ = x.shape
+    b = S // 4
+    x = x.reshape(*lead, b, 4, b, 4)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, b * b, 4, 4)
+
+
+def _unblock(x, size):
+    *lead, nb, _, _ = x.shape
+    b = size // 4
+    x = x.reshape(*lead, b, b, 4, 4)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, size, size)
+
+
+def _luma_pipe(src_b, pred_b, qp):
+    """I16 transform pipeline. src/pred: [..., 16, 4, 4] int32.
+
+    Returns (lv [..., 16, 16], y2lv [..., 16], recon [..., 16, 4, 4]).
+    """
+    coeffs = dct.fdct4x4(src_b, pred_b)
+    flat = coeffs.reshape(*coeffs.shape[:-2], 16)
+    lead = flat.shape[:-2]
+    wht = dct.fwht4x4(flat[..., 0].reshape(*lead, 4, 4))
+    y2lv, y2dq = quantize(wht.reshape(*lead, 16), *qp["y2"], ZIGZAG)
+    rec_dc = dct.wht4x4(y2dq.reshape(*lead, 4, 4)).reshape(*lead, 16)
+    lv, dq = quantize(flat, *qp["y1"], ZIGZAG, first=1)
+    dq = dq.at[..., 0].set(rec_dc)
+    recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(coeffs.shape)), 0, 255)
+    return lv, y2lv, recon
+
+
+def _chroma_pipe(src_b, pred_b, qp):
+    """[..., 4, 4, 4] blocks -> (lv [..., 4, 16], recon)."""
+    co = dct.fdct4x4(src_b, pred_b)
+    lv, dq = quantize(co.reshape(*co.shape[:-2], 16), *qp["uv"], ZIGZAG)
+    recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(co.shape)), 0, 255)
+    return lv, recon
+
+
+def _inner_ctx(nzb, edge=1):
+    """Approximate ctx0 per block from within-MB nz; boundary rows/cols
+    assume a nonzero neighbor (edge=1). nzb: [..., b, b] -> [..., b*b]."""
+    *lead, b, _ = nzb.shape
+    e = jnp.full((*lead, 1, b), edge, jnp.int32)
+    top = jnp.concatenate([e, nzb[..., :-1, :]], axis=-2)
+    el = jnp.full((*lead, b, 1), edge, jnp.int32)
+    left = jnp.concatenate([el, nzb[..., :, :-1]], axis=-1)
+    return (top + left).reshape(*lead, b * b)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 — fully parallel mode search with source-pixel context.
+# ---------------------------------------------------------------------------
+
+def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
+    """Y: [H, W] int32 etc. Returns (modes [n_mb] u8, uvmodes [n_mb] u8)."""
+    n_mb = mb_w * mb_h
+
+    def contexts(plane, s):
+        """Source-pixel top/left/corner context per MB for an S-sized grid."""
+        gh, gw = plane.shape[0] // s, plane.shape[1] // s
+        g = plane.reshape(gh, s, gw, s)
+        bottom = g[:, s - 1]                                        # [gh,gw,s]
+        right = g[..., s - 1].transpose(0, 2, 1)                    # [gh,gw,s]
+        pad_r = jnp.zeros((1, gw, s), jnp.int32)
+        top = jnp.concatenate([pad_r, bottom[:-1]], axis=0)
+        pad_c = jnp.zeros((gh, 1, s), jnp.int32)
+        left = jnp.concatenate([pad_c, right[:, :-1]], axis=1)
+        br = g[:, s - 1, :, s - 1]                                  # [gh,gw]
+        tl = jnp.pad(br[:-1, :-1], ((1, 0), (1, 0)))
+        return (top.reshape(-1, s), left.reshape(-1, s), tl.reshape(-1))
+
+    ys = np.repeat(np.arange(mb_h), mb_w)
+    xs = np.tile(np.arange(mb_w), mb_h)
+    has_top = jnp.asarray(ys > 0)
+    has_left = jnp.asarray(xs > 0)
+
+    # --- Luma.
+    topY, leftY, tlY = contexts(Y, 16)
+    src_b = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 16, 16), 16)                      # [n,16,4,4]
+    best_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
+    best_mode = jnp.zeros((n_mb,), jnp.uint8)
+    preds = _preds4(16, topY, leftY, tlY, has_top, has_left)        # [n,4,16,16]
+    for m in range(4):
+        pred_b = _block(preds[:, m], 16)
+        lv, y2lv, recon = _luma_pipe(src_b, pred_b, qp)
+        disto = ((src_b - recon) ** 2).sum(axis=(-3, -2, -1))
+        nzb = (lv[..., 1:] != 0).any(axis=-1).astype(jnp.int32)     # [n,16]
+        ctx0 = _inner_ctx(nzb.reshape(n_mb, 4, 4))
+        rate = approx_block_rate(lv, 1, ctx0, 0, rt).sum(axis=-1)
+        rate = rate + approx_block_rate(
+            y2lv, 0, jnp.ones((n_mb,), jnp.int32), 1, rt)
+        rate = rate + FIXED_COSTS_I16[m]
+        score = (rate.astype(jnp.float32) * float(lambdas["i16"])
+                 + 256.0 * disto.astype(jnp.float32))
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mode = jnp.where(better, np.uint8(m), best_mode)
+
+    # --- Chroma (joint U+V score).
+    topU, leftU, tlU = contexts(U, 8)
+    topV, leftV, tlV = contexts(V, 8)
+    srcU_b = _block(U.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                    .reshape(n_mb, 8, 8), 8)
+    srcV_b = _block(V.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                    .reshape(n_mb, 8, 8), 8)
+    predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
+    predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
+    best_uv_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
+    best_uv = jnp.zeros((n_mb,), jnp.uint8)
+    for m in range(4):
+        rate = jnp.full((n_mb,), FIXED_COSTS_UV[m], jnp.int32)
+        disto = jnp.zeros((n_mb,), jnp.int32)
+        for src, preds_c in ((srcU_b, predsU), (srcV_b, predsV)):
+            lv, recon = _chroma_pipe(src, _block(preds_c[:, m], 8), qp)
+            disto = disto + ((src - recon) ** 2).sum(axis=(-3, -2, -1))
+            nzb = (lv != 0).any(axis=-1).astype(jnp.int32)
+            ctx0 = _inner_ctx(nzb.reshape(n_mb, 2, 2))
+            rate = rate + approx_block_rate(lv, 0, ctx0, 2, rt).sum(axis=-1)
+        score = (rate.astype(jnp.float32) * float(lambdas["uv"])
+                 + 256.0 * disto.astype(jnp.float32))
+        better = score < best_uv_score
+        best_uv_score = jnp.where(better, score, best_uv_score)
+        best_uv = jnp.where(better, np.uint8(m), best_uv)
+
+    return best_mode, best_uv
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — closed-loop reconstruction wavefront (modes fixed, skew 1).
+# ---------------------------------------------------------------------------
+
+def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
+    """Exact levels under true reconstructed context.
+
+    Returns (lv24 [n_mb, 24, 16] i16, y2 [n_mb, 16] i16).
+    """
+    n_mb = mb_w * mb_h
+    n_steps = mb_w + mb_h - 1
+
+    # Static skew maps (numpy): step t, lane y -> MB (x = t - y, y).
+    tt = np.arange(n_steps)[:, None]
+    yy = np.arange(mb_h)[None, :]
+    xx = tt - yy
+    valid_np = (xx >= 0) & (xx < mb_w)
+    mb_np = yy * mb_w + np.clip(xx, 0, mb_w - 1)
+
+    def skew(a):
+        return a[mb_np.reshape(-1)].reshape(n_steps, mb_h, *a.shape[1:])
+
+    src_y = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 16, 16), 16).astype(jnp.int16)
+    src_u = _block(U.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 8, 8), 8).astype(jnp.int16)
+    src_v = _block(V.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 8, 8), 8).astype(jnp.int16)
+    xs = {
+        "y": skew(src_y), "u": skew(src_u), "v": skew(src_v),
+        "m": skew(modes), "uvm": skew(uvmodes),
+        "x": jnp.asarray(xx.clip(0, mb_w - 1), jnp.int32),
+        "valid": jnp.asarray(valid_np),
+    }
+
+    lanes_y = jnp.arange(mb_h)
+
+    def shift1(a):
+        """a[l] <- a[l-1] (lane 0 gets zeros)."""
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+    def sel_mode(preds, mode):
+        """preds: [L, 4, s, s]; mode: [L] -> [L, s, s]."""
+        m = mode.astype(jnp.int32)[:, None, None]
+        return jnp.where(
+            m == 0, preds[:, 0],
+            jnp.where(m == 1, preds[:, 1],
+                      jnp.where(m == 2, preds[:, 2], preds[:, 3])))
+
+    def step(carry, x):
+        (By, Ry, Cy, Cy2, Bu, Ru, Cu, Cu2, Bv, Rv, Cv, Cv2) = carry
+        has_left = x["valid"] & (x["x"] > 0)
+        has_top = x["valid"] & (lanes_y > 0)
+
+        topY, leftY, tlY = shift1(By), Ry, shift1(Cy2)
+        predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
+        predY_b = _block(sel_mode(predsY, x["m"]), 16)
+        lv, y2lv, reconY = _luma_pipe(x["y"].astype(jnp.int32), predY_b, qp)
+
+        topU, leftU, tlU = shift1(Bu), Ru, shift1(Cu2)
+        topV, leftV, tlV = shift1(Bv), Rv, shift1(Cv2)
+        predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
+        predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
+        lvu, reconU = _chroma_pipe(x["u"].astype(jnp.int32),
+                                   _block(sel_mode(predsU, x["uvm"]), 8), qp)
+        lvv, reconV = _chroma_pipe(x["v"].astype(jnp.int32),
+                                   _block(sel_mode(predsV, x["uvm"]), 8), qp)
+
+        rY = _unblock(reconY, 16)
+        rU = _unblock(reconU, 8)
+        rV = _unblock(reconV, 8)
+        new = (rY[:, 15, :], rY[:, :, 15], rY[:, 15, 15], Cy,
+               rU[:, 7, :], rU[:, :, 7], rU[:, 7, 7], Cu,
+               rV[:, 7, :], rV[:, :, 7], rV[:, 7, 7], Cv)
+        lv24 = jnp.concatenate([lv, lvu, lvv], axis=1).astype(jnp.int16)
+        return new, (lv24, y2lv.astype(jnp.int16))
+
+    zero16 = jnp.zeros((mb_h, 16), jnp.int32)
+    zero8 = jnp.zeros((mb_h, 8), jnp.int32)
+    zero1 = jnp.zeros((mb_h,), jnp.int32)
+    carry0 = (zero16, zero16, zero1, zero1,
+              zero8, zero8, zero1, zero1,
+              zero8, zero8, zero1, zero1)
+    _, (lv_sk, y2_sk) = jax.lax.scan(step, carry0, xs)
+
+    # Unskew: out[y * mbW + x] = sk[x + y, y].
+    yo = np.repeat(np.arange(mb_h), mb_w)
+    xo = np.tile(np.arange(mb_w), mb_h)
+    flat_idx = (xo + yo) * mb_h + yo
+    lv24 = lv_sk.reshape(n_steps * mb_h, 24, 16)[flat_idx]
+    y2 = y2_sk.reshape(n_steps * mb_h, 16)[flat_idx]
+    return lv24, y2
+
+
+# ---------------------------------------------------------------------------
+# Device-side nibble packing (D2H is the scarce resource).
+# ---------------------------------------------------------------------------
+
+def _pack_levels(lv24, esc_cap):
+    """lv24: int16 [n_mb, 24, 16] -> (packed u8 [n_mb, 24, 8],
+    esc_idx i32 [K], esc_val i16 [K], esc_cnt i32)."""
+    v = lv24.astype(jnp.int32)
+    small = jnp.clip(v, -7, 7)
+    esc = jnp.abs(v) > 7
+    nib = jnp.where(esc, 0, small + 8).astype(jnp.uint8)     # 0 = escape
+    packed = nib[..., 0::2] | (nib[..., 1::2] << 4)
+    flat = v.reshape(-1)
+    (idx,) = jnp.nonzero(esc.reshape(-1), size=esc_cap, fill_value=0)
+    vals = flat[idx].astype(jnp.int16)
+    cnt = esc.sum().astype(jnp.int32)
+    return packed, idx.astype(jnp.int32), vals, cnt
+
+
+def unpack_levels(packed, esc_idx, esc_val, esc_cnt, n_mb):
+    """Host-side (numpy) inverse of _pack_levels -> int16 [n_mb, 24, 16]."""
+    lo = (packed & 0x0F).astype(np.int16)
+    hi = (packed >> 4).astype(np.int16)
+    nib = np.empty((n_mb, 24, 16), np.int16)
+    nib[..., 0::2] = lo
+    nib[..., 1::2] = hi
+    out = np.where(nib == 0, 0, nib - 8).astype(np.int16)
+    cnt = int(esc_cnt)
+    if cnt:
+        flat = out.reshape(-1)
+        flat[esc_idx[:cnt]] = esc_val[:cnt]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Entry: jitted batched encoder for a fixed geometry.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def fast_encode_fn(mb_w: int, mb_h: int, quality: int):
+    """Batched two-phase device encoder.
+
+    Returns fn with:
+      fn.yuv(Y [B,H,W] u8, U, V) and fn.rgb(rgb [B,H,W,3] u8)
+      -> dict(packed, esc_idx, esc_val, esc_cnt, modes, uvmodes, skip)
+    """
+    qp, lambdas = rd_params(quality)
+    rt = RateTables(np.asarray(T.COEFFS_PROBA0))
+    n_mb = mb_w * mb_h
+    esc_cap = max(4096, ESC_PER_MB * n_mb)
+
+    def encode_one(Y, U, V):
+        Y = Y.astype(jnp.int32)
+        U = U.astype(jnp.int32)
+        V = V.astype(jnp.int32)
+        modes, uvmodes = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h)
+        lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h)
+        packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
+        skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
+        return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
+                "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
+                "uvmodes": uvmodes, "skip": skip}
+
+    yuv_b = jax.jit(jax.vmap(encode_one))
+
+    def rgb_one(rgb):
+        from . import yuv as devyuv
+
+        Y, U, V = devyuv.rgb_to_yuv420(rgb)
+        return encode_one(Y, U, V)
+
+    rgb_b = jax.jit(jax.vmap(rgb_one))
+
+    yuv_b.rgb = rgb_b
+    yuv_b.n_mb = n_mb
+    yuv_b.esc_cap = esc_cap
+    return yuv_b

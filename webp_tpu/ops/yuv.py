@@ -29,9 +29,12 @@ def rgb_to_yuv420(rgb: jnp.ndarray):
     """uint8 [..., H, W, 3] (H, W even) -> (Y [...,H,W], U, V [...,H/2,W/2]).
 
     Matches the host import path: per-pixel luma, gamma-correct 2x2 chroma
-    accumulation. All integer ops; table lookups via gathers.
+    accumulation. The host uses gamma LUTs; per-pixel gathers are slow on
+    TPU, so the device evaluates the same power curves in float32 directly
+    (the tables ARE pure power functions, encoder.py:_init_gamma; the
+    resulting chroma differs from the LUT+interp host path by at most 1,
+    an encoder-side choice invisible to conformance).
     """
-    g2l, l2g = _gamma_tables()
     r = rgb[..., 0].astype(jnp.int32)
     g = rgb[..., 1].astype(jnp.int32)
     b = rgb[..., 2].astype(jnp.int32)
@@ -39,16 +42,14 @@ def rgb_to_yuv420(rgb: jnp.ndarray):
           + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX
     Y = jnp.clip(yy, 0, 255).astype(jnp.uint8)
 
-    lin = g2l[rgb.astype(jnp.int32)]  # [..., H, W, 3]
+    # GammaToLinear: round((v/255)^0.8 * 4095) evaluated in float.
+    xf = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    lin = jnp.floor(jnp.power(xf, 0.80) * 4095.0 + 0.5).astype(jnp.int32)
     acc = (lin[..., 0::2, 0::2, :] + lin[..., 0::2, 1::2, :]
            + lin[..., 1::2, 0::2, :] + lin[..., 1::2, 1::2, :])
-    # LinearToGamma(acc, 0): interpolated lookup -> 4x-scale gamma values.
-    tab_pos = jnp.minimum(acc >> (K_GAMMA_TAB_FIX + 2), K_GAMMA_TAB_SIZE - 1)
-    x = acc & ((K_GAMMA_TAB_SCALE << 2) - 1)
-    v0 = l2g[tab_pos]
-    v1 = l2g[tab_pos + 1]
-    gam = (v1 * x + v0 * ((K_GAMMA_TAB_SCALE << 2) - x)
-           + (K_GAMMA_TAB_SCALE >> 1)) >> K_GAMMA_TAB_FIX
+    # LinearToGamma(acc, 0) -> 4x-scale gamma: 1020 * (acc/16380)^1.25.
+    af = acc.astype(jnp.float32) * (1.0 / (4.0 * 4095.0))
+    gam = jnp.floor(jnp.power(af, 1.25) * 1020.0 + 0.5).astype(jnp.int32)
     rg, gg, bg = gam[..., 0], gam[..., 1], gam[..., 2]
     ru = (K_RGB_TO_U[0] * rg + K_RGB_TO_U[1] * gg + K_RGB_TO_U[2] * bg
           + (YUV_HALF << 2) + (128 << (YUV_FIX + 2))) >> (YUV_FIX + 2)
