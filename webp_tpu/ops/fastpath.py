@@ -52,11 +52,14 @@ from .quant import quantize
 ZIGZAG = np.asarray(T.ZIGZAG)
 BANDS = np.asarray(T.BANDS[:16])
 
-# Escape-list capacity per image: levels with |v| > 7 (they cannot ride the
-# nibble plane). At practical qualities these are a fraction of a percent of
-# all coefficients (the y2 block, where large levels are common, travels as
-# int16 instead); overflow falls back to the exact single-image path.
-ESC_PER_MB = 6
+# Escape capacity per image, in BLOCKS: a block holding any |level| > 7
+# travels as raw int16[16] on the side (the nibble plane cannot carry it).
+# At practical qualities ~5% of blocks escape (the y2 block, where large
+# levels are common, always travels int16); overflow falls back to the
+# exact host path. Block-granular escapes keep the device-side compaction
+# cheap: the nonzero/cumsum runs over n_mb*24 block flags, not n_mb*384
+# coefficients.
+ESC_BLOCKS_PER_MB = 3
 
 
 def rd_params(quality: int):
@@ -208,10 +211,13 @@ def _unblock(x, size):
     return x.reshape(*lead, size, size)
 
 
-def _luma_pipe(src_b, pred_b, qp):
+def _luma_pipe(src_b, pred_b, qp, score_only=False):
     """I16 transform pipeline. src/pred: [..., 16, 4, 4] int32.
 
-    Returns (lv [..., 16, 16], y2lv [..., 16], recon [..., 16, 4, 4]).
+    Returns (lv [..., 16, 16], y2lv [..., 16], recon [..., 16, 4, 4]); with
+    score_only the third element is the transform-domain distortion
+    sum((coeff - dequant)^2) instead (no IDCT/reconstruction) — the VP8
+    FDCT has an L2 gain of 4.0, so callers weight it by 64 instead of 256.
     """
     coeffs = dct.fdct4x4(src_b, pred_b)
     flat = coeffs.reshape(*coeffs.shape[:-2], 16)
@@ -221,14 +227,21 @@ def _luma_pipe(src_b, pred_b, qp):
     rec_dc = dct.wht4x4(y2dq.reshape(*lead, 4, 4)).reshape(*lead, 16)
     lv, dq = quantize(flat, *qp["y1"], ZIGZAG, first=1)
     dq = dq.at[..., 0].set(rec_dc)
+    if score_only:
+        disto_td = ((flat - dq) ** 2).sum(axis=(-2, -1))
+        return lv, y2lv, disto_td
     recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(coeffs.shape)), 0, 255)
     return lv, y2lv, recon
 
 
-def _chroma_pipe(src_b, pred_b, qp):
-    """[..., 4, 4, 4] blocks -> (lv [..., 4, 16], recon)."""
+def _chroma_pipe(src_b, pred_b, qp, score_only=False):
+    """[..., 4, 4, 4] blocks -> (lv [..., 4, 16], recon | disto_td)."""
     co = dct.fdct4x4(src_b, pred_b)
-    lv, dq = quantize(co.reshape(*co.shape[:-2], 16), *qp["uv"], ZIGZAG)
+    flat = co.reshape(*co.shape[:-2], 16)
+    lv, dq = quantize(flat, *qp["uv"], ZIGZAG)
+    if score_only:
+        disto_td = ((flat - dq) ** 2).sum(axis=(-2, -1))
+        return lv, disto_td
     recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(co.shape)), 0, 255)
     return lv, recon
 
@@ -280,8 +293,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
     preds = _preds4(16, topY, leftY, tlY, has_top, has_left)        # [n,4,16,16]
     for m in range(4):
         pred_b = _block(preds[:, m], 16)
-        lv, y2lv, recon = _luma_pipe(src_b, pred_b, qp)
-        disto = ((src_b - recon) ** 2).sum(axis=(-3, -2, -1))
+        lv, y2lv, disto_td = _luma_pipe(src_b, pred_b, qp, score_only=True)
         nzb = (lv[..., 1:] != 0).any(axis=-1).astype(jnp.int32)     # [n,16]
         ctx0 = _inner_ctx(nzb.reshape(n_mb, 4, 4))
         rate = approx_block_rate(lv, 1, ctx0, 0, rt).sum(axis=-1)
@@ -289,7 +301,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
             y2lv, 0, jnp.ones((n_mb,), jnp.int32), 1, rt)
         rate = rate + FIXED_COSTS_I16[m]
         score = (rate.astype(jnp.float32) * float(lambdas["i16"])
-                 + 256.0 * disto.astype(jnp.float32))
+                 + 64.0 * disto_td.astype(jnp.float32))
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
@@ -309,13 +321,14 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
         rate = jnp.full((n_mb,), FIXED_COSTS_UV[m], jnp.int32)
         disto = jnp.zeros((n_mb,), jnp.int32)
         for src, preds_c in ((srcU_b, predsU), (srcV_b, predsV)):
-            lv, recon = _chroma_pipe(src, _block(preds_c[:, m], 8), qp)
-            disto = disto + ((src - recon) ** 2).sum(axis=(-3, -2, -1))
+            lv, disto_td = _chroma_pipe(src, _block(preds_c[:, m], 8), qp,
+                                        score_only=True)
+            disto = disto + disto_td
             nzb = (lv != 0).any(axis=-1).astype(jnp.int32)
             ctx0 = _inner_ctx(nzb.reshape(n_mb, 2, 2))
             rate = rate + approx_block_rate(lv, 0, ctx0, 2, rt).sum(axis=-1)
         score = (rate.astype(jnp.float32) * float(lambdas["uv"])
-                 + 256.0 * disto.astype(jnp.float32))
+                 + 64.0 * disto.astype(jnp.float32))
         better = score < best_uv_score
         best_uv_score = jnp.where(better, score, best_uv_score)
         best_uv = jnp.where(better, np.uint8(m), best_uv)
@@ -423,20 +436,18 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
 
 def _pack_levels(lv24, esc_cap):
     """lv24: int16 [n_mb, 24, 16] -> (packed u8 [n_mb, 24, 8],
-    esc_idx i32 [K], esc_val i16 [K], esc_cnt i32)."""
+    esc_idx i32 [K] block indices, esc_blk i16 [K, 16], esc_cnt i32)."""
     v = lv24.astype(jnp.int32)
-    small = jnp.clip(v, -7, 7)
     esc = jnp.abs(v) > 7
-    nib = jnp.where(esc, 0, small + 8).astype(jnp.uint8)     # 0 = escape
+    nib = jnp.where(esc, 0, jnp.clip(v, -7, 7) + 8).astype(jnp.uint8)
     packed = nib[..., 0::2] | (nib[..., 1::2] << 4)
-    flat = v.reshape(-1)
-    (idx,) = jnp.nonzero(esc.reshape(-1), size=esc_cap, fill_value=0)
-    vals = flat[idx].astype(jnp.int16)
-    cnt = esc.sum().astype(jnp.int32)
-    return packed, idx.astype(jnp.int32), vals, cnt
+    blk = esc.any(axis=-1).reshape(-1)                       # [n_mb*24]
+    (idx,) = jnp.nonzero(blk, size=esc_cap, fill_value=0)
+    blocks = v.reshape(-1, 16)[idx].astype(jnp.int16)
+    return packed, idx.astype(jnp.int32), blocks, blk.sum().astype(jnp.int32)
 
 
-def unpack_levels(packed, esc_idx, esc_val, esc_cnt, n_mb):
+def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):
     """Host-side (numpy) inverse of _pack_levels -> int16 [n_mb, 24, 16]."""
     lo = (packed & 0x0F).astype(np.int16)
     hi = (packed >> 4).astype(np.int16)
@@ -446,8 +457,7 @@ def unpack_levels(packed, esc_idx, esc_val, esc_cnt, n_mb):
     out = np.where(nib == 0, 0, nib - 8).astype(np.int16)
     cnt = int(esc_cnt)
     if cnt:
-        flat = out.reshape(-1)
-        flat[esc_idx[:cnt]] = esc_val[:cnt]
+        out.reshape(-1, 16)[esc_idx[:cnt]] = esc_blk[:cnt]
     return out
 
 
@@ -466,7 +476,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int):
     qp, lambdas = rd_params(quality)
     rt = RateTables(np.asarray(T.COEFFS_PROBA0))
     n_mb = mb_w * mb_h
-    esc_cap = max(4096, ESC_PER_MB * n_mb)
+    esc_cap = max(1024, ESC_BLOCKS_PER_MB * n_mb)
 
     def encode_one(Y, U, V):
         Y = Y.astype(jnp.int32)
