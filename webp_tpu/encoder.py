@@ -127,6 +127,16 @@ def rgb_to_yuv420(rgb: np.ndarray, dithering: float = 0.0):
     """
     h, w = rgb.shape[:2]
     mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    if dithering <= 0.0:
+        # C++ fast path (bit-exact with the numpy math below).
+        try:
+            from .native.api import native_yuv_import
+
+            out = native_yuv_import(rgb)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     rgbi = rgb.astype(np.int64)
     red, green, blue = rgbi[..., 0], rgbi[..., 1], rgbi[..., 2]
     if dithering > 0.0:

@@ -186,18 +186,19 @@ def launch_batch(rgbs, quality: int = 75):
 
 def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
                         partitions: int = 0, filter_strength: int = 60,
-                        num_threads: int = 12, host_yuv: bool = False):
+                        num_threads: int = 12, host_yuv: bool = None):
     """Pipelined high-throughput encode of a stream of same-sized images.
 
     Three overlapped stages, mirroring the reference's Phase A/B overlap
     (encode_parallel.go:238-246) but across the host<->device link:
       upload(i+1)  ||  device compute(i)  ||  fetch+entropy(i-1)
     Uploads and fetches use one stream per image/array because the link
-    caps out per-stream; color conversion runs fused on device (host numpy
-    YUV is GIL-bound and slower than the upload it saves — host_yuv=True
-    is only for hosts with fast vectorized conversion and a thin link).
-    Device dispatch is async, so the Python loop never blocks on compute —
-    only on the result fetch of the *previous* batch.
+    caps out per-stream. Color conversion runs on the host when the native
+    C++ importer is built (bit-exact, ~6 ms/Mpx, halves upload bytes:
+    YUV420 is 1.5 B/px vs RGB's 3); otherwise fused on device (host numpy
+    YUV is GIL-bound and slower than the upload it saves). Device dispatch
+    is async, so the Python loop never blocks on compute — only on the
+    result fetch of the *previous* batch.
 
     images: list of uint8 [h, w, 3] arrays (same size). Returns VP8
     bitstream list in order.
@@ -208,6 +209,11 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
 
     if not images:
         return []
+    if host_yuv is None:
+        from ..native import api as native_api
+
+        host_yuv = (native_api.get() is not None
+                    and hasattr(native_api.get(), "yuv_import"))
     h, w = images[0].shape[:2]
     H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
     mb_w, mb_h = W // 16, H // 16

@@ -33,6 +33,13 @@ def _setup(lib):
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
         ct.c_int, ct.c_int, ct.c_int, ct.c_void_p,
     ]
+    try:
+        lib.yuv_import.argtypes = [
+            ct.c_void_p, ct.c_int, ct.c_int,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ]
+    except AttributeError:  # older prebuilt .so without the symbol
+        pass
     return lib
 
 
@@ -169,3 +176,19 @@ def vp8_decode(data: bytes):
         raise VP8Error("vp8: native decode failed" if rc == -1
                        else "vp8: premature EOF in tokens")
     return (Y, U, V), (w, h)
+
+
+def native_yuv_import(rgb: np.ndarray):
+    """RGB [h, w, 3] u8 -> (Y, U, V) planes padded to MB multiples, exact
+    parity with encoder.rgb_to_yuv420 (dithering=0). None if unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "yuv_import"):
+        return None
+    h, w = rgb.shape[:2]
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    rgb = np.ascontiguousarray(rgb[..., :3], dtype=np.uint8)
+    Y = np.empty((mbh * 16, mbw * 16), dtype=np.uint8)
+    U = np.empty((mbh * 8, mbw * 8), dtype=np.uint8)
+    V = np.empty((mbh * 8, mbw * 8), dtype=np.uint8)
+    lib.yuv_import(_ptr(rgb), h, w, _ptr(Y), _ptr(U), _ptr(V))
+    return Y, U, V
