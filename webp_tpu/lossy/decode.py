@@ -613,13 +613,17 @@ def decode_vp8_yuv(data: bytes):
 
 def decode_vp8_rgba(data: bytes, alpha_data: Optional[bytes] = None) -> np.ndarray:
     """Full VP8 (+optional ALPH) decode to RGBA uint8 [h, w, 4]."""
-    from .yuv import yuv_to_rgb_fancy
+    from ..native import api as native
 
     y, u, v = decode_vp8_yuv(data)
-    rgb = yuv_to_rgb_fancy(y, u, v)
-    h, w = rgb.shape[:2]
-    rgba = np.empty((h, w, 4), dtype=np.uint8)
-    rgba[..., :3] = rgb
+    h, w = y.shape[:2]
+    rgba = native.native_upsample_rgba(y, u, v, 4) if native.available() \
+        else None
+    if rgba is None:
+        from .yuv import yuv_to_rgb_fancy
+
+        rgba = np.empty((h, w, 4), dtype=np.uint8)
+        rgba[..., :3] = yuv_to_rgb_fancy(y, u, v)
     if alpha_data is not None:
         from .alpha import decode_alpha
 

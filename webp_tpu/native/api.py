@@ -192,3 +192,25 @@ def native_yuv_import(rgb: np.ndarray):
     V = np.empty((mbh * 8, mbw * 8), dtype=np.uint8)
     lib.yuv_import(_ptr(rgb), h, w, _ptr(Y), _ptr(U), _ptr(V))
     return Y, U, V
+
+
+def native_upsample_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                         nch: int = 4):
+    """Fancy-upsampled YUV420 -> RGB(A) u8 [h, w, nch]; None if unavailable.
+    Accepts row-strided plane views (e.g. crops of MB-padded planes)."""
+    lib = get()
+    if lib is None or not hasattr(lib, "yuv420_to_rgb_fancy"):
+        return None
+    if not getattr(lib, "_ups_ready", False):
+        lib.yuv420_to_rgb_fancy.argtypes = [
+            ct.c_void_p, ct.c_int, ct.c_void_p, ct.c_void_p, ct.c_int,
+            ct.c_int, ct.c_int, ct.c_void_p, ct.c_int,
+        ]
+        lib._ups_ready = True
+    h, w = y.shape
+    assert u.strides[0] == v.strides[0] and u.strides[1] == 1
+    assert y.strides[1] == 1
+    out = np.empty((h, w, nch), dtype=np.uint8)
+    lib.yuv420_to_rgb_fancy(_ptr(y), y.strides[0], _ptr(u), _ptr(v),
+                            u.strides[0], w, h, _ptr(out), nch)
+    return out
