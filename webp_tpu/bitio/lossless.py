@@ -103,6 +103,41 @@ class LosslessBitWriter:
     def bit_position(self) -> int:
         return len(self.buf) * 8 + self.used
 
+    def append_bits_buffer(self, data: bytes, nbits: int) -> None:
+        """Splices a pre-packed LSB-first bit buffer (e.g. from the native
+        encoder) in one vectorized pass instead of per-symbol write_bits."""
+        if nbits <= 0:
+            return
+        import numpy as np
+
+        while self.used >= 8:  # normalize accumulator to < 8 bits
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.used -= 8
+        s = self.used
+        arr = np.frombuffer(data, dtype=np.uint8)[: (nbits + 7) // 8]
+        total = s + nbits
+        if s == 0:
+            shifted = arr
+        else:
+            a = arr.astype(np.uint16)
+            out = np.empty(len(arr) + 1, dtype=np.uint8)
+            out[0] = (self.acc | (int(a[0]) << s)) & 0xFF
+            carry = (a >> (8 - s)).astype(np.uint8)
+            lo = ((a << s) & 0xFF).astype(np.uint8)
+            out[1:-1] = carry[:-1] | lo[1:]
+            out[-1] = carry[-1]
+            shifted = out
+        full = total // 8
+        self.buf += shifted[:full].tobytes()
+        rem = total % 8
+        if rem:
+            self.acc = int(shifted[full]) & ((1 << rem) - 1)
+            self.used = rem
+        else:
+            self.acc = 0
+            self.used = 0
+
     def finish(self) -> bytes:
         while self.used > 0:
             self.buf.append(self.acc & 0xFF)

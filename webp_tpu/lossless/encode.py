@@ -243,6 +243,16 @@ def _encode_entropy_coded_image(bw: LosslessBitWriter, argb: np.ndarray,
                                 xsize: int, quality: int,
                                 is_level0: bool = False) -> None:
     """color-cache bit + (level0: meta-huffman bit) + trees + LZ77 data."""
+    try:
+        from ..native.api import vp8l_encode_entropy_image
+
+        native = vp8l_encode_entropy_image(argb, xsize, quality, is_level0)
+    except Exception:
+        native = None
+    if native is not None:
+        buf, nbits = native
+        bw.append_bits_buffer(buf, nbits)
+        return
     base_tokens = backward_references(argb, xsize, quality)
     # Color-cache search: replay the token stream per candidate size and
     # keep the entropy-cheapest (encode_backward.go cache-size search analog).
@@ -370,31 +380,50 @@ def _clamp_add_sub_half_vec(l, t, tl):
     return out
 
 
+_COST_LUT = np.minimum(np.arange(256), 256 - np.arange(256)).astype(np.uint16)
+_COST_LUT[0] = 0
+
+
 def predictor_transform(img: np.ndarray, bits: int, quality: int):
     """Chooses per-tile predictors (entropy proxy: sum of |residual byte|
-    distances from 0/256 wraparound) and returns (residuals, tile_image)."""
+    distances from 0/256 wraparound) and returns (residuals, tile_image).
+
+    Fully vectorized: per-tile cost reduction via a padded reshape and
+    residual selection via take_along_axis (no per-tile Python loop)."""
     h, w = img.shape
     tx, ty = sub_sample_size(w, bits), sub_sample_size(h, bits)
-    preds = [_predict_all(img, m) for m in range(14)]
-    residuals = [_sub_pixels(img, p) for p in preds]
-    # Cost proxy per pixel: sum over channels of min(v, 256-v).
-    costs = []
-    for res in residuals:
-        b = res.view(np.uint8).reshape(h, w, 4).astype(np.int32)
-        costs.append(np.minimum(b, 256 - b).sum(axis=2))
-    costs = np.stack(costs, axis=0)  # [14, h, w]
+    try:
+        from ..native.api import vp8l_predictor_transform
 
-    tile_modes = np.zeros((ty, tx), dtype=np.int32)
-    out = np.zeros_like(img)
+        native = vp8l_predictor_transform(img, bits)
+    except Exception:
+        native = None
+    if native is not None:
+        out, tile_modes = native
+        tile_img = (np.uint32(0xFF000000)
+                    | (tile_modes.astype(np.uint32) << np.uint32(8))).reshape(-1)
+        return out, tile_img
     tile = 1 << bits
-    for tyi in range(ty):
-        for txi in range(tx):
-            ys, xs = tyi * tile, txi * tile
-            ye, xe = min(ys + tile, h), min(xs + tile, w)
-            csum = costs[:, ys:ye, xs:xe].reshape(14, -1).sum(axis=1)
-            mode = int(np.argmin(csum))
-            tile_modes[tyi, txi] = mode
-            out[ys:ye, xs:xe] = residuals[mode][ys:ye, xs:xe]
+    hp, wp = ty * tile, tx * tile
+    residuals = np.empty((14, h, w), dtype=np.uint32)
+    cost_tiles = np.empty((14, ty, tx), dtype=np.int64)
+    pad = np.zeros((hp, wp), dtype=np.uint16)
+    for m in range(14):
+        res = _sub_pixels(img, _predict_all(img, m))
+        residuals[m] = res
+        b = res.view(np.uint8).reshape(h, w, 4)
+        c = _COST_LUT[b].sum(axis=2, dtype=np.uint16)  # <= 4*128
+        pad[:h, :w] = c
+        if wp > w:
+            pad[:h, w:] = 0
+        if hp > h:
+            pad[h:] = 0
+        cost_tiles[m] = pad.reshape(ty, tile, tx, tile).sum(
+            axis=(1, 3), dtype=np.int64)
+    tile_modes = cost_tiles.argmin(axis=0).astype(np.int32)  # [ty, tx]
+    mode_map = np.repeat(np.repeat(tile_modes, tile, 0), tile, 1)[:h, :w]
+    out = np.take_along_axis(
+        residuals, mode_map[None].astype(np.intp), axis=0)[0]
     # Edge rules: row 0 uses L (except pixel 0: black), col 0 uses T.
     out[0, 0] = _sub_pixels(img[0:1, 0:1], np.uint32(0xFF000000))[0, 0]
     if w > 1:

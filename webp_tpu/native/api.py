@@ -214,3 +214,49 @@ def native_upsample_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     lib.yuv420_to_rgb_fancy(_ptr(y), y.strides[0], _ptr(u), _ptr(v),
                             u.strides[0], w, h, _ptr(out), nch)
     return out
+
+
+def vp8l_encode_entropy_image(argb: np.ndarray, xsize: int, quality: int,
+                              is_level0: bool):
+    """Native entropy-coded-image emit -> (bytes, nbits); None if absent."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8l_encode_entropy_image"):
+        return None
+    if not getattr(lib, "_vp8l_enc_ready", False):
+        lib.vp8l_encode_entropy_image.argtypes = [
+            ct.c_void_p, ct.c_long, ct.c_int, ct.c_int, ct.c_int,
+            ct.c_void_p, ct.c_long,
+        ]
+        lib.vp8l_encode_entropy_image.restype = ct.c_long
+        lib._vp8l_enc_ready = True
+    a = np.ascontiguousarray(argb, dtype=np.uint32)
+    cap = a.size * 6 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    bits = lib.vp8l_encode_entropy_image(_ptr(a), a.size, xsize,
+                                         int(quality), int(is_level0),
+                                         _ptr(out), cap)
+    if bits < 0:
+        return None
+    return out[: (bits + 7) // 8].tobytes(), int(bits)
+
+
+def vp8l_predictor_transform(img: np.ndarray, bits: int):
+    """Per-tile best-of-14 predictor residuals -> (out u32 [h,w],
+    tile_modes i32 [ty,tx]); None if unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8l_predictor_transform"):
+        return None
+    if not getattr(lib, "_vp8l_pred_ready", False):
+        lib.vp8l_predictor_transform.argtypes = [
+            ct.c_void_p, ct.c_long, ct.c_long, ct.c_int,
+            ct.c_void_p, ct.c_void_p,
+        ]
+        lib._vp8l_pred_ready = True
+    h, w = img.shape
+    img = np.ascontiguousarray(img, dtype=np.uint32)
+    tile = 1 << bits
+    ty, tx = (h + tile - 1) >> bits, (w + tile - 1) >> bits
+    out = np.empty((h, w), dtype=np.uint32)
+    modes = np.empty((ty, tx), dtype=np.int32)
+    lib.vp8l_predictor_transform(_ptr(img), h, w, bits, _ptr(out), _ptr(modes))
+    return out, modes

@@ -1,0 +1,674 @@
+// Native VP8L entropy-image encoder core.
+//
+// Implements the bit-serial half of the lossless encoder — hash-chain
+// greedy LZ77 with the row-above candidate, color-cache replay and
+// entropy-based cache-size search, histograms, length-limited (15)
+// canonical Huffman code construction, tree serialization (simple and
+// RLE-coded forms), and token emission — matching the semantics of
+// webp_tpu/lossless/{encode,huffman_enc}.py (reference:
+// internal/lossless/{encode_backward.go,encode_huffman.go,encode.go}).
+//
+// The Python layer keeps the array-parallel work (transforms, palette,
+// analysis) and splices the returned bit buffer into its stream.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <thread>
+#include <vector>
+
+using std::size_t;
+
+namespace {
+
+constexpr int kNumLiteral = 256;
+constexpr int kNumLength = 24;
+constexpr int kNumDistance = 40;
+constexpr int kCodeLengthCodes = 19;
+constexpr int kMaxCodeLength = 15;
+constexpr long kWindowSize = (1 << 20) - 120;
+constexpr long kMaxLength = 4096;
+constexpr int kHashBits = 18;
+constexpr long kHashSize = 1L << kHashBits;
+const uint8_t kClcOrder[kCodeLengthCodes] = {17, 18, 0, 1, 2,  3,  4,  5, 16,
+                                             6,  7,  8, 9, 10, 11, 12, 13, 14,
+                                             15};
+// (dx, dy) pairs for the 2D distance plane codes (decode.py CODE_TO_PLANE).
+const int8_t kPlane[120][2] = {
+    {0, 1},  {1, 0},  {1, 1},  {-1, 1}, {0, 2},  {2, 0},  {1, 2},  {-1, 2},
+    {2, 1},  {-2, 1}, {2, 2},  {-2, 2}, {0, 3},  {3, 0},  {1, 3},  {-1, 3},
+    {3, 1},  {-3, 1}, {2, 3},  {-2, 3}, {3, 2},  {-3, 2}, {0, 4},  {4, 0},
+    {1, 4},  {-1, 4}, {4, 1},  {-4, 1}, {3, 3},  {-3, 3}, {2, 4},  {-2, 4},
+    {4, 2},  {-4, 2}, {0, 5},  {3, 4},  {-3, 4}, {4, 3},  {-4, 3}, {5, 0},
+    {1, 5},  {-1, 5}, {5, 1},  {-5, 1}, {2, 5},  {-2, 5}, {5, 2},  {-5, 2},
+    {4, 4},  {-4, 4}, {3, 5},  {-3, 5}, {5, 3},  {-5, 3}, {0, 6},  {6, 0},
+    {1, 6},  {-1, 6}, {6, 1},  {-6, 1}, {2, 6},  {-2, 6}, {6, 2},  {-6, 2},
+    {4, 5},  {-4, 5}, {5, 4},  {-5, 4}, {3, 6},  {-3, 6}, {6, 3},  {-6, 3},
+    {0, 7},  {7, 0},  {1, 7},  {-1, 7}, {5, 5},  {-5, 5}, {7, 1},  {-7, 1},
+    {4, 6},  {-4, 6}, {6, 4},  {-6, 4}, {2, 7},  {-2, 7}, {7, 2},  {-7, 2},
+    {3, 7},  {-3, 7}, {7, 3},  {-7, 3}, {5, 6},  {-5, 6}, {6, 5},  {-6, 5},
+    {8, 0},  {4, 7},  {-4, 7}, {7, 4},  {-7, 4}, {8, 1},  {8, 2},  {6, 6},
+    {-6, 6}, {8, 3},  {5, 7},  {-5, 7}, {7, 5},  {-7, 5}, {8, 4},  {6, 7},
+    {-6, 7}, {7, 6},  {-7, 6}, {8, 5},  {7, 7},  {-7, 7}, {8, 6},  {8, 7}};
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int used = 0;
+  void Put(uint32_t value, int n) {
+    if (!n) return;
+    acc |= (uint64_t)(value & ((1u << n) - 1)) << used;
+    used += n;
+    while (used >= 8) {
+      buf.push_back((uint8_t)(acc & 0xFF));
+      acc >>= 8;
+      used -= 8;
+    }
+  }
+  long BitPos() const { return (long)buf.size() * 8 + used; }
+  void FinishByte() {
+    if (used > 0) {
+      buf.push_back((uint8_t)(acc & 0xFF));
+      acc = 0;
+      used = 0;
+    }
+  }
+};
+
+struct Token {
+  uint8_t kind;  // 0 literal, 1 copy, 2 cache
+  uint32_t v;    // argb / length / cache index
+  uint32_t d;    // distance (copy)
+};
+
+inline void PrefixEncode(uint32_t value, int* code, int* nbits,
+                         uint32_t* extra) {
+  uint32_t x = value - 1;
+  if (x < 4) {
+    *code = (int)x;
+    *nbits = 0;
+    *extra = 0;
+    return;
+  }
+  int h = 31 - __builtin_clz(x);
+  int b = (x >> (h - 1)) & 1;
+  *code = 2 * h + b;
+  *nbits = h - 1;
+  *extra = x & ((1u << (h - 1)) - 1);
+}
+
+// ---------------------------------------------------------------------------
+// LZ77 (greedy hash chain + explicit row-above candidate); parity with
+// encode.py backward_references.
+// ---------------------------------------------------------------------------
+
+inline long Hash2(const uint32_t* a, long i) {
+  uint64_t key = ((uint64_t)a[i + 1] << 32) | a[i];
+  key *= 0x9E3779B185EBCA87ULL;
+  return (long)(key >> (64 - kHashBits));
+}
+
+inline long MatchLen(const uint32_t* p, const uint32_t* q, long limit) {
+  long len = 0;
+  while (len + 2 <= limit) {  // two pixels per 64-bit compare
+    uint64_t a, b;
+    std::memcpy(&a, p + len, 8);
+    std::memcpy(&b, q + len, 8);
+    if (a != b) return ((uint32_t)a == (uint32_t)b) ? len + 1 : len;
+    len += 2;
+  }
+  if (len < limit && p[len] == q[len]) ++len;
+  return len;
+}
+
+// Greedy scan of [start, end): hash entries are seeded (search-free) from
+// [seed_start, start) so matches can reach back across the chunk boundary.
+void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
+                             long start, long end, int xsize, int quality,
+                             std::vector<Token>* out) {
+  out->clear();
+  if (end <= start) return;
+  out->reserve((size_t)(end - start) / 2);
+  const int max_chain = quality < 25 ? 8 : (quality < 50 ? 32
+                                            : (quality < 75 ? 64 : 32));
+  std::vector<int64_t> head((size_t)kHashSize, -1);
+  std::vector<int64_t> prev((size_t)n, -1);
+  for (long p = seed_start; p < start && p + 1 < n; ++p) {
+    long h = Hash2(a, p);
+    prev[(size_t)p] = head[(size_t)h];
+    head[(size_t)h] = p;
+  }
+  long pos = start;
+  const long n_cap = end;  // tokens must not spill into the next chunk
+  while (pos < n_cap) {
+    long best_len = 0, best_dist = 0;
+    if (pos + 1 < n) {
+      long h = Hash2(a, pos);
+      long cand = head[(size_t)h];
+      int chain = 0;
+      const long min_pos = pos > kWindowSize ? pos - kWindowSize : 0;
+      const long limit = std::min(n_cap - pos, kMaxLength);
+      while (cand >= min_pos && chain < max_chain) {
+        if (best_len >= limit) break;
+        if (best_len == 0 ||
+            (pos + best_len < n && a[cand + best_len] == a[pos + best_len])) {
+          const long length = MatchLen(a + cand, a + pos, limit);
+          if (length > best_len) {
+            best_len = length;
+            best_dist = pos - cand;
+          }
+        }
+        cand = prev[(size_t)cand];
+        ++chain;
+      }
+      if (pos >= xsize) {
+        const long cand2 = pos - xsize;
+        const long limit2 = std::min(n_cap - pos, kMaxLength);
+        const long length = MatchLen(a + cand2, a + pos, limit2);
+        // Prefer the row-above copy on length ties (encode.py:123-128).
+        if (length >= 1 &&
+            (length > best_len ||
+             (length == best_len && xsize < best_dist))) {
+          best_len = length;
+          best_dist = xsize;
+        }
+      }
+    }
+    if (best_len >= 3) {
+      out->push_back({1, (uint32_t)best_len, (uint32_t)best_dist});
+      const long ins_end = std::min(pos + best_len, n - 1);
+      for (long p = pos; p < ins_end; ++p) {
+        long h = Hash2(a, p);
+        prev[(size_t)p] = head[(size_t)h];
+        head[(size_t)h] = p;
+      }
+      pos += best_len;
+    } else {
+      out->push_back({0, a[pos], 0});
+      if (pos + 1 < n) {
+        long h = Hash2(a, pos);
+        prev[(size_t)pos] = head[(size_t)h];
+        head[(size_t)h] = pos;
+      }
+      ++pos;
+    }
+  }
+}
+
+// Parallel chunked LZ77 (reference P5, hashchain.go:322-388): row-aligned
+// chunks scanned concurrently, each seeding its hash table from up to
+// kSeedRows rows of lookback so near matches cross chunk starts.
+void BackwardReferences(const uint32_t* a, long n, int xsize, int quality,
+                        std::vector<Token>* out) {
+  out->clear();
+  if (n <= 0) return;
+  const long rows = xsize > 0 ? (n + xsize - 1) / xsize : 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  long nthreads = hw ? (hw > 8 ? 8 : hw) : 4;
+  const long min_chunk = 64 * 1024;
+  if (nthreads > (n + min_chunk - 1) / min_chunk)
+    nthreads = (n + min_chunk - 1) / min_chunk;
+  if (nthreads <= 1 || rows < 2 * nthreads) {
+    BackwardReferencesRange(a, n, 0, 0, n, xsize, quality, out);
+    return;
+  }
+  const long kSeedRows = 32;
+  const long rows_per = (rows + nthreads - 1) / nthreads;
+  std::vector<std::vector<Token>> parts((size_t)nthreads);
+  std::vector<std::thread> threads;
+  for (long t = 0; t < nthreads; ++t) {
+    const long start = std::min(t * rows_per * xsize, n);
+    const long end = std::min((t + 1) * rows_per * xsize, n);
+    const long seed = std::max(0L, start - kSeedRows * xsize);
+    threads.emplace_back([&, t, start, end, seed]() {
+      BackwardReferencesRange(a, n, seed, start, end, xsize, quality,
+                              &parts[(size_t)t]);
+    });
+  }
+  size_t total = 0;
+  for (auto& th : threads) th.join();
+  for (const auto& p : parts) total += p.size();
+  out->reserve(total);
+  for (const auto& p : parts) out->insert(out->end(), p.begin(), p.end());
+}
+
+// ---------------------------------------------------------------------------
+// Color cache replay (encode.py _apply_color_cache).
+// ---------------------------------------------------------------------------
+
+void ApplyColorCache(const std::vector<Token>& in, const uint32_t* a,
+                     int cache_bits, std::vector<Token>* out) {
+  out->clear();
+  out->reserve(in.size());
+  const int shift = 32 - cache_bits;
+  std::vector<int64_t> cache((size_t)1 << cache_bits, -1);
+  long pos = 0;
+  for (const Token& t : in) {
+    if (t.kind == 0) {
+      uint32_t key = (uint32_t)(0x1E35A7BDu * t.v) >> shift;
+      if (cache[key] == (int64_t)t.v) {
+        out->push_back({2, key, 0});
+      } else {
+        cache[key] = t.v;
+        out->push_back(t);
+      }
+      ++pos;
+    } else {
+      for (long p = pos; p < pos + (long)t.v; ++p) {
+        uint32_t px = a[p];
+        cache[(uint32_t)(0x1E35A7BDu * px) >> shift] = px;
+      }
+      pos += t.v;
+      out->push_back(t);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Histograms + entropy cost (encode.py _histogram/_histo_cost_bits).
+// ---------------------------------------------------------------------------
+
+struct Histos {
+  std::vector<int64_t> h[5];  // green, red, blue, alpha, dist
+  void Init(int cache_bits) {
+    h[0].assign(kNumLiteral + kNumLength + (cache_bits ? 1L << cache_bits : 0),
+                0);
+    h[1].assign(256, 0);
+    h[2].assign(256, 0);
+    h[3].assign(256, 0);
+    h[4].assign(kNumDistance, 0);
+  }
+};
+
+struct PlaneMap {
+  // dist -> plane code (or dist + 120), dense for |dy| <= 8 window.
+  std::vector<int32_t> map;  // index: dist (1..8*xsize+8); value or -1
+  int xsize;
+  void Init(int xs) {
+    xsize = xs;
+    map.assign((size_t)(8 * (long)xs + 10), -1);
+    for (int i = 0; i < 120; ++i) {
+      long d = (long)kPlane[i][1] * xs + kPlane[i][0];
+      if (d >= 1 && d < (long)map.size() && map[(size_t)d] < 0)
+        map[(size_t)d] = i + 1;
+    }
+  }
+  uint32_t Code(uint32_t dist) const {
+    if (dist < map.size() && map[dist] >= 0) return (uint32_t)map[dist];
+    return dist + 120;
+  }
+};
+
+void BuildHistogram(const std::vector<Token>& toks, const PlaneMap& pm,
+                    int cache_bits, Histos* hs) {
+  hs->Init(cache_bits);
+  int code, nbits;
+  uint32_t extra;
+  for (const Token& t : toks) {
+    if (t.kind == 0) {
+      hs->h[0][(t.v >> 8) & 0xFF]++;
+      hs->h[1][(t.v >> 16) & 0xFF]++;
+      hs->h[2][t.v & 0xFF]++;
+      hs->h[3][(t.v >> 24) & 0xFF]++;
+    } else if (t.kind == 1) {
+      PrefixEncode(t.v, &code, &nbits, &extra);
+      hs->h[0][kNumLiteral + code]++;
+      PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
+      hs->h[4][code]++;
+    } else {
+      hs->h[0][kNumLiteral + kNumLength + t.v]++;
+    }
+  }
+}
+
+double HistoCostBits(const Histos& hs) {
+  double total = 0;
+  for (int i = 0; i < 5; ++i) {
+    int64_t n = 0;
+    for (int64_t c : hs.h[i]) n += c;
+    if (!n) continue;
+    const double log2n = std::log2((double)n);
+    long nnz = 0;
+    for (int64_t c : hs.h[i])
+      if (c > 0) {
+        total += (double)c * (log2n - std::log2((double)c));
+        ++nnz;
+      }
+    total += 40 + 5.0 * nnz;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman code construction (huffman_enc.py parity, incl. tie-breaking).
+// ---------------------------------------------------------------------------
+
+void TreeDepths(const std::vector<int64_t>& counts, std::vector<int>* depths) {
+  const int n = (int)counts.size();
+  depths->assign(n, 0);
+  struct Node {
+    int64_t count;
+    int id;       // symbol index or internal seq (>= n)
+    int node;     // -1 for leaf, else internal node index
+  };
+  auto cmp = [](const Node& a, const Node& b) {
+    if (a.count != b.count) return a.count > b.count;  // min-heap
+    return a.id > b.id;
+  };
+  std::priority_queue<Node, std::vector<Node>, decltype(cmp)> heap(cmp);
+  int live = 0;
+  int last_sym = 0;
+  for (int s = 0; s < n; ++s)
+    if (counts[s] > 0) {
+      heap.push({counts[s], s, -1});
+      ++live;
+      last_sym = s;
+    }
+  if (!live) return;
+  if (live == 1) {
+    (*depths)[last_sym] = 1;
+    return;
+  }
+  // children[k] = two (id, node) pairs.
+  std::vector<std::array<int, 4>> kids;
+  int seq = n;
+  while (heap.size() > 1) {
+    Node a = heap.top();
+    heap.pop();
+    Node b = heap.top();
+    heap.pop();
+    kids.push_back({a.id, a.node, b.id, b.node});
+    heap.push({a.count + b.count, seq, (int)kids.size() - 1});
+    ++seq;
+  }
+  Node root = heap.top();
+  // Iterative walk.
+  struct Item {
+    int id, node, depth;
+  };
+  std::vector<Item> stack;
+  stack.push_back({root.id, root.node, 0});
+  while (!stack.empty()) {
+    Item it = stack.back();
+    stack.pop_back();
+    if (it.node < 0) {
+      (*depths)[it.id] = std::max(1, it.depth);
+    } else {
+      const auto& k = kids[(size_t)it.node];
+      stack.push_back({k[0], k[1], it.depth + 1});
+      stack.push_back({k[2], k[3], it.depth + 1});
+    }
+  }
+}
+
+void BuildCodeLengths(const std::vector<int64_t>& counts, int limit,
+                      std::vector<int>* depths) {
+  int64_t count_min = 1;
+  for (;;) {
+    std::vector<int64_t> adj(counts.size());
+    for (size_t i = 0; i < counts.size(); ++i)
+      adj[i] = counts[i] == 0 ? 0 : std::max(counts[i], count_min);
+    TreeDepths(adj, depths);
+    int mx = 0;
+    for (int d : *depths) mx = std::max(mx, d);
+    if (mx <= limit) return;
+    count_min *= 2;
+  }
+}
+
+void CanonicalCodes(const std::vector<int>& lengths,
+                    std::vector<uint32_t>* codes) {
+  int max_len = 0;
+  for (int l : lengths) max_len = std::max(max_len, l);
+  codes->assign(lengths.size(), 0);
+  if (!max_len) return;
+  std::vector<int> counts((size_t)max_len + 1, 0);
+  for (int l : lengths) counts[(size_t)l]++;
+  counts[0] = 0;
+  std::vector<uint32_t> next((size_t)max_len + 1, 0);
+  uint32_t code = 0;
+  for (int l = 1; l <= max_len; ++l) {
+    code = (code + (uint32_t)counts[(size_t)l - 1]) << 1;
+    next[(size_t)l] = code;
+  }
+  for (size_t s = 0; s < lengths.size(); ++s) {
+    int l = lengths[s];
+    if (!l) continue;
+    uint32_t c = next[(size_t)l]++;
+    uint32_t rc = 0;
+    for (int i = 0; i < l; ++i) {
+      rc = (rc << 1) | (c & 1);
+      c >>= 1;
+    }
+    (*codes)[s] = rc;
+  }
+}
+
+struct HuffCode {
+  std::vector<int> desc;       // described lengths
+  std::vector<int> lengths;    // emission lengths (0s if 1-symbol tree)
+  std::vector<uint32_t> codes;
+  void FromCounts(std::vector<int64_t> counts) {
+    bool any = false;
+    for (int64_t c : counts) any |= (c != 0);
+    if (!any) counts[0] = 1;
+    BuildCodeLengths(counts, kMaxCodeLength, &desc);
+    lengths = desc;
+    int nnz = 0;
+    for (int l : desc) nnz += (l > 0);
+    if (nnz == 1) std::fill(lengths.begin(), lengths.end(), 0);
+    CanonicalCodes(lengths, &codes);
+  }
+  inline void Write(BitWriter* bw, int sym) const {
+    bw->Put(codes[(size_t)sym], lengths[(size_t)sym]);
+  }
+};
+
+// Tree serialization (huffman_enc.py write_huffman_code + _rle_tokens).
+void WriteHuffmanCode(BitWriter* bw, const std::vector<int>& lengths) {
+  std::vector<int> nonzero;
+  for (size_t s = 0; s < lengths.size(); ++s)
+    if (lengths[s] > 0) nonzero.push_back((int)s);
+  if (nonzero.size() >= 1 && nonzero.size() <= 2 &&
+      nonzero.back() <= 255) {
+    bw->Put(1, 1);
+    bw->Put((uint32_t)nonzero.size() - 1, 1);
+    if (nonzero[0] <= 1) {
+      bw->Put(0, 1);
+      bw->Put((uint32_t)nonzero[0], 1);
+    } else {
+      bw->Put(1, 1);
+      bw->Put((uint32_t)nonzero[0], 8);
+    }
+    if (nonzero.size() == 2) bw->Put((uint32_t)nonzero[1], 8);
+    return;
+  }
+  bw->Put(0, 1);
+  // RLE tokens.
+  struct Tok {
+    int sym;
+    int extra;  // -1 = none
+  };
+  std::vector<Tok> toks;
+  const int n = (int)lengths.size();
+  int prev = 8, i = 0;
+  while (i < n) {
+    const int v = lengths[(size_t)i];
+    int run = 1;
+    while (i + run < n && lengths[(size_t)(i + run)] == v) ++run;
+    if (v == 0) {
+      int k = run;
+      while (k >= 3) {
+        if (k >= 11) {
+          int take = std::min(k, 138);
+          toks.push_back({18, take - 11});
+          k -= take;
+        } else {
+          int take = std::min(k, 10);
+          toks.push_back({17, take - 3});
+          k -= take;
+        }
+      }
+      for (; k > 0; --k) toks.push_back({0, -1});
+    } else {
+      int k = run;
+      if (v != prev) {
+        toks.push_back({v, -1});
+        prev = v;
+        --k;
+      }
+      while (k >= 3) {
+        int take = std::min(k, 6);
+        toks.push_back({16, take - 3});
+        k -= take;
+      }
+      for (; k > 0; --k) toks.push_back({v, -1});
+    }
+    i += run;
+  }
+  std::vector<int64_t> hist(kCodeLengthCodes, 0);
+  for (const Tok& t : toks) hist[(size_t)t.sym]++;
+  std::vector<int> cl_len;
+  BuildCodeLengths(hist, 7, &cl_len);
+  std::vector<uint32_t> cl_codes;
+  CanonicalCodes(cl_len, &cl_codes);
+  int num_codes = kCodeLengthCodes;
+  while (num_codes > 4 && cl_len[kClcOrder[num_codes - 1]] == 0) --num_codes;
+  bw->Put((uint32_t)(num_codes - 4), 4);
+  for (int j = 0; j < num_codes; ++j)
+    bw->Put((uint32_t)cl_len[kClcOrder[j]], 3);
+  bw->Put(0, 1);  // no max-symbol trick
+  for (const Tok& t : toks) {
+    bw->Put(cl_codes[(size_t)t.sym], cl_len[(size_t)t.sym]);
+    if (t.sym == 16) bw->Put((uint32_t)t.extra, 2);
+    else if (t.sym == 17) bw->Put((uint32_t)t.extra, 3);
+    else if (t.sym == 18) bw->Put((uint32_t)t.extra, 7);
+  }
+}
+
+void EmitTokens(BitWriter* bw, const std::vector<Token>& toks,
+                const HuffCode codes[5], const PlaneMap& pm) {
+  int code, nbits;
+  uint32_t extra;
+  for (const Token& t : toks) {
+    if (t.kind == 0) {
+      codes[0].Write(bw, (int)((t.v >> 8) & 0xFF));
+      codes[1].Write(bw, (int)((t.v >> 16) & 0xFF));
+      codes[2].Write(bw, (int)(t.v & 0xFF));
+      codes[3].Write(bw, (int)((t.v >> 24) & 0xFF));
+    } else if (t.kind == 1) {
+      PrefixEncode(t.v, &code, &nbits, &extra);
+      codes[0].Write(bw, kNumLiteral + code);
+      if (nbits) bw->Put(extra, nbits);
+      PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
+      codes[4].Write(bw, code);
+      if (nbits) bw->Put(extra, nbits);
+    } else {
+      codes[0].Write(bw, kNumLiteral + kNumLength + (int)t.v);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encodes one entropy-coded image stream (cache bit + optional meta-huffman
+// bit + 5 trees + LZ77 tokens). Returns number of bits written to `out`
+// (bit 0 = LSB of out[0]), or -1 on overflow.
+long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
+                               int quality, int is_level0, uint8_t* out,
+                               long cap_bytes) {
+  std::vector<Token> base;
+  BackwardReferences(argb, n, xsize, quality, &base);
+
+  PlaneMap pm;
+  pm.Init(xsize);
+
+  Histos hs;
+  BuildHistogram(base, pm, 0, &hs);
+  double best_cost = HistoCostBits(hs);
+  int best_cb = 0;
+  if (is_level0 && n >= 512 && quality >= 25) {
+    // One pass over the base tokens evaluating all candidate cache sizes
+    // simultaneously (vs one full replay per size).
+    constexpr int kCbs[3] = {6, 8, 10};
+    Histos ch[3];
+    std::vector<int64_t> cache[3];
+    for (int c = 0; c < 3; ++c) {
+      ch[c].Init(kCbs[c]);
+      cache[c].assign((size_t)1 << kCbs[c], -1);
+    }
+    int code, nbits;
+    uint32_t extra;
+    long pos = 0;
+    for (const Token& t : base) {
+      if (t.kind == 0) {
+        const uint32_t hash = 0x1E35A7BDu * t.v;
+        for (int c = 0; c < 3; ++c) {
+          const uint32_t key = hash >> (32 - kCbs[c]);
+          if (cache[c][key] == (int64_t)t.v) {
+            ch[c].h[0][kNumLiteral + kNumLength + key]++;
+          } else {
+            cache[c][key] = t.v;
+            ch[c].h[0][(t.v >> 8) & 0xFF]++;
+            ch[c].h[1][(t.v >> 16) & 0xFF]++;
+            ch[c].h[2][t.v & 0xFF]++;
+            ch[c].h[3][(t.v >> 24) & 0xFF]++;
+          }
+        }
+        ++pos;
+      } else {
+        for (long p = pos; p < pos + (long)t.v; ++p) {
+          const uint32_t px = argb[p];
+          const uint32_t hash = 0x1E35A7BDu * px;
+          for (int c = 0; c < 3; ++c) cache[c][hash >> (32 - kCbs[c])] = px;
+        }
+        pos += t.v;
+        PrefixEncode(t.v, &code, &nbits, &extra);
+        for (int c = 0; c < 3; ++c) ch[c].h[0][kNumLiteral + code]++;
+        PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
+        for (int c = 0; c < 3; ++c) ch[c].h[4][code]++;
+      }
+    }
+    for (int c = 0; c < 3; ++c) {
+      const double cost = HistoCostBits(ch[c]);
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_cb = kCbs[c];
+      }
+    }
+  }
+  std::vector<Token> best_toks;
+  if (best_cb) {
+    ApplyColorCache(base, argb, best_cb, &best_toks);
+  } else {
+    best_toks.swap(base);
+  }
+  BuildHistogram(best_toks, pm, best_cb, &hs);
+  HuffCode codes[5];
+  for (int i = 0; i < 5; ++i) codes[i].FromCounts(hs.h[i]);
+
+  BitWriter bw;
+  if (best_cb) {
+    bw.Put(1, 1);
+    bw.Put((uint32_t)best_cb, 4);
+  } else {
+    bw.Put(0, 1);
+  }
+  if (is_level0) bw.Put(0, 1);  // single huffman group
+  for (int i = 0; i < 5; ++i) WriteHuffmanCode(&bw, codes[i].desc);
+  EmitTokens(&bw, best_toks, codes, pm);
+
+  const long bits = bw.BitPos();
+  bw.FinishByte();
+  if ((long)bw.buf.size() > cap_bytes) return -1;
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  return bits;
+}
+
+}  // extern "C"

@@ -1,0 +1,144 @@
+// Native VP8L predictor transform: per-tile best-of-14 spatial predictor
+// selection + residual emission.
+//
+// Exact parity with webp_tpu/lossless/encode.py predictor_transform
+// (reference: internal/lossless/encode_predictor.go ResidualImage):
+// interior-rule predictions everywhere (missing neighbors read as 0, the
+// TR quirk at the last column), cost proxy sum(min(byte, 256-byte)),
+// ties to the lowest mode index, then the row-0/col-0 edge overwrite.
+
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+using std::size_t;
+
+namespace {
+
+inline uint32_t Avg2(uint32_t a, uint32_t b) {
+  return (((a ^ b) & 0xFEFEFEFEu) >> 1) + (a & b);
+}
+
+inline uint32_t SubPixels(uint32_t a, uint32_t b) {
+  const uint32_t ag = (0x00FF00FFu + (a & 0xFF00FF00u) - (b & 0xFF00FF00u)) &
+                      0xFF00FF00u;
+  const uint32_t rb = (0xFF00FF00u + (a & 0x00FF00FFu) - (b & 0x00FF00FFu)) &
+                      0x00FF00FFu;
+  return ag | rb;
+}
+
+inline int Clip255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+inline uint32_t Select(uint32_t t, uint32_t l, uint32_t tl) {
+  int pa = 0;
+  for (int s = 0; s < 32; s += 8) {
+    const int tc = (t >> s) & 0xFF, lc = (l >> s) & 0xFF,
+              tlc = (tl >> s) & 0xFF;
+    pa += (lc > tlc ? lc - tlc : tlc - lc) - (tc > tlc ? tc - tlc : tlc - tc);
+  }
+  return pa <= 0 ? t : l;
+}
+
+inline uint32_t ClampAddSubFull(uint32_t l, uint32_t t, uint32_t tl) {
+  uint32_t out = 0;
+  for (int s = 0; s < 32; s += 8) {
+    const int v = (int)((l >> s) & 0xFF) + (int)((t >> s) & 0xFF) -
+                  (int)((tl >> s) & 0xFF);
+    out |= (uint32_t)Clip255(v) << s;
+  }
+  return out;
+}
+
+inline uint32_t ClampAddSubHalf(uint32_t l, uint32_t t, uint32_t tl) {
+  const uint32_t avg = Avg2(l, t);
+  uint32_t out = 0;
+  for (int s = 0; s < 32; s += 8) {
+    const int va = (avg >> s) & 0xFF, vc = (tl >> s) & 0xFF;
+    const int d = va - vc;
+    const int v = va + (d >= 0 ? d / 2 : -((-d) / 2));
+    out |= (uint32_t)Clip255(v) << s;
+  }
+  return out;
+}
+
+// Interior-rule prediction: missing neighbors are 0 (matching the
+// zero-filled L/T/TL/TR arrays in _predict_all), TR at the last column is
+// the current row's pixel 0.
+inline uint32_t Predict(int mode, const uint32_t* img, long w, long x,
+                        long y) {
+  const uint32_t L = x > 0 ? img[y * w + x - 1] : 0;
+  const uint32_t T = y > 0 ? img[(y - 1) * w + x] : 0;
+  const uint32_t TL = (x > 0 && y > 0) ? img[(y - 1) * w + x - 1] : 0;
+  uint32_t TR = 0;
+  if (y > 0) TR = (x + 1 < w) ? img[(y - 1) * w + x + 1] : img[y * w];
+  switch (mode) {
+    case 0: return 0xFF000000u;
+    case 1: return L;
+    case 2: return T;
+    case 3: return TR;
+    case 4: return TL;
+    case 5: return Avg2(Avg2(L, TR), T);
+    case 6: return Avg2(L, TL);
+    case 7: return Avg2(L, T);
+    case 8: return Avg2(TL, T);
+    case 9: return Avg2(T, TR);
+    case 10: return Avg2(Avg2(L, TL), Avg2(T, TR));
+    case 11: return Select(T, L, TL);
+    case 12: return ClampAddSubFull(L, T, TL);
+    default: return ClampAddSubHalf(L, T, TL);
+  }
+}
+
+inline long Cost(uint32_t res) {
+  long c = 0;
+  for (int s = 0; s < 32; s += 8) {
+    const int b = (res >> s) & 0xFF;
+    c += b < 256 - b ? b : 256 - b;
+  }
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: [h, w] u32 ARGB. out: residuals [h, w] u32. tile_modes: [ty, tx] i32
+// with ty = ceil(h / 2^bits), tx = ceil(w / 2^bits).
+void vp8l_predictor_transform(const uint32_t* img, long h, long w, int bits,
+                              uint32_t* out, int32_t* tile_modes) {
+  const long tile = 1L << bits;
+  const long tx = (w + tile - 1) >> bits;
+  const long ty = (h + tile - 1) >> bits;
+  for (long tyi = 0; tyi < ty; ++tyi) {
+    for (long txi = 0; txi < tx; ++txi) {
+      const long ys = tyi * tile, xs = txi * tile;
+      const long ye = ys + tile < h ? ys + tile : h;
+      const long xe = xs + tile < w ? xs + tile : w;
+      long best_cost = -1;
+      int best_mode = 0;
+      for (int m = 0; m < 14; ++m) {
+        long c = 0;
+        for (long y = ys; y < ye; ++y)
+          for (long x = xs; x < xe; ++x)
+            c += Cost(SubPixels(img[y * w + x], Predict(m, img, w, x, y)));
+        if (best_cost < 0 || c < best_cost) {
+          best_cost = c;
+          best_mode = m;
+        }
+      }
+      tile_modes[tyi * tx + txi] = best_mode;
+      for (long y = ys; y < ye; ++y)
+        for (long x = xs; x < xe; ++x)
+          out[y * w + x] =
+              SubPixels(img[y * w + x], Predict(best_mode, img, w, x, y));
+    }
+  }
+  // Edge rules (applied after tile selection, matching the Python order):
+  // pixel (0,0) predicts black, row 0 uses L, column 0 uses T.
+  out[0] = SubPixels(img[0], 0xFF000000u);
+  for (long x = 1; x < w; ++x) out[x] = SubPixels(img[x], img[x - 1]);
+  for (long y = 1; y < h; ++y)
+    out[y * w] = SubPixels(img[y * w], img[(y - 1) * w]);
+}
+
+}  // extern "C"
