@@ -406,6 +406,14 @@ class VP8LDecoder:
 
 def decode_vp8l(data: bytes) -> tuple[np.ndarray, bool]:
     """Decodes a VP8L payload → (ARGB uint32 [h,w], has_alpha_hint)."""
+    try:
+        from ..native.api import vp8l_decode as native_decode
+
+        out = native_decode(data)
+    except ImportError:
+        out = None
+    if out is not None:
+        return out
     dec = VP8LDecoder(data)
     return dec.decode(), dec.has_alpha
 

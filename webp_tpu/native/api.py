@@ -260,3 +260,37 @@ def vp8l_predictor_transform(img: np.ndarray, bits: int):
     modes = np.empty((ty, tx), dtype=np.int32)
     lib.vp8l_predictor_transform(_ptr(img), h, w, bits, _ptr(out), _ptr(modes))
     return out, modes
+
+
+def vp8l_decode(payload: bytes):
+    """Full native VP8L decode -> (argb u32 [h, w], has_alpha) or None.
+    Raises BitstreamError on malformed/truncated input (parity with the
+    Python decoder's validation)."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8l_decode"):
+        return None
+    if not getattr(lib, "_vp8l_dec_ready", False):
+        lib.vp8l_decode.argtypes = [
+            ct.c_void_p, ct.c_long, ct.c_void_p, ct.c_long,
+            ct.POINTER(ct.c_int), ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
+        ]
+        lib.vp8l_decode.restype = ct.c_int
+        lib._vp8l_dec_ready = True
+    from ..lossless.decode import BitstreamError
+
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise BitstreamError("webp: bad VP8L signature")
+    # Dimensions live in the first 4 bytes after the signature.
+    bits = int.from_bytes(payload[1:5], "little")
+    w = (bits & 0x3FFF) + 1
+    h = ((bits >> 14) & 0x3FFF) + 1
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(w * h, dtype=np.uint32)
+    ow = ct.c_int(); oh = ct.c_int(); oa = ct.c_int()
+    rc = lib.vp8l_decode(_ptr(buf), len(payload), _ptr(out), out.size,
+                         ct.byref(ow), ct.byref(oh), ct.byref(oa))
+    if rc == -3:
+        raise BitstreamError("webp: truncated VP8L stream")
+    if rc != 0:
+        raise BitstreamError("webp: malformed VP8L stream")
+    return out.reshape(h, w), bool(oa.value)
