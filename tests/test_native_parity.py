@@ -1,0 +1,160 @@
+"""Differential tests: native C++ fast paths vs the pure-Python/numpy
+oracles (tier-4 in SURVEY.md §4 — the reference's SIMD-vs-Go analog,
+internal/dsp/simd_test.go:8-40). Skipped when libwebptpu.so isn't built."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import pil_webp
+
+from webp_tpu.native import api as native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+RNG = np.random.default_rng(42)
+
+
+def _random_rgb(h, w):
+    return RNG.integers(0, 256, (h, w, 3), np.uint8)
+
+
+@pytest.mark.parametrize("size", [(64, 48), (33, 17), (1, 1), (15, 16),
+                                  (130, 129)])
+def test_yuv_import_matches_numpy(size):
+    h, w = size
+    img = _random_rgb(h, w)
+    got = native.native_yuv_import(img)
+    real_get = native.get
+    native.get = lambda: None  # force the numpy path
+    try:
+        from webp_tpu.encoder import rgb_to_yuv420
+
+        want = rgb_to_yuv420(img)
+    finally:
+        native.get = real_get
+    for a, b, name in zip(got, want, "YUV"):
+        assert np.array_equal(a, b), name
+
+
+@pytest.mark.parametrize("size", [(64, 48), (33, 17), (2, 2), (5, 1),
+                                  (127, 254)])
+def test_upsample_matches_numpy(size):
+    h, w = size
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    Y = RNG.integers(0, 256, (ph, pw), np.uint8)
+    U = RNG.integers(0, 256, (ph // 2, pw // 2), np.uint8)
+    V = RNG.integers(0, 256, (ph // 2, pw // 2), np.uint8)
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    yv, uv, vv = Y[:h, :w], U[:ch, :cw], V[:ch, :cw]
+    got = native.native_upsample_rgba(yv, uv, vv, 3)
+    from webp_tpu.lossy.yuv import yuv_to_rgb_fancy
+
+    assert np.array_equal(got, yuv_to_rgb_fancy(yv, uv, vv))
+
+
+@pytest.mark.parametrize("size", [(64, 48), (33, 17), (5, 3)])
+def test_vp8l_predictor_matches_numpy(size):
+    h, w = size
+    img = RNG.integers(0, 2 ** 32, (h, w), dtype=np.uint64).astype(np.uint32)
+    from webp_tpu.lossless.encode import predictor_transform
+
+    got = predictor_transform(img, 4, 75)
+    real_get = native.get
+    native.get = lambda: None
+    try:
+        want = predictor_transform(img, 4, 75)
+    finally:
+        native.get = real_get
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1], want[1])
+
+
+def test_vp8l_decoder_matches_python():
+    """Native full decoder vs the Python decoder on randomized
+    libwebp-generated streams (all methods, palette/photo/gradient)."""
+    from webp_tpu.container.parser import Parser
+    from webp_tpu.lossless.decode import VP8LDecoder
+
+    for trial in range(9):
+        h, w = int(RNG.integers(1, 70)), int(RNG.integers(1, 70))
+        kind = trial % 3
+        if kind == 0:  # noise (no useful transform)
+            img = RNG.integers(0, 256, (h, w, 4), np.uint8)
+        elif kind == 1:  # few colors (palette + bundling)
+            img = np.zeros((h, w, 4), np.uint8)
+            img[..., :3] = RNG.integers(0, 4, (h, w, 1)) * 60
+            img[..., 3] = 255
+        else:  # gradient (predictor-heavy)
+            gx = np.linspace(0, 255, w, dtype=np.uint8)
+            img = np.empty((h, w, 4), np.uint8)
+            img[..., 0] = gx[None, :]
+            img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+            img[..., 2] = 128
+            img[..., 3] = 255
+        data = pil_webp(Image.fromarray(img, "RGBA"), lossless=True,
+                        method=int(RNG.integers(0, 7)))
+        payload = Parser(data).frames()[0].bitstream
+        nat = native.vp8l_decode(payload)
+        py = VP8LDecoder(payload).decode()
+        assert nat is not None
+        assert np.array_equal(nat[0], py), (trial, h, w)
+
+
+def test_vp8l_entropy_image_roundtrips():
+    """Native entropy-image emitter output decodes to the input pixels."""
+    from webp_tpu.bitio.lossless import LosslessBitReader
+    from webp_tpu.lossless.decode import VP8LDecoder
+    import webp_tpu
+
+    for (h, w) in ((24, 31), (7, 7), (1, 40)):
+        rgb = _random_rgb(h, w)
+        rgb[h // 2:] = rgb[: (h + 1) // 2][: h - h // 2]  # some repetition
+        data = webp_tpu.encode(rgb, lossless=True)
+        assert np.array_equal(webp_tpu.decode(data), rgb)
+
+
+def test_append_bits_buffer_matches_write_bits():
+    from webp_tpu.bitio.lossless import LosslessBitWriter
+
+    payload = RNG.integers(0, 256, 333, np.uint8).tobytes()
+    for lead_bits in (0, 1, 7, 13, 31):
+        for nbits in (1, 8, 13, 2660, 333 * 8):
+            a = LosslessBitWriter()
+            b = LosslessBitWriter()
+            a.write_bits(0x15A3, lead_bits)
+            b.write_bits(0x15A3, lead_bits)
+            a.append_bits_buffer(payload, nbits)
+            val = int.from_bytes(payload, "little")
+            left = nbits
+            pos = 0
+            while left > 0:
+                take = min(24, left)
+                b.write_bits((val >> pos) & ((1 << take) - 1), take)
+                pos += take
+                left -= take
+            assert a.finish() == b.finish(), (lead_bits, nbits)
+
+
+def test_device_escape_overflow_falls_back():
+    """Pathological noise at max quality overflows the nibble escape list;
+    the batch path must fall back to the exact host encoder and still
+    produce a conformant bitstream."""
+    import webp_tpu
+    from tests.conftest import pil_decode_rgba
+    from webp_tpu.ops.fastpath import fast_encode_fn
+
+    # 128x96 -> 48 MBs -> 1152 escape-capable blocks vs the 1024-block
+    # floor; q99 noise escapes nearly everywhere.
+    noise = RNG.integers(0, 256, (96, 128, 3), np.uint8)
+    fn = fast_encode_fn(8, 6, 99)
+    out = fn.rgb(noise[None])
+    assert int(np.asarray(out["esc_cnt"])[0]) > fn.esc_cap, \
+        "test premise: the escape list must overflow"
+    data = webp_tpu.encode_batch([noise], quality=99)[0]
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)
