@@ -261,31 +261,47 @@ def _inner_ctx(nzb, edge=1):
 # Phase 1 — fully parallel mode search with source-pixel context.
 # ---------------------------------------------------------------------------
 
-def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
-    """Y: [H, W] int32 etc. Returns (modes [n_mb] u8, uvmodes [n_mb] u8)."""
-    n_mb = mb_w * mb_h
+def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
+            halos=None, has_above=False):
+    """Y: [H, W] int32 etc. Returns (modes [n_mb] u8, uvmodes [n_mb] u8).
 
-    def contexts(plane, s):
+    halos: optional (hy [W], hu [W/2], hv [W/2]) int32 source-pixel rows
+    from the band above (multi-chip row-band sharding); has_above is a
+    traced bool scalar gating them (False on the top band).
+    """
+    n_mb = mb_w * mb_h
+    above = jnp.asarray(has_above if halos is not None else False)
+
+    def contexts(plane, s, halo):
         """Source-pixel top/left/corner context per MB for an S-sized grid."""
         gh, gw = plane.shape[0] // s, plane.shape[1] // s
         g = plane.reshape(gh, s, gw, s)
         bottom = g[:, s - 1]                                        # [gh,gw,s]
         right = g[..., s - 1].transpose(0, 2, 1)                    # [gh,gw,s]
-        pad_r = jnp.zeros((1, gw, s), jnp.int32)
-        top = jnp.concatenate([pad_r, bottom[:-1]], axis=0)
+        if halo is None:
+            row0 = jnp.zeros((1, gw, s), jnp.int32)
+            tl0 = jnp.zeros((1, gw), jnp.int32)
+        else:
+            row0 = jnp.where(above, halo, 0).reshape(1, gw, s)
+            # tl of MB (x, 0) = halo[x*s - 1].
+            tl0 = jnp.where(above, jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), halo[s - 1::s][:gw - 1]]), 0)[None]
+        top = jnp.concatenate([row0, bottom[:-1]], axis=0)
         pad_c = jnp.zeros((gh, 1, s), jnp.int32)
         left = jnp.concatenate([pad_c, right[:, :-1]], axis=1)
         br = g[:, s - 1, :, s - 1]                                  # [gh,gw]
-        tl = jnp.pad(br[:-1, :-1], ((1, 0), (1, 0)))
+        tl = jnp.concatenate(
+            [tl0, jnp.pad(br[:-1, :-1], ((0, 0), (1, 0)))], axis=0)
         return (top.reshape(-1, s), left.reshape(-1, s), tl.reshape(-1))
 
     ys = np.repeat(np.arange(mb_h), mb_w)
     xs = np.tile(np.arange(mb_w), mb_h)
-    has_top = jnp.asarray(ys > 0)
+    has_top = jnp.asarray(ys > 0) | (above & jnp.asarray(ys == 0))
     has_left = jnp.asarray(xs > 0)
+    hy, hu, hv = halos if halos is not None else (None, None, None)
 
     # --- Luma.
-    topY, leftY, tlY = contexts(Y, 16)
+    topY, leftY, tlY = contexts(Y, 16, hy)
     src_b = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
                    .reshape(n_mb, 16, 16), 16)                      # [n,16,4,4]
     best_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
@@ -307,8 +323,8 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
         best_mode = jnp.where(better, np.uint8(m), best_mode)
 
     # --- Chroma (joint U+V score).
-    topU, leftU, tlU = contexts(U, 8)
-    topV, leftV, tlV = contexts(V, 8)
+    topU, leftU, tlU = contexts(U, 8, hu)
+    topV, leftV, tlV = contexts(V, 8, hv)
     srcU_b = _block(U.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
                     .reshape(n_mb, 8, 8), 8)
     srcV_b = _block(V.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
@@ -340,13 +356,21 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h):
 # Phase 2 — closed-loop reconstruction wavefront (modes fixed, skew 1).
 # ---------------------------------------------------------------------------
 
-def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
+def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
+            halos=None, has_above=False):
     """Exact levels under true reconstructed context.
 
     Returns (lv24 [n_mb, 24, 16] i16, y2 [n_mb, 16] i16).
+
+    With halos (multi-chip row bands) the band's first MB row predicts
+    from the *source* pixel row above (the decoder uses its reconstruction
+    of that row, so the boundary row's prediction differs by quantization
+    noise — a one-row quality approximation, not a validity issue; every
+    other row is exact closed loop).
     """
     n_mb = mb_w * mb_h
     n_steps = mb_w + mb_h - 1
+    above = jnp.asarray(has_above if halos is not None else False)
 
     # Static skew maps (numpy): step t, lane y -> MB (x = t - y, y).
     tt = np.arange(n_steps)[:, None]
@@ -370,6 +394,20 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
         "x": jnp.asarray(xx.clip(0, mb_w - 1), jnp.int32),
         "valid": jnp.asarray(valid_np),
     }
+    if halos is not None:
+        # Halo segments per step for lane 0 (y=0, x=t): top row + corner.
+        hy, hu, hv = (h.astype(jnp.int32) for h in halos)
+        def seg(h, s):
+            v = h.reshape(-1, s)
+            pad = jnp.zeros((n_steps - v.shape[0], s), jnp.int32)
+            return jnp.concatenate([v, pad], axis=0)
+        def tlseg(h, s):
+            t = jnp.concatenate([jnp.zeros(1, jnp.int32), h[s - 1::s][:-1]])
+            return jnp.concatenate(
+                [t, jnp.zeros(n_steps - t.shape[0], jnp.int32)])
+        xs["hy"], xs["hty"] = seg(hy, 16), tlseg(hy, 16)
+        xs["hu"], xs["htu"] = seg(hu, 8), tlseg(hu, 8)
+        xs["hv"], xs["htv"] = seg(hv, 8), tlseg(hv, 8)
 
     lanes_y = jnp.arange(mb_h)
 
@@ -388,15 +426,23 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
     def step(carry, x):
         (By, Ry, Cy, Cy2, Bu, Ru, Cu, Cu2, Bv, Rv, Cv, Cv2) = carry
         has_left = x["valid"] & (x["x"] > 0)
-        has_top = x["valid"] & (lanes_y > 0)
+        has_top = x["valid"] & ((lanes_y > 0) | above)
 
         topY, leftY, tlY = shift1(By), Ry, shift1(Cy2)
+        if halos is not None:
+            topY = topY.at[0].set(jnp.where(above, x["hy"], topY[0]))
+            tlY = tlY.at[0].set(jnp.where(above, x["hty"], tlY[0]))
         predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
         predY_b = _block(sel_mode(predsY, x["m"]), 16)
         lv, y2lv, reconY = _luma_pipe(x["y"].astype(jnp.int32), predY_b, qp)
 
         topU, leftU, tlU = shift1(Bu), Ru, shift1(Cu2)
         topV, leftV, tlV = shift1(Bv), Rv, shift1(Cv2)
+        if halos is not None:
+            topU = topU.at[0].set(jnp.where(above, x["hu"], topU[0]))
+            tlU = tlU.at[0].set(jnp.where(above, x["htu"], tlU[0]))
+            topV = topV.at[0].set(jnp.where(above, x["hv"], topV[0]))
+            tlV = tlV.at[0].set(jnp.where(above, x["htv"], tlV[0]))
         predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
         predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
         lvu, reconU = _chroma_pipe(x["u"].astype(jnp.int32),
@@ -413,9 +459,12 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h):
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=1).astype(jnp.int16)
         return new, (lv24, y2lv.astype(jnp.int16))
 
-    zero16 = jnp.zeros((mb_h, 16), jnp.int32)
-    zero8 = jnp.zeros((mb_h, 8), jnp.int32)
-    zero1 = jnp.zeros((mb_h,), jnp.int32)
+    # Derive the zero carry from the input so its mesh-varying type matches
+    # the step outputs under shard_map (scan requires equal carry types).
+    z = Y[0, 0] * 0
+    zero16 = jnp.zeros((mb_h, 16), jnp.int32) + z
+    zero8 = jnp.zeros((mb_h, 8), jnp.int32) + z
+    zero1 = jnp.zeros((mb_h,), jnp.int32) + z
     carry0 = (zero16, zero16, zero1, zero1,
               zero8, zero8, zero1, zero1,
               zero8, zero8, zero1, zero1)
@@ -464,6 +513,30 @@ def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):
 # ---------------------------------------------------------------------------
 # Entry: jitted batched encoder for a fixed geometry.
 # ---------------------------------------------------------------------------
+
+def encode_band(Y, U, V, hy, hu, hv, has_above, qp, lambdas, rt,
+                mb_w, mb_h, esc_cap):
+    """One row band of the two-phase encoder with cross-band source halos
+    (the multi-chip sharding unit). Returns the packed output dict plus a
+    level histogram for the mesh-wide psum (ProbaStats-merge analog,
+    reference encode_proba.go:171)."""
+    Y = Y.astype(jnp.int32)
+    U = U.astype(jnp.int32)
+    V = V.astype(jnp.int32)
+    halos = (hy.astype(jnp.int32), hu.astype(jnp.int32),
+             hv.astype(jnp.int32))
+    modes, uvmodes = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h,
+                             halos=halos, has_above=has_above)
+    lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
+                       halos=halos, has_above=has_above)
+    packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
+    skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
+    hist = jnp.histogram(jnp.abs(lv24).astype(jnp.int32), bins=16,
+                         range=(0, 16))[0]
+    return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
+            "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
+            "uvmodes": uvmodes, "skip": skip, "hist": hist}
+
 
 @functools.lru_cache(maxsize=8)
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int):

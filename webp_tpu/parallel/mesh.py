@@ -2,17 +2,20 @@
 
 Mapping of the reference's concurrency structures (SURVEY.md §2.7) onto a
 device mesh:
-  - 'dp'  : image-batch data parallelism (P3/P6 analog — frames/images).
-  - 'sp'  : spatial row-band parallelism (P1 wavefront analog) with a
-            1-pixel-row reconstructed-context halo exchanged via
-            lax.ppermute over ICI.
-Histogram/probability statistics are all-reduced with psum (the ProbaStats
-merge point, reference encode_proba.go:171).
+  - 'dp' : image-batch data parallelism (P3/P6 analog — frames/images).
+  - 'sp' : spatial row-band parallelism (P1 wavefront analog). Each band
+           runs the production two-phase encoder (ops/fastpath); the
+           1-pixel source context row + corner crossing the band boundary
+           travels via lax.ppermute over ICI — one hop, no per-step
+           synchronization, because phase 1 searches modes against source
+           pixels and phase 2's closed loop is internal to the band (the
+           band's first MB row predicts from the source halo; see
+           fastpath._phase2 for the one-row approximation note).
+Level-histogram statistics are all-reduced with psum over the whole mesh
+(the ProbaStats merge point, reference encode_proba.go:171).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops import pipeline
+from ..ops import fastpath
 
 
 def make_mesh(n_devices: int = None, dp: int = None) -> Mesh:
@@ -29,7 +32,6 @@ def make_mesh(n_devices: int = None, dp: int = None) -> Mesh:
     n = n_devices or len(devs)
     devs = devs[:n]
     if dp is None:
-        # Favor spatial parallelism; dp absorbs what divides the batch.
         dp = 1
         for cand in (4, 2, 1):
             if n % cand == 0 and cand <= n:
@@ -43,45 +45,62 @@ def make_mesh(n_devices: int = None, dp: int = None) -> Mesh:
 
 
 def make_sharded_encode_fn(mesh: Mesh, quality: int = 75):
-    """Returns a pjit-ted multi-chip encode step.
+    """Returns a jitted multi-chip encode step over rgb [B, H, W, 3] uint8.
 
-    Input rgb [B, H, W, 3] is sharded batch->dp, rows->sp. Each sp shard
-    encodes its row band using the reconstructed bottom row of the band
-    above (ppermute halo), mirroring the reference's wavefront row pipeline
-    context flow (encode_parallel.go:168-341).
+    B must divide by mesh 'dp', H by 16 * mesh 'sp'. Output levels stay
+    sharded (batch over dp, MB rows over sp); the histogram is replicated.
     """
-    qp = pipeline.quant_params(quality)
+    qp, lambdas = fastpath.rd_params(quality)
+    rt = fastpath.RateTables(np.asarray(fastpath.T.COEFFS_PROBA0))
     sp_size = mesh.shape["sp"]
 
-    def band_step(rgb_band):
+    def band_fn(rgb_band):
         # rgb_band: [b_local, H_band, W, 3] on each device.
-        B, Hb, W, _ = rgb_band.shape
-        # First pass: encode with flat context to produce the halo row.
-        levels, rec, halo, stats = pipeline.encode_core(rgb_band, qp)
-        # Shift each band's bottom context row to the band below (ICI ring).
-        perm = [(i, i + 1) for i in range(sp_size - 1)]
-        top_ctx = jax.lax.ppermute(halo, "sp", perm) if sp_size > 1 else None
-        if top_ctx is not None:
-            idx = jax.lax.axis_index("sp")
-            top_ctx = jnp.where(idx == 0, jnp.full_like(top_ctx, 127), top_ctx)
-        # Second pass with real cross-band context (the wavefront step).
-        levels, rec, halo, stats = pipeline.encode_core(rgb_band, qp, top_ctx)
-        # Global probability statistics: all-reduce over the whole mesh.
-        hist = jax.lax.psum(jax.lax.psum(stats["hist"], "sp"), "dp")
-        sse = jax.lax.psum(jax.lax.psum(stats["sse_y"].sum(), "sp"), "dp")
-        return levels["y1"], rec, hist, sse
+        from ..ops import yuv as devyuv
+
+        Y, U, V = jax.vmap(devyuv.rgb_to_yuv420)(rgb_band)
+        b, Hb, W = Y.shape
+        mb_w, mb_h = W // 16, Hb // 16
+
+        # Cross-band source context: bottom pixel rows ride one ICI hop.
+        def pass_down(row):
+            if sp_size == 1:
+                return jnp.zeros_like(row)
+            perm = [(i, i + 1) for i in range(sp_size - 1)]
+            return jax.lax.ppermute(row, "sp", perm)
+
+        hy = pass_down(Y[:, -1, :])
+        hu = pass_down(U[:, -1, :])
+        hv = pass_down(V[:, -1, :])
+        has_above = jax.lax.axis_index("sp") > 0
+
+        esc_cap = max(1024, fastpath.ESC_BLOCKS_PER_MB * mb_w * mb_h)
+        out = jax.vmap(
+            lambda y, u, v, a, bb, c: fastpath.encode_band(
+                y, u, v, a, bb, c, has_above, qp, lambdas, rt,
+                mb_w, mb_h, esc_cap)
+        )(Y, U, V, hy, hu, hv)
+        # Mesh-wide probability statistics (psum over sp then dp).
+        hist = jax.lax.psum(jax.lax.psum(out.pop("hist").sum(0), "sp"), "dp")
+        return (out["packed"], out["esc_idx"], out["esc_val"],
+                out["esc_cnt"][:, None], out["y2"], out["modes"],
+                out["uvmodes"], out["skip"], hist)
 
     fn = shard_map(
-        band_step,
+        band_fn,
         mesh=mesh,
         in_specs=(P("dp", "sp", None, None),),
         out_specs=(
-            P("dp", "sp", None, None),  # levels: MB axis split over sp
-            P("dp", "sp", None),   # recon rows split over sp
-            P(),                    # replicated histogram
-            P(),                    # replicated sse
+            P("dp", "sp", None, None),   # packed nibble planes
+            P("dp", "sp"),               # escape block indices
+            P("dp", "sp", None),         # escape blocks
+            P("dp", "sp"),               # escape counts (per band)
+            P("dp", "sp", None),         # y2
+            P("dp", "sp"),               # modes
+            P("dp", "sp"),               # uv modes
+            P("dp", "sp"),               # skip
+            P(),                         # replicated histogram
         ),
-        
     )
 
     @jax.jit
@@ -95,6 +114,34 @@ def training_step_spec(mesh: Mesh):
     """Input/output shardings for the multi-chip step (for inspection)."""
     return {
         "rgb": P("dp", "sp", None, None),
-        "levels": P("dp", None, "sp"),
-        "recon": P("dp", "sp", None),
+        "levels_packed": P("dp", "sp", None, None),
+        "modes": P("dp", "sp"),
+        "histogram": P(),
     }
+
+
+def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
+    """Host-side: turns the sharded step's outputs into per-image level
+    arrays (numpy). Escape indices are band-local, so unpacking happens
+    per band before stitching."""
+    import numpy as np
+
+    from ..ops.fastpath import unpack_levels
+
+    (packed, esc_idx, esc_val, esc_cnt, y2, modes, uvm, skip, hist) = [
+        np.asarray(o) for o in outputs]
+    B = packed.shape[0]
+    n_mb = mb_w * mb_h
+    n_loc = n_mb // sp
+    cap = esc_idx.shape[1] // sp
+    out = []
+    for b in range(B):
+        lv = np.empty((n_mb, 24, 16), np.int16)
+        for s in range(sp):
+            sl = slice(s * n_loc, (s + 1) * n_loc)
+            lv[sl] = unpack_levels(
+                packed[b, sl], esc_idx[b, s * cap:(s + 1) * cap],
+                esc_val[b, s * cap:(s + 1) * cap], esc_cnt[b, s], n_loc)
+        out.append({"lv24": lv, "y2": y2[b], "modes": modes[b],
+                    "uvmodes": uvm[b], "skip": skip[b]})
+    return out
