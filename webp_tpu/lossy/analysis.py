@@ -267,3 +267,67 @@ def _smooth_segment_map(seg: np.ndarray) -> np.ndarray:
             if cnt[m] >= 5:
                 out[y, x] = m
     return out
+
+
+def finalize_device_plan(seg_map: np.ndarray, seg_q, seg_beta,
+                         filter_strength: int,
+                         filter_sharpness: int) -> SegmentPlan:
+    """Builds a SegmentPlan from device-computed segmentation (fastpath
+    phase 0): per-segment filter strengths, equivalent-segment merging and
+    segment-tree probabilities (the host-side tail of plan_segments)."""
+    from .encode import _filter_strength_from_delta
+    from . import tables as T
+
+    plan = SegmentPlan()
+    plan.num_segments = 4
+    plan.segment_map = np.asarray(seg_map, dtype=np.uint8).reshape(-1)
+    plan.quant = [int(q) for q in seg_q]
+    plan.beta = [int(b) for b in seg_beta]
+
+    if filter_strength > 0:
+        level0 = 5 * filter_strength
+        sharp = max(0, min(7, filter_sharpness))
+        for i in range(4):
+            qstep = int(T.AC_TABLE[max(0, min(127, plan.quant[i]))]) >> 2
+            base = _filter_strength_from_delta(sharp, qstep)
+            f = base * level0 // (256 + plan.beta[i])
+            plan.fstrength[i] = 0 if f < 2 else min(f, 63)
+
+    # Merge equivalent segments (simplifySegments).
+    seg_remap = list(range(4))
+    num_final = 1
+    for s1 in range(1, plan.num_segments):
+        found = False
+        for s2 in range(num_final):
+            if (plan.quant[s1] == plan.quant[s2]
+                    and plan.fstrength[s1] == plan.fstrength[s2]):
+                seg_remap[s1] = s2
+                found = True
+                break
+        if not found:
+            seg_remap[s1] = num_final
+            if num_final != s1:
+                plan.quant[num_final] = plan.quant[s1]
+                plan.fstrength[num_final] = plan.fstrength[s1]
+                plan.beta[num_final] = plan.beta[s1]
+            num_final += 1
+    if num_final < plan.num_segments:
+        remap = np.array(seg_remap, dtype=np.uint8)
+        plan.segment_map = remap[plan.segment_map]
+        for i in range(num_final, plan.num_segments):
+            plan.quant[i] = plan.quant[num_final - 1]
+            plan.fstrength[i] = plan.fstrength[num_final - 1]
+    plan.num_segments = num_final
+
+    counts = np.bincount(plan.segment_map, minlength=4)
+
+    def get_proba(a, b):
+        total = a + b
+        return 255 if total == 0 else (255 * a + total // 2) // total
+
+    plan.probas = [
+        int(get_proba(counts[0] + counts[1], counts[2] + counts[3])),
+        int(get_proba(counts[0], counts[1])),
+        int(get_proba(counts[2], counts[3])),
+    ]
+    return plan

@@ -64,14 +64,16 @@ def _finish_one(out_i: dict, mb_w: int, mb_h: int, width: int, height: int,
     enc.uvmode = out_i["uvmodes"].reshape(mb_h, mb_w)
     enc.skip = out_i["skip"].reshape(mb_h, mb_w).copy()
     enc.is_i4[:] = False
+    enc.apply_device_plan(out_i["seg_map"], out_i["seg_q"], out_i["seg_beta"])
     return enc._finish_bitstream()
 
 
 class DeviceVP8Encoder(VP8Encoder):
     """VP8Encoder whose MB loop runs on the device (two-phase fast path).
 
-    The device path quantizes with segment-0 parameters and no UV deltas,
-    so the header plan is pinned to a single plain segment.
+    Segmentation/SNS runs on the device too (fastpath phase 0); the host
+    plan is pinned trivial at init and replaced with the device plan after
+    the launch (UV quant deltas stay 0 on this path).
     """
 
     rgb_input = None  # optional uint8 [H, W, 3] (padded); fuses YUV on device
@@ -79,13 +81,32 @@ class DeviceVP8Encoder(VP8Encoder):
     def __init__(self, y, u, v, width, height, cfg):
         import dataclasses
 
+        self.dev_segments = max(1, min(4, cfg.segments))
+        self.dev_sns = max(0, cfg.sns_strength)
         cfg = dataclasses.replace(cfg, segments=1, sns_strength=0)
         super().__init__(y, u, v, width, height, cfg)
+
+    def apply_device_plan(self, seg_map, seg_q, seg_beta) -> None:
+        """Installs the device-computed segmentation into the header plan."""
+        if self.dev_segments <= 1 or self.mb_h * self.mb_w < 4:
+            return
+        from .analysis import finalize_device_plan
+
+        plan = finalize_device_plan(seg_map, seg_q, seg_beta,
+                                    self.cfg.filter_strength,
+                                    self.cfg.filter_sharpness)
+        self.plan = plan
+        self.num_segments = plan.num_segments
+        self.segment_map = plan.segment_map.reshape(self.mb_h, self.mb_w)
+        self.base_q = plan.quant[0]
+        if self.cfg.filter_strength > 0:
+            self.filter_level = plan.fstrength[0]
 
     def encode(self) -> bytes:
         from ..ops.fastpath import fast_encode_fn, unpack_levels
 
-        fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality)
+        fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
+                            self.dev_segments, self.dev_sns)
         if self.rgb_input is not None:
             out = fn.rgb(self.rgb_input[None])
         else:
@@ -107,6 +128,8 @@ class DeviceVP8Encoder(VP8Encoder):
         self.uvmode = host["uvmodes"][0].reshape(self.mb_h, self.mb_w)
         self.skip = host["skip"][0].reshape(self.mb_h, self.mb_w).copy()
         self.is_i4[:] = False
+        self.apply_device_plan(host["seg_map"][0], host["seg_q"][0],
+                               host["seg_beta"][0])
         return self._finish_bitstream()
 
     def _finish_bitstream(self) -> bytes:
@@ -138,7 +161,8 @@ class DeviceVP8Encoder(VP8Encoder):
 def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
                        filter_strength: int = 60, num_threads: int = 8,
                        true_width: int = None, true_height: int = None,
-                       device_out=None):
+                       device_out=None, segments: int = 4,
+                       sns_strength: int = 50):
     """Batched device encode: one vmapped two-phase launch over a stack of
     same-sized images, then parallel host entropy coding (the native C++
     calls release the GIL). This is the TPU batching superpower the
@@ -152,13 +176,14 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
 
     B, H, W, _ = rgbs.shape
     mb_w, mb_h = W // 16, H // 16
-    fn = fast_encode_fn(mb_w, mb_h, quality)
+    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength)
     out = device_out if device_out is not None else fn.rgb(rgbs)
 
     tw = true_width or W
     th = true_height or H
     cfg = LossyConfig(quality=quality, partitions=partitions,
-                      filter_strength=filter_strength)
+                      filter_strength=filter_strength, segments=segments,
+                      sns_strength=sns_strength)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=num_threads) as ex:
         host = _fetch(out, pool=ex)
@@ -180,13 +205,14 @@ def launch_batch(rgbs, quality: int = 75):
     from ..ops.fastpath import fast_encode_fn
 
     B, H, W, _ = rgbs.shape
-    fn = fast_encode_fn(W // 16, H // 16, quality)
+    fn = fast_encode_fn(W // 16, H // 16, quality, 4, 50)
     return fn.rgb(rgbs)
 
 
 def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
                         partitions: int = 0, filter_strength: int = 60,
-                        num_threads: int = 12, host_yuv: bool = None):
+                        num_threads: int = 12, host_yuv: bool = None,
+                        segments: int = 4, sns_strength: int = 50):
     """Pipelined high-throughput encode of a stream of same-sized images.
 
     Three overlapped stages, mirroring the reference's Phase A/B overlap
@@ -217,9 +243,10 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
     h, w = images[0].shape[:2]
     H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
     mb_w, mb_h = W // 16, H // 16
-    fn = fast_encode_fn(mb_w, mb_h, quality)
+    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength)
     cfg = LossyConfig(quality=quality, partitions=partitions,
-                      filter_strength=filter_strength)
+                      filter_strength=filter_strength, segments=segments,
+                      sns_strength=sns_strength)
 
     ex = concurrent.futures.ThreadPoolExecutor(max_workers=num_threads)
 

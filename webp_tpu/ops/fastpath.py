@@ -62,6 +62,40 @@ BANDS = np.asarray(T.BANDS[:16])
 ESC_BLOCKS_PER_MB = 3
 
 
+@functools.lru_cache(maxsize=4)
+def all_q_tables():
+    """Quantizer matrices + RD lambdas for every quant index 0..127
+    (device constants; per-segment rows are selected with one-hot matmuls).
+
+    Mirrors VP8Encoder.__init__'s per-segment setup (reference
+    setupSegment, lossy/encode.go:1084) with zero UV deltas.
+    """
+    from ..lossy.quant import SegmentQuant
+
+    dc_t, ac_t, ac2_t = T.DC_TABLE, T.AC_TABLE, T.AC_TABLE2
+    clip = lambda v, m: max(0, min(m, v))
+    out = {k: [] for k in ("y1", "y2", "uv")}
+    lam_i16 = np.zeros(128, np.int64)
+    lam_uv = np.zeros(128, np.int64)
+    for q in range(128):
+        y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
+        y2dc = max(8, y1dc * 2)
+        sqs = {
+            "y1": SegmentQuant.make(y1dc, y1ac, 0, sharpen=True),
+            "y2": SegmentQuant.make(y2dc, int(ac2_t[q]), 1),
+            "uv": SegmentQuant.make(int(dc_t[clip(q, 117)]), y1ac, 2),
+        }
+        for k, sq in sqs.items():
+            out[k].append(np.stack([sq.q, sq.iq, sq.bias, sq.sharpen]))
+        q_i16 = (y2dc + 15 * int(ac2_t[q]) + 8) >> 4
+        q_uv = (int(dc_t[clip(q, 117)]) + 15 * y1ac + 8) >> 4
+        lam_i16[q] = max(3 * q_i16 * q_i16, 1)
+        lam_uv[q] = max((3 * q_uv * q_uv) >> 6, 1)
+    tabs = {k: np.stack(v).astype(np.int32) for k, v in out.items()}
+    # tabs[k]: [128, 4(q/iq/bias/sharpen), 16]
+    return tabs, lam_i16.astype(np.float32), lam_uv.astype(np.float32)
+
+
 def rd_params(quality: int):
     """Quantizers + RD lambdas, identical to VP8Encoder.__init__."""
     from .pipeline import quant_params
@@ -204,7 +238,9 @@ def _luma_pipe(src_b, pred_b, qp, score_only=False):
     flat = coeffs.reshape(*coeffs.shape[:-2], 16)
     lead = flat.shape[:-2]
     wht = dct.fwht4x4(flat[..., 0].reshape(*lead, 4, 4))
-    y2lv, y2dq = quantize(wht.reshape(*lead, 16), *qp["y2"], ZIGZAG)
+    # Per-MB quant rows arrive as [n, 1, 16]; the y2 block is [n, 16].
+    y2q = tuple(a[:, 0] if a.ndim == 3 else a for a in qp["y2"])
+    y2lv, y2dq = quantize(wht.reshape(*lead, 16), *y2q, ZIGZAG)
     rec_dc = dct.wht4x4(y2dq.reshape(*lead, 4, 4)).reshape(*lead, 16)
     lv, dq = quantize(flat, *qp["y1"], ZIGZAG, first=1)
     dq = dq.at[..., 0].set(rec_dc)
@@ -225,6 +261,130 @@ def _chroma_pipe(src_b, pred_b, qp, score_only=False):
         return lv, disto_td
     recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(co.shape)), 0, 255)
     return lv, recon
+
+
+# ---------------------------------------------------------------------------
+# Phase 0 — segment analysis on device (alphas -> k-means -> SNS quants).
+# Mirrors lossy/analysis.py compute_alphas/assign_segments/plan_segments
+# (reference encode_analysis.go:29,737 + setSegmentParams).
+# ---------------------------------------------------------------------------
+
+def _hist_alpha(coeffs):
+    """coeffs int32 [n, nb, 16] -> alpha [n] (DCT histogram complexity)."""
+    v = jnp.minimum(jnp.abs(coeffs) >> 3, 31)
+    n = v.shape[0]
+    flat = v.reshape(n, -1)
+    hist = jnp.stack([(flat == k).sum(axis=1) for k in range(32)], axis=1)
+    max_value = hist.max(axis=1)
+    nz = hist > 0
+    last_nz = jnp.where(nz.any(axis=1),
+                        31 - jnp.argmax(nz[:, ::-1], axis=1), 1)
+    last_nz = jnp.maximum(last_nz, 1)
+    alpha = jnp.where(max_value > 1,
+                      510 * last_nz // jnp.maximum(max_value, 1), 0)
+    return jnp.minimum(alpha, 255)
+
+
+def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
+                         num_segs=4):
+    """Returns (seg_map [n_mb] i32, q_idx [4] i32, beta [4] i32)."""
+    from ..lossy.analysis import _quality_to_compression
+
+    n_mb = mb_w * mb_h
+    yb = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                .reshape(n_mb, 16, 16), 16)
+    dc = jnp.round(yb.mean(axis=(1, 2, 3))).astype(jnp.int32)
+    luma = _hist_alpha(dct.fdct4x4(yb, dc[:, None, None, None])
+                       .reshape(n_mb, 16, 16))
+    ub = _block(U.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                .reshape(n_mb, 8, 8), 8)
+    vb = _block(V.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                .reshape(n_mb, 8, 8), 8)
+    uvb = jnp.concatenate([ub, vb], axis=1)
+    dcu = jnp.round(uvb.mean(axis=(1, 2, 3))).astype(jnp.int32)
+    uv = _hist_alpha(dct.fdct4x4(uvb, dcu[:, None, None, None])
+                     .reshape(n_mb, 8, 16))
+    alphas = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
+
+    # Histogram k-means over the 256-bin alpha histogram (6 iterations).
+    bins = jnp.arange(256)
+    histo = (alphas[None, :] == bins[:, None]).sum(axis=1)
+    nzm = histo > 0
+    min_a = jnp.argmax(nzm)
+    max_a = 255 - jnp.argmax(nzm[::-1])
+    rng_a = max_a - min_a
+    ks = jnp.arange(num_segs)
+    centers = (min_a + ((2 * ks + 1) * rng_a) // (2 * num_segs)).astype(
+        jnp.int32)
+
+    def assign(centers):
+        d = jnp.abs(bins[:, None] - centers[None, :])          # [256, S]
+        # Nearest center with ties to the LOWER index (host while-loop).
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    def iterate(centers, _):
+        seg_of = assign(centers)
+        oh = (seg_of[:, None] == ks[None, :]).astype(jnp.int64)  # [256, S]
+        accum = (histo[:, None] * oh).sum(axis=0)
+        dist = ((histo * bins)[:, None] * oh).sum(axis=0)
+        new_c = jnp.where(accum > 0,
+                          (dist + accum // 2) // jnp.maximum(accum, 1),
+                          centers.astype(jnp.int64)).astype(jnp.int32)
+        return new_c, None
+
+    centers, _ = jax.lax.scan(iterate, centers, None, length=6)
+    seg_of_alpha = assign(centers)
+    seg_map = seg_of_alpha[alphas]
+
+    oh = (seg_of_alpha[:, None] == ks[None, :]).astype(jnp.int64)
+    accum = (histo[:, None] * oh).sum(axis=0)
+    total_w = jnp.maximum(accum.sum(), 1)
+    weighted_avg = ((centers.astype(jnp.int64) * accum).sum()
+                    + total_w // 2) // total_w
+    min_c, max_c = centers.min(), centers.max()
+    range_c = jnp.maximum(max_c - min_c, 1)
+    alpha_n = jnp.clip(255 * (centers - weighted_avg) // range_c, -127, 127)
+    beta_n = jnp.clip(255 * (centers - min_c) // range_c, 0, 255)
+
+    sns = max(0, int(sns_strength))
+    amp = 0.9 * sns / 100.0 / 128.0
+    c_base = float(_quality_to_compression(quality))
+    expn = 1.0 - amp * alpha_n.astype(jnp.float32)
+    c = jnp.power(jnp.float32(c_base), expn)
+    q_idx = jnp.clip((127.0 * (1.0 - c)).astype(jnp.int32), 0, 127)
+    return seg_map, q_idx, beta_n.astype(jnp.int32)
+
+
+def _seg_select(rows, seg_map):
+    """rows [4, ...], seg_map [n] -> [n, ...] via fused 4-way select."""
+    s = seg_map.reshape(seg_map.shape + (1,) * (rows.ndim - 1))
+    return jnp.where(s == 0, rows[0],
+                     jnp.where(s == 1, rows[1],
+                               jnp.where(s == 2, rows[2], rows[3])))
+
+
+def _mb_quant(seg_map, q_idx, n_mb):
+    """Expands per-segment quant indices to per-MB quantizer rows.
+
+    Returns dict like quant_params() but with [n_mb, 1, 16] arrays, plus
+    per-MB lambda vectors (float32 [n_mb]). All int32 selects — the only
+    128-wide operation is the tiny one-hot over the 4 segment q indices.
+    """
+    tabs, lam_i16, lam_uv = all_q_tables()
+    oh_q = jax.nn.one_hot(q_idx, 128, dtype=jnp.int32)          # [4, 128]
+    qp = {}
+    seg_rows = {}
+    for k in ("y1", "y2", "uv"):
+        tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
+        rows = (oh_q[:, :, None] * tab[None]).sum(axis=1)       # [4, 64]
+        seg_rows[k] = rows.reshape(4, 4, 16)
+        mb = _seg_select(seg_rows[k], seg_map)                  # [n, 4, 16]
+        qp[k] = tuple(mb[:, i][:, None, :] for i in range(4))
+    lam16_s = (oh_q * jnp.asarray(lam_i16, jnp.float32)).sum(axis=1)  # [4]
+    lamuv_s = (oh_q * jnp.asarray(lam_uv, jnp.float32)).sum(axis=1)
+    lam16 = _seg_select(lam16_s, seg_map)
+    lamuv = _seg_select(lamuv_s, seg_map)
+    return qp, {"i16": lam16, "uv": lamuv}, seg_rows
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +443,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
         rate = approx_block_rate(lv, 1, 0, rt).sum(axis=-1)
         rate = rate + approx_block_rate(y2lv, 0, 1, rt)
         rate = rate + FIXED_COSTS_I16[m]
-        score = (rate.astype(jnp.float32) * float(lambdas["i16"])
+        score = (rate.astype(jnp.float32) * lambdas["i16"]
                  + 64.0 * disto_td.astype(jnp.float32))
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
@@ -308,7 +468,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
                                         score_only=True)
             disto = disto + disto_td
             rate = rate + approx_block_rate(lv, 0, 2, rt).sum(axis=-1)
-        score = (rate.astype(jnp.float32) * float(lambdas["uv"])
+        score = (rate.astype(jnp.float32) * lambdas["uv"]
                  + 64.0 * disto.astype(jnp.float32))
         better = score < best_uv_score
         best_uv_score = jnp.where(better, score, best_uv_score)
@@ -322,7 +482,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
 # ---------------------------------------------------------------------------
 
 def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
-            halos=None, has_above=False):
+            halos=None, has_above=False, seg=None):
     """Exact levels under true reconstructed context.
 
     Returns (lv24 [n_mb, 24, 16] i16, y2 [n_mb, 16] i16).
@@ -332,6 +492,9 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
     of that row, so the boundary row's prediction differs by quantization
     noise — a one-row quality approximation, not a validity issue; every
     other row is exact closed loop).
+
+    seg: optional (seg_map [n_mb] i32, seg_rows {y1/y2/uv: [4, 64] f32})
+    for per-MB segment quantization; qp is then ignored.
     """
     n_mb = mb_w * mb_h
     n_steps = mb_w + mb_h - 1
@@ -359,10 +522,12 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         "x": jnp.asarray(xx.clip(0, mb_w - 1), jnp.int32),
         "valid": jnp.asarray(valid_np),
     }
+    if seg is not None:
+        xs["seg"] = skew(seg[0])
     if halos is not None:
         # Halo segments per step for lane 0 (y=0, x=t): top row + corner.
         hy, hu, hv = (h.astype(jnp.int32) for h in halos)
-        def seg(h, s):
+        def halo_seg(h, s):
             v = h.reshape(-1, s)
             pad = jnp.zeros((n_steps - v.shape[0], s), jnp.int32)
             return jnp.concatenate([v, pad], axis=0)
@@ -370,9 +535,9 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
             t = jnp.concatenate([jnp.zeros(1, jnp.int32), h[s - 1::s][:-1]])
             return jnp.concatenate(
                 [t, jnp.zeros(n_steps - t.shape[0], jnp.int32)])
-        xs["hy"], xs["hty"] = seg(hy, 16), tlseg(hy, 16)
-        xs["hu"], xs["htu"] = seg(hu, 8), tlseg(hu, 8)
-        xs["hv"], xs["htv"] = seg(hv, 8), tlseg(hv, 8)
+        xs["hy"], xs["hty"] = halo_seg(hy, 16), tlseg(hy, 16)
+        xs["hu"], xs["htu"] = halo_seg(hu, 8), tlseg(hu, 8)
+        xs["hv"], xs["htv"] = halo_seg(hv, 8), tlseg(hv, 8)
 
     lanes_y = jnp.arange(mb_h)
 
@@ -393,13 +558,21 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         has_left = x["valid"] & (x["x"] > 0)
         has_top = x["valid"] & ((lanes_y > 0) | above)
 
+        if seg is not None:
+            # 4-way select of per-segment quant rows (no in-scan matmuls).
+            qp_t = {k: tuple(
+                _seg_select(seg[1][k][:, i], x["seg"])[:, None, :]
+                for i in range(4)) for k in ("y1", "y2", "uv")}
+        else:
+            qp_t = qp
+
         topY, leftY, tlY = shift1(By), Ry, shift1(Cy2)
         if halos is not None:
             topY = topY.at[0].set(jnp.where(above, x["hy"], topY[0]))
             tlY = tlY.at[0].set(jnp.where(above, x["hty"], tlY[0]))
         predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
         predY_b = _block(sel_mode(predsY, x["m"]), 16)
-        lv, y2lv, reconY = _luma_pipe(x["y"].astype(jnp.int32), predY_b, qp)
+        lv, y2lv, reconY = _luma_pipe(x["y"].astype(jnp.int32), predY_b, qp_t)
 
         topU, leftU, tlU = shift1(Bu), Ru, shift1(Cu2)
         topV, leftV, tlV = shift1(Bv), Rv, shift1(Cv2)
@@ -411,9 +584,9 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
         predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
         lvu, reconU = _chroma_pipe(x["u"].astype(jnp.int32),
-                                   _block(sel_mode(predsU, x["uvm"]), 8), qp)
+                                   _block(sel_mode(predsU, x["uvm"]), 8), qp_t)
         lvv, reconV = _chroma_pipe(x["v"].astype(jnp.int32),
-                                   _block(sel_mode(predsV, x["uvm"]), 8), qp)
+                                   _block(sel_mode(predsV, x["uvm"]), 8), qp_t)
 
         rY = _unblock(reconY, 16)
         rU = _unblock(reconU, 8)
@@ -504,29 +677,48 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, qp, lambdas, rt,
 
 
 @functools.lru_cache(maxsize=8)
-def fast_encode_fn(mb_w: int, mb_h: int, quality: int):
+def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
+                   sns_strength: int = 0):
     """Batched two-phase device encoder.
 
     Returns fn with:
       fn.yuv(Y [B,H,W] u8, U, V) and fn.rgb(rgb [B,H,W,3] u8)
-      -> dict(packed, esc_idx, esc_val, esc_cnt, modes, uvmodes, skip)
+      -> dict(packed, esc_idx, esc_val, esc_cnt, modes, uvmodes, skip,
+              seg_map, seg_q, seg_beta)
+    With segments > 1 the device also runs the analysis pass (alphas ->
+    k-means -> SNS quant modulation) and quantizes per MB segment.
     """
     qp, lambdas = rd_params(quality)
+    lambdas = {k: jnp.float32(v) for k, v in lambdas.items()}
     rt = RateTables(np.asarray(T.COEFFS_PROBA0))
     n_mb = mb_w * mb_h
     esc_cap = max(1024, ESC_BLOCKS_PER_MB * n_mb)
+    use_segments = segments > 1 and n_mb >= 4
 
     def encode_one(Y, U, V):
         Y = Y.astype(jnp.int32)
         U = U.astype(jnp.int32)
         V = V.astype(jnp.int32)
-        modes, uvmodes = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h)
-        lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h)
+        if use_segments:
+            seg_map, seg_q, seg_beta = _segment_plan_device(
+                Y, U, V, mb_w, mb_h, quality, sns_strength, segments)
+            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+            seg = (seg_map, seg_rows)
+        else:
+            seg_map = jnp.zeros((n_mb,), jnp.int32)
+            seg_q = jnp.zeros((4,), jnp.int32)
+            seg_beta = jnp.zeros((4,), jnp.int32)
+            qp_i, lam_i, seg = qp, lambdas, None
+        modes, uvmodes = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h)
+        lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h,
+                           seg=seg)
         packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
         skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
         return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
                 "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
-                "uvmodes": uvmodes, "skip": skip}
+                "uvmodes": uvmodes, "skip": skip,
+                "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
+                "seg_beta": seg_beta}
 
     yuv_b = jax.jit(jax.vmap(encode_one))
 
