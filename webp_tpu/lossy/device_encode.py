@@ -60,10 +60,10 @@ def _finish_one(out_i: dict, mb_w: int, mb_h: int, width: int, height: int,
     enc.proba = T.COEFFS_PROBA0.copy()
     enc.levels = lv24.astype(np.int32).reshape(mb_h, mb_w, 24, 16)
     enc.y2_levels = out_i["y2"].astype(np.int32).reshape(mb_h, mb_w, 16)
-    enc.imodes[..., 0] = out_i["modes"].reshape(mb_h, mb_w)
+    enc.imodes = out_i["imodes"].reshape(mb_h, mb_w, 16).copy()
     enc.uvmode = out_i["uvmodes"].reshape(mb_h, mb_w)
     enc.skip = out_i["skip"].reshape(mb_h, mb_w).copy()
-    enc.is_i4[:] = False
+    enc.is_i4 = out_i["is_i4"].reshape(mb_h, mb_w).copy()
     enc.apply_device_plan(out_i["seg_map"], out_i["seg_q"], out_i["seg_beta"])
     return enc._finish_bitstream()
 
@@ -124,10 +124,12 @@ class DeviceVP8Encoder(VP8Encoder):
             self.mb_h, self.mb_w, 24, 16)
         self.y2_levels = host["y2"][0].astype(np.int32).reshape(
             self.mb_h, self.mb_w, 16)
-        self.imodes[..., 0] = host["modes"][0].reshape(self.mb_h, self.mb_w)
+        self.imodes = host["imodes"][0].reshape(
+            self.mb_h, self.mb_w, 16).copy()
         self.uvmode = host["uvmodes"][0].reshape(self.mb_h, self.mb_w)
         self.skip = host["skip"][0].reshape(self.mb_h, self.mb_w).copy()
-        self.is_i4[:] = False
+        self.is_i4 = host["is_i4"][0].reshape(
+            self.mb_h, self.mb_w).copy()
         self.apply_device_plan(host["seg_map"][0], host["seg_q"][0],
                                host["seg_beta"][0])
         return self._finish_bitstream()

@@ -77,6 +77,7 @@ def all_q_tables():
     out = {k: [] for k in ("y1", "y2", "uv")}
     lam_i16 = np.zeros(128, np.int64)
     lam_uv = np.zeros(128, np.int64)
+    lam_i4 = np.zeros(128, np.int64)
     for q in range(128):
         y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
         y2dc = max(8, y1dc * 2)
@@ -91,9 +92,12 @@ def all_q_tables():
         q_uv = (int(dc_t[clip(q, 117)]) + 15 * y1ac + 8) >> 4
         lam_i16[q] = max(3 * q_i16 * q_i16, 1)
         lam_uv[q] = max((3 * q_uv * q_uv) >> 6, 1)
+        q_i4 = (y1dc + 15 * y1ac + 8) >> 4
+        lam_i4[q] = max((3 * q_i4 * q_i4) >> 7, 1)
     tabs = {k: np.stack(v).astype(np.int32) for k, v in out.items()}
     # tabs[k]: [128, 4(q/iq/bias/sharpen), 16]
-    return tabs, lam_i16.astype(np.float32), lam_uv.astype(np.float32)
+    return (tabs, lam_i16.astype(np.float32), lam_uv.astype(np.float32),
+            lam_i4.astype(np.float32))
 
 
 def rd_params(quality: int):
@@ -113,6 +117,7 @@ def rd_params(quality: int):
         "i16": max(3 * q_i16 * q_i16, 1),
         "uv": max((3 * q_uv * q_uv) >> 6, 1),
         "mode": max((1 * q_i4 * q_i4) >> 7, 1),
+        "i4": max((3 * q_i4 * q_i4) >> 7, 1),
     }
     return qp, lambdas
 
@@ -370,7 +375,7 @@ def _mb_quant(seg_map, q_idx, n_mb):
     per-MB lambda vectors (float32 [n_mb]). All int32 selects — the only
     128-wide operation is the tiny one-hot over the 4 segment q indices.
     """
-    tabs, lam_i16, lam_uv = all_q_tables()
+    tabs, lam_i16, lam_uv, lam_i4 = all_q_tables()
     oh_q = jax.nn.one_hot(q_idx, 128, dtype=jnp.int32)          # [4, 128]
     qp = {}
     seg_rows = {}
@@ -382,9 +387,11 @@ def _mb_quant(seg_map, q_idx, n_mb):
         qp[k] = tuple(mb[:, i][:, None, :] for i in range(4))
     lam16_s = (oh_q * jnp.asarray(lam_i16, jnp.float32)).sum(axis=1)  # [4]
     lamuv_s = (oh_q * jnp.asarray(lam_uv, jnp.float32)).sum(axis=1)
+    lami4_s = (oh_q * jnp.asarray(lam_i4, jnp.float32)).sum(axis=1)
     lam16 = _seg_select(lam16_s, seg_map)
     lamuv = _seg_select(lamuv_s, seg_map)
-    return qp, {"i16": lam16, "uv": lamuv}, seg_rows
+    lami4 = _seg_select(lami4_s, seg_map)
+    return qp, {"i16": lam16, "uv": lamuv, "i4": lami4}, seg_rows
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +481,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
         best_uv_score = jnp.where(better, score, best_uv_score)
         best_uv = jnp.where(better, np.uint8(m), best_uv)
 
-    return best_mode, best_uv
+    return best_mode, best_uv, best_score
 
 
 # ---------------------------------------------------------------------------
@@ -482,7 +489,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
 # ---------------------------------------------------------------------------
 
 def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
-            halos=None, has_above=False, seg=None):
+            halos=None, has_above=False, seg=None, i4=None):
     """Exact levels under true reconstructed context.
 
     Returns (lv24 [n_mb, 24, 16] i16, y2 [n_mb, 16] i16).
@@ -495,15 +502,23 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
 
     seg: optional (seg_map [n_mb] i32, seg_rows {y1/y2/uv: [4, 64] f32})
     for per-MB segment quantization; qp is then ignored.
+
+    Returns (lv24 [n_mb,24,16] i16, y2 [n_mb,16] i16, bottom [n_mb,16],
+    right [n_mb,16]) — the reconstructed MB borders feed the I4 phase 3.
     """
     n_mb = mb_w * mb_h
-    n_steps = mb_w + mb_h - 1
+    # I16 needs no top-right neighbor (skew 1); I4 does, so the scan runs
+    # at the reference's 2-column skew (rowSync.waitFor(y-1, x+2)) which
+    # makes the above-right MB's exact reconstruction available one step
+    # ahead of need.
+    sk = 2 if i4 is not None else 1
+    n_steps = mb_w + sk * (mb_h - 1)
     above = jnp.asarray(has_above if halos is not None else False)
 
-    # Static skew maps (numpy): step t, lane y -> MB (x = t - y, y).
+    # Static skew maps (numpy): step t, lane y -> MB (x = t - sk*y, y).
     tt = np.arange(n_steps)[:, None]
     yy = np.arange(mb_h)[None, :]
-    xx = tt - yy
+    xx = tt - sk * yy
     valid_np = (xx >= 0) & (xx < mb_w)
     mb_np = yy * mb_w + np.clip(xx, 0, mb_w - 1)
 
@@ -524,6 +539,9 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
     }
     if seg is not None:
         xs["seg"] = skew(seg[0])
+    if i4 is not None:
+        xs["i4"] = skew(i4[0])
+        xs["i4m"] = skew(i4[1])
     if halos is not None:
         # Halo segments per step for lane 0 (y=0, x=t): top row + corner.
         hy, hu, hv = (h.astype(jnp.int32) for h in halos)
@@ -554,7 +572,12 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
                       jnp.where(m == 2, preds[:, 2], preds[:, 3])))
 
     def step(carry, x):
-        (By, Ry, Cy, Cy2, Bu, Ru, Cu, Cu2, Bv, Rv, Cv, Cv2) = carry
+        # Per plane: bottoms from t-1 and t-2, right cols from t-1,
+        # corners from t-1..t-3 (which history entries feed the contexts
+        # depends on the skew).
+        (By1, By2, Ry, Cy1, Cy2, Cy3,
+         Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+         Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
         has_left = x["valid"] & (x["x"] > 0)
         has_top = x["valid"] & ((lanes_y > 0) | above)
 
@@ -566,16 +589,36 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         else:
             qp_t = qp
 
-        topY, leftY, tlY = shift1(By), Ry, shift1(Cy2)
+        topY = shift1(By2 if sk == 2 else By1)
+        leftY, tlY = Ry, shift1(Cy3 if sk == 2 else Cy2)
         if halos is not None:
             topY = topY.at[0].set(jnp.where(above, x["hy"], topY[0]))
             tlY = tlY.at[0].set(jnp.where(above, x["hty"], tlY[0]))
         predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
         predY_b = _block(sel_mode(predsY, x["m"]), 16)
         lv, y2lv, reconY = _luma_pipe(x["y"].astype(jnp.int32), predY_b, qp_t)
+        rYp = _unblock(reconY, 16)
+        if i4 is not None:
+            from . import i4 as I4
 
-        topU, leftU, tlU = shift1(Bu), Ru, shift1(Cu2)
-        topV, leftV, tlV = shift1(Bv), Rv, shift1(Cv2)
+            # Above-right strip: the exact reconstructed bottom row of
+            # MB (x+1, y-1), computed at step t-1 (skew 2); at the right
+            # edge the spec replicates the last pixel of the row above.
+            trs = shift1(By1)[:, 0:4]
+            edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
+            trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
+            lv_i4, work = I4.i4_reconstruct(
+                x["y"].astype(jnp.int32), x["i4m"], topY, leftY, tlY,
+                trs, has_top, has_left, qp_t["y1"])
+            sel = x["i4"][:, None, None]
+            lv = jnp.where(sel, lv_i4, lv)
+            y2lv = jnp.where(x["i4"][:, None], 0, y2lv)
+            rYp = jnp.where(sel, work, rYp)
+
+        topU = shift1(Bu2 if sk == 2 else Bu1)
+        leftU, tlU = Ru, shift1(Cu3 if sk == 2 else Cu2)
+        topV = shift1(Bv2 if sk == 2 else Bv1)
+        leftV, tlV = Rv, shift1(Cv3 if sk == 2 else Cv2)
         if halos is not None:
             topU = topU.at[0].set(jnp.where(above, x["hu"], topU[0]))
             tlU = tlU.at[0].set(jnp.where(above, x["htu"], tlU[0]))
@@ -588,14 +631,15 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         lvv, reconV = _chroma_pipe(x["v"].astype(jnp.int32),
                                    _block(sel_mode(predsV, x["uvm"]), 8), qp_t)
 
-        rY = _unblock(reconY, 16)
+        rY = rYp
         rU = _unblock(reconU, 8)
         rV = _unblock(reconV, 8)
-        new = (rY[:, 15, :], rY[:, :, 15], rY[:, 15, 15], Cy,
-               rU[:, 7, :], rU[:, :, 7], rU[:, 7, 7], Cu,
-               rV[:, 7, :], rV[:, :, 7], rV[:, 7, 7], Cv)
+        new = (rY[:, 15, :], By1, rY[:, :, 15],
+               rY[:, 15, 15], Cy1, Cy2,
+               rU[:, 7, :], Bu1, rU[:, :, 7], rU[:, 7, 7], Cu1, Cu2,
+               rV[:, 7, :], Bv1, rV[:, :, 7], rV[:, 7, 7], Cv1, Cv2)
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=1).astype(jnp.int16)
-        return new, (lv24, y2lv.astype(jnp.int16))
+        return new, (lv24, y2lv.astype(jnp.int16), rY[:, 15, :], rY[:, :, 15])
 
     # Derive the zero carry from the input so its mesh-varying type matches
     # the step outputs under shard_map (scan requires equal carry types).
@@ -603,18 +647,20 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
     zero16 = jnp.zeros((mb_h, 16), jnp.int32) + z
     zero8 = jnp.zeros((mb_h, 8), jnp.int32) + z
     zero1 = jnp.zeros((mb_h,), jnp.int32) + z
-    carry0 = (zero16, zero16, zero1, zero1,
-              zero8, zero8, zero1, zero1,
-              zero8, zero8, zero1, zero1)
-    _, (lv_sk, y2_sk) = jax.lax.scan(step, carry0, xs)
+    carry0 = (zero16, zero16, zero16, zero1, zero1, zero1,
+              zero8, zero8, zero8, zero1, zero1, zero1,
+              zero8, zero8, zero8, zero1, zero1, zero1)
+    _, (lv_sk, y2_sk, bot_sk, rgt_sk) = jax.lax.scan(step, carry0, xs)
 
-    # Unskew: out[y * mbW + x] = sk[x + y, y].
+    # Unskew: out[y * mbW + x] = skewed[x + sk*y, y].
     yo = np.repeat(np.arange(mb_h), mb_w)
     xo = np.tile(np.arange(mb_w), mb_h)
-    flat_idx = (xo + yo) * mb_h + yo
+    flat_idx = (xo + sk * yo) * mb_h + yo
     lv24 = lv_sk.reshape(n_steps * mb_h, 24, 16)[flat_idx]
     y2 = y2_sk.reshape(n_steps * mb_h, 16)[flat_idx]
-    return lv24, y2
+    bottom = bot_sk.reshape(n_steps * mb_h, 16)[flat_idx]
+    right = rgt_sk.reshape(n_steps * mb_h, 16)[flat_idx]
+    return lv24, y2, bottom, right
 
 
 # ---------------------------------------------------------------------------
@@ -663,10 +709,10 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, qp, lambdas, rt,
     V = V.astype(jnp.int32)
     halos = (hy.astype(jnp.int32), hu.astype(jnp.int32),
              hv.astype(jnp.int32))
-    modes, uvmodes = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h,
+    modes, uvmodes, _ = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h,
+                                halos=halos, has_above=has_above)
+    lv24, y2, _, _ = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
                              halos=halos, has_above=has_above)
-    lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
-                       halos=halos, has_above=has_above)
     packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
     skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
     hist = jnp.histogram(jnp.abs(lv24).astype(jnp.int32), bins=16,
@@ -678,7 +724,7 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, qp, lambdas, rt,
 
 @functools.lru_cache(maxsize=8)
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
-                   sns_strength: int = 0):
+                   sns_strength: int = 0, i4_blocks: bool = True):
     """Batched two-phase device encoder.
 
     Returns fn with:
@@ -709,14 +755,33 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
             qp_i, lam_i, seg = qp, lambdas, None
-        modes, uvmodes = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h)
-        lv24, y2 = _phase2(Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h,
-                           seg=seg)
+        modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
+                                            mb_w, mb_h)
+        if i4_blocks:
+            from . import i4 as I4
+
+            src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
+                           .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
+            is_i4, i4_modes, _ = I4.i4_search(
+                Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
+                i16_score, approx_block_rate)
+            i4_ctx = (is_i4, i4_modes, I4.mb_tr_strips(Y, mb_w, mb_h))
+        else:
+            is_i4 = jnp.zeros((n_mb,), bool)
+            i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
+            i4_ctx = None
+        lv24, y2, bottom, right = _phase2(Y, U, V, modes, uvmodes, qp_i,
+                                          mb_w, mb_h, seg=seg, i4=i4_ctx)
         packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
         skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
+        imodes = jnp.where(is_i4[:, None], i4_modes,
+                           jnp.concatenate(
+                               [modes[:, None],
+                                jnp.zeros((n_mb, 15), jnp.uint8)], axis=1))
         return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
                 "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
-                "uvmodes": uvmodes, "skip": skip,
+                "uvmodes": uvmodes, "skip": skip, "is_i4": is_i4,
+                "imodes": imodes,
                 "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
                 "seg_beta": seg_beta}
 

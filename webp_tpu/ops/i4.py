@@ -1,0 +1,297 @@
+"""Device I4 (4x4 intra) mode search + reconstruction for the fast path.
+
+The 10 B-mode predictors (RFC 6386 ¶12.3; formulas identical to
+webp_tpu/lossy/dsp.py pred_luma4 and the reference predict_lossy.go) are
+built as diagonal-strip slices over batched context vectors — every mode
+is a handful of avg2/avg3 expressions on [L]-lane tensors, no scatters.
+
+Phase 1 scores all 10 modes for every 4x4 subblock at once against
+source-pixel context (the same open-loop approximation as the I16
+search); the mode-signalling cost uses the context-averaged
+FIXED_COSTS_I4 marginals. Phase 2 reconstructs chosen-I4 macroblocks
+closed-loop with a 16-step unrolled subblock walk inside the wavefront
+step; the above-right strip of rightmost subblocks comes from source
+pixels (one 4-pixel approximation per MB — the skew-1 schedule has no
+top-right macroblock).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lossy import tables as T
+from ..lossy.cost import FIXED_COSTS_I4
+from . import dct
+from .quant import quantize
+
+ZIGZAG = np.asarray(T.ZIGZAG)
+I4_MODE_COST = np.asarray(FIXED_COSTS_I4).mean(axis=(0, 1)).astype(np.int32)
+I4_OVERHEAD = 211  # i4 signalling overhead (libwebp constant)
+
+
+def _a2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _a3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _rows(*rows):
+    """Stack 4 [..., 4] rows into [..., 4, 4]."""
+    return jnp.stack(rows, axis=-2)
+
+
+def _cols(c):
+    """[..., 4] -> broadcast down columns [..., 4, 4]."""
+    return jnp.broadcast_to(c[..., :, None], c.shape + (4,))
+
+
+def pred4_all(t, l, tl, tr):
+    """All 10 B-mode predictions.
+
+    t: [..., 4] top row; l: [..., 4] left col; tl: [...]; tr: [..., 4]
+    above-right. Returns list of 10 [..., 4, 4] int32 arrays in mode order
+    DC, TM, VE, HE, RD, VR, LD, VL, HD, HU.
+
+    Built from three filtered strips over the 13-pixel context contour
+    ctx = [l3 l2 l1 l0 tl t0..t7] (one avg op per strip, then slices),
+    keeping the op count low enough to live inside the wavefront scan.
+    """
+    ctx = jnp.concatenate(
+        [l[..., ::-1], tl[..., None], t, tr], axis=-1)     # [..., 13]
+    s3 = _a3(ctx[..., :-2], ctx[..., 1:-1], ctx[..., 2:])  # [..., 11]
+    s2 = _a2(ctx[..., :-1], ctx[..., 1:])                  # [..., 12]
+    # Reversed-left contour [tl l0 l1 l2 l3 l3] for the horizontal modes.
+    lr = jnp.concatenate([ctx[..., 4:5], l, l[..., 3:4]], axis=-1)
+    s3h = _a3(lr[..., :-2], lr[..., 1:-1], lr[..., 2:])    # [..., 4]
+    s2h = _a2(lr[..., :-1], lr[..., 1:])                   # [..., 5]
+    l3 = l[..., 3]
+
+    dc = (t.sum(axis=-1) + l.sum(axis=-1) + 4) >> 3
+    p_dc = jnp.broadcast_to(dc[..., None, None], dc.shape + (4, 4))
+    p_tm = jnp.clip(l[..., :, None] + t[..., None, :] - tl[..., None, None],
+                    0, 255)
+    p_ve = jnp.broadcast_to(s3[..., None, 4:8],
+                            s3.shape[:-1] + (4, 4))
+    p_he = _cols(s3h)
+    # RD: o[r, c] = e[3 - r + c], e = s3 strips centered l2..t2.
+    p_rd = _rows(s3[..., 3:7], s3[..., 2:6], s3[..., 1:5], s3[..., 0:4])
+    c2 = s2[..., 4:8]
+    d3 = s3[..., 3:7]
+    p_vr = _rows(c2, d3,
+                 jnp.concatenate([s3[..., 2:3], c2[..., 0:3]], axis=-1),
+                 jnp.concatenate([s3[..., 1:2], d3[..., 0:3]], axis=-1))
+    # LD: f = s3 centered t1..t6 plus the a3(t6,t7,t7) tail.
+    f = jnp.concatenate([s3[..., 5:11],
+                         _a3(tr[..., 2], tr[..., 3], tr[..., 3])[..., None]],
+                        axis=-1)
+    p_ld = _rows(f[..., 0:4], f[..., 1:5], f[..., 2:6], f[..., 3:7])
+    g2 = s2[..., 5:9]
+    g3 = s3[..., 5:9]
+    p_vl = _rows(g2, g3,
+                 jnp.concatenate([g2[..., 1:4], s3[..., 9:10]], axis=-1),
+                 jnp.concatenate([g3[..., 1:4], s3[..., 10:11]], axis=-1))
+    hd0 = jnp.concatenate([s2h[..., 0:1], s3[..., 3:6]], axis=-1)
+    hd1 = jnp.concatenate([s2h[..., 1:2], s3h[..., 0:1], hd0[..., 0:2]],
+                          axis=-1)
+    hd2 = jnp.concatenate([s2h[..., 2:3], s3h[..., 1:2], hd1[..., 0:2]],
+                          axis=-1)
+    hd3 = jnp.concatenate([s2h[..., 3:4], s3h[..., 2:3], hd2[..., 0:2]],
+                          axis=-1)
+    p_hd = _rows(hd0, hd1, hd2, hd3)
+    l3b = jnp.broadcast_to(l3[..., None], l3.shape + (4,))
+    hu0 = jnp.stack([s2h[..., 1], s3h[..., 1], s2h[..., 2], s3h[..., 2]],
+                    axis=-1)
+    hu1 = jnp.concatenate([hu0[..., 2:4], s2h[..., 3:4], s3h[..., 3:4]],
+                          axis=-1)
+    hu2 = jnp.concatenate([hu1[..., 2:4], l3b[..., 0:2]], axis=-1)
+    p_hu = _rows(hu0, hu1, hu2, l3b)
+
+    return [p_dc, p_tm, p_ve, p_he, p_rd, p_vr, p_ld, p_vl, p_hd, p_hu]
+
+
+def _sb_contexts(Y, mb_w, mb_h):
+    """Source-pixel contexts for every 4x4 subblock.
+
+    Returns (top [n_sb, 4], left [n_sb, 4], tl [n_sb], tr [n_sb, 4]) in
+    MB-major subblock raster order (n_sb = n_mb * 16, sb index = r*4+c),
+    with the reference halo rules: missing top row = 127, missing left
+    col = 129, missing corner follows the top rule, rightmost-column
+    subblocks take the MB-level above-right strip (replicated at the
+    image edge).
+    """
+    H, W = Y.shape
+    n_mb = mb_w * mb_h
+    pad = jnp.full((H + 1, W + 1), 129, jnp.int32)
+    pad = pad.at[0, :].set(127)
+    pad = pad.at[1:, 1:].set(Y)
+    # top rows at pixel rows r*4-1 -> pad rows r*4 sampled every 4.
+    tops = pad[0:H:4, 1:]                                  # [SBH, W]
+    top = tops.reshape(H // 4, mb_w * 4, 4)                # [SBH, SBX, 4]
+    lefts = pad[1:, 0:W:4]                                 # [H, SBX]
+    left = lefts.reshape(mb_h * 4, 4, W // 4).transpose(0, 2, 1)  # [SBY,SBX,4]
+    tl = pad[0:H:4, 0:W:4]                                 # [SBY, SBX]
+
+    # Inner above-right: the next subblock's top strip; for c == 3 the
+    # MB-level strip (row above the MB, cols +16..+20), edge-replicated.
+    tr_next = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=1)
+    mb_tops = pad[0:H:16, 1:]                              # [mbH, W]
+    edge = jnp.broadcast_to(mb_tops[:, -1:, None], (mb_h, 1, 4))
+    # Strip above-right of MB x starts at pixel col x*16 + 16.
+    inner = mb_tops[:, 16:].reshape(mb_h, -1, 4)[:, 0::4]
+    mbtr = jnp.concatenate([inner, edge], axis=1)          # [mbH, mbW, 4]
+
+    def to_mb_order(a):
+        # [SBY, SBX, ...] -> [n_mb, 16, ...] with sb = r*4+c.
+        x = a.reshape(mb_h, 4, mb_w, 4, *a.shape[2:])
+        x = jnp.moveaxis(x, 2, 1)                          # [mbH, mbW, 4r, 4c]
+        return x.reshape(n_mb, 16, *a.shape[2:])
+
+    top_mb = to_mb_order(top)
+    left_mb = to_mb_order(left)
+    tl_mb = to_mb_order(tl[..., None])[..., 0]
+    tr_mb = to_mb_order(tr_next)
+    # Override c == 3 subblocks with the MB strip.
+    mbtr_rep = jnp.broadcast_to(mbtr.reshape(n_mb, 1, 4), (n_mb, 16, 4))
+    is_c3 = (jnp.arange(16) % 4 == 3)[None, :, None]
+    tr_mb = jnp.where(is_c3, mbtr_rep, tr_mb)
+    return top_mb, left_mb, tl_mb, tr_mb
+
+
+def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
+              approx_block_rate):
+    """Open-loop I4 search. Returns (is_i4 [n_mb] bool, modes [n_mb,16] u8,
+    i4_score [n_mb] f32).
+
+    src_b: [n_mb, 16, 4, 4] source luma blocks; qp_y1: quant tuple
+    (broadcastable per MB); lam_i4: scalar or [n_mb] float32.
+    """
+    n_mb = mb_w * mb_h
+    top, left, tl, tr = _sb_contexts(Y, mb_w, mb_h)
+    preds = pred4_all(top, left, tl, tr)                   # 10 x [n,16,4,4]
+    best_score = jnp.full((n_mb, 16), jnp.inf, jnp.float32)
+    best_mode = jnp.zeros((n_mb, 16), jnp.uint8)
+    for m, pred in enumerate(preds):
+        co = dct.fdct4x4(src_b, pred)
+        flat = co.reshape(n_mb, 16, 16)
+        lv, dq = quantize(flat, *qp_y1, ZIGZAG)
+        disto_td = ((flat - dq) ** 2).sum(axis=-1)
+        rate = approx_block_rate(lv, 0, 3, rt) + int(I4_MODE_COST[m])
+        score = (rate.astype(jnp.float32) * lam_i4_col(lam_i4)
+                 + 64.0 * disto_td.astype(jnp.float32))
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mode = jnp.where(better, np.uint8(m), best_mode)
+    i4_score = (best_score.sum(axis=1)
+                + I4_OVERHEAD * lam_i4_flat(lam_i4))
+    return i4_score < i16_score, best_mode, i4_score
+
+
+def lam_i4_col(lam):
+    return lam[:, None] if hasattr(lam, "ndim") and lam.ndim == 1 else lam
+
+
+def lam_i4_flat(lam):
+    return lam if hasattr(lam, "ndim") and lam.ndim == 1 else lam
+
+
+def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
+                   qp_y1):
+    """Fully closed-loop I4 reconstruction, vectorized over macroblocks.
+
+    Runs OUTSIDE the wavefront scan (phase 3): all I4 macroblocks of the
+    whole batch walk their 16 subblocks together, so the 16 serial
+    sub-steps amortize over [B * n_mb] lanes instead of repeating inside
+    every scan step. Within the MB every context pixel is exact
+    reconstruction; the outer borders come from phase 2 (the i16
+    reconstruction of neighbors — see fastpath for the approximation
+    note).
+
+    src_b: [L, 16, 4, 4] int32 (raster subblocks); modes: [L, 16];
+    topY/leftY: [L, 16] border rows; tlY: [L]; trs: [L, 4] above-right
+    strip; has_top/has_left: [L] bool.
+    Returns (lv [L, 16, 16] zigzag, recon [L, 16, 16] plane).
+    """
+    L = src_b.shape[0]
+    top_row = jnp.where(has_top[:, None], topY, 127)       # [L, 16]
+    left_col = jnp.where(has_left[:, None], leftY, 129)
+    tl0 = jnp.where(has_top & has_left, tlY,
+                    jnp.where(has_top, 129, 127))
+    tr_strip = jnp.where(has_top[:, None], trs, 127)
+    q = tuple(a[:, 0] if (hasattr(a, "ndim") and a.ndim == 3) else a
+              for a in qp_y1)
+
+    work = jnp.zeros((L, 16, 16), jnp.int32)
+    lvs = []
+    for n in range(16):
+        r, c = n >> 2, n & 3
+        t = top_row[:, c * 4:c * 4 + 4] if r == 0 \
+            else work[:, r * 4 - 1, c * 4:c * 4 + 4]
+        l = left_col[:, r * 4:r * 4 + 4] if c == 0 \
+            else work[:, r * 4:r * 4 + 4, c * 4 - 1]
+        if r == 0 and c == 0:
+            tl = tl0
+        elif r == 0:
+            tl = top_row[:, c * 4 - 1]
+        elif c == 0:
+            tl = left_col[:, r * 4 - 1]
+        else:
+            tl = work[:, r * 4 - 1, c * 4 - 1]
+        if c == 3:
+            tr = tr_strip
+        elif r == 0:
+            tr = top_row[:, c * 4 + 4:c * 4 + 8]
+        else:
+            tr = work[:, r * 4 - 1, c * 4 + 4:c * 4 + 8]
+
+        preds = pred4_all(t, l, tl, tr)                    # 10 x [L, 4, 4]
+        mode = modes[:, n].astype(jnp.int32)[:, None, None]
+        pred = preds[0]
+        for m in range(1, 10):
+            pred = jnp.where(mode == m, preds[m], pred)
+        co = dct.fdct4x4(src_b[:, n], pred).reshape(L, 16)
+        lv, dq = quantize(co, *q, ZIGZAG)
+        rec = jnp.clip(pred + dct.idct4x4(dq.reshape(L, 4, 4)), 0, 255)
+        lvs.append(lv)
+        work = jax.lax.dynamic_update_slice(work, rec, (0, r * 4, c * 4))
+    return jnp.stack(lvs, axis=1), work
+
+
+def mb_borders(bottom, right, mb_w, mb_h):
+    """Phase-2 border arrays -> per-MB outer contexts for phase 3.
+
+    bottom/right: [n_mb, 16] reconstructed bottom row / right column of
+    every MB. Returns (top [n_mb, 16], left [n_mb, 16], tl [n_mb],
+    trs [n_mb, 4]): the row above, column to the left, corner, and the
+    4-pixel above-right strip (edge-replicated).
+    """
+    n_mb = mb_w * mb_h
+    b2 = bottom.reshape(mb_h, mb_w, 16)
+    r2 = right.reshape(mb_h, mb_w, 16)
+    zrow = jnp.zeros((1, mb_w, 16), bottom.dtype)
+    top = jnp.concatenate([zrow, b2[:-1]], axis=0)         # row above
+    zcol = jnp.zeros((mb_h, 1, 16), right.dtype)
+    left = jnp.concatenate([zcol, r2[:, :-1]], axis=1)
+    corner = jnp.pad(b2[:-1, :-1, 15], ((1, 0), (1, 0)))   # above-left pixel
+    # Above-right strip: first 4 pixels of the above-right MB's bottom row;
+    # right edge replicates the last pixel of the row above.
+    edge = jnp.broadcast_to(top[:, -1:, 15:16], (mb_h, 1, 4))
+    trs = jnp.concatenate([top[:, 1:, 0:4], edge], axis=1)
+    return (top.reshape(n_mb, 16), left.reshape(n_mb, 16),
+            corner.reshape(n_mb), trs.reshape(n_mb, 4))
+
+
+def mb_tr_strips(Y, mb_w, mb_h):
+    """Source above-right strip per MB ([n_mb, 4]): pixels at row
+    my*16 - 1, cols mx*16+16..+20 (replicated at the right edge, 127 when
+    masked by the caller on the top row)."""
+    H, W = Y.shape
+    pad = jnp.full((H + 1, W), 127, jnp.int32)
+    pad = pad.at[1:, :].set(Y)
+    mb_tops = pad[0:H:16, :]                               # [mbH, W]
+    edge = jnp.broadcast_to(mb_tops[:, -1:, None], (mb_h, 1, 4))
+    inner = mb_tops[:, 16:].reshape(mb_h, -1, 4)[:, 0::4]
+    return jnp.concatenate([inner, edge], axis=1).reshape(mb_h * mb_w, 4)
