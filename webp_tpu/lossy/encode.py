@@ -662,8 +662,9 @@ class VP8Encoder:
         else:
             bw.put_bit(0x80, 0)
         # MB modes.
-        if use_native and self.num_segments > 1:
-            use_native = False  # segment ids: python writer (native ext later)
+        if (use_native and self.num_segments > 1
+                and not hasattr(native.get(), "bw_write_mb_modes_seg")):
+            use_native = False  # prebuilt .so without the segment writer
         if use_native:
             nmb = self.mb_h * self.mb_w
             bw.write_mb_modes(
@@ -674,7 +675,12 @@ class VP8Encoder:
                 1 if self.num_skip > 0 else 0, self.skip_proba,
                 np.ascontiguousarray(T.BMODE_PROBA, dtype=np.uint8),
                 np.ascontiguousarray(T.YMODES_INTRA4_TREE, dtype=np.int8),
-                self.mb_w, self.mb_h)
+                self.mb_w, self.mb_h,
+                seg_map=np.ascontiguousarray(
+                    self.segment_map.reshape(nmb), dtype=np.uint8),
+                seg_probas=np.ascontiguousarray(
+                    self.plan.probas, dtype=np.uint8),
+                num_segments=self.num_segments)
         else:
             self._write_mb_modes(bw)
         return bw.finish()

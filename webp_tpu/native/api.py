@@ -23,6 +23,12 @@ def _setup(lib):
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
         ct.c_int, ct.c_int, ct.c_void_p, ct.c_void_p, ct.c_int, ct.c_int,
     ]
+    if hasattr(lib, "bw_write_mb_modes_seg"):
+        lib.bw_write_mb_modes_seg.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_int, ct.c_int, ct.c_void_p, ct.c_void_p, ct.c_int, ct.c_int,
+            ct.c_void_p, ct.c_void_p, ct.c_int,
+        ]
     lib.vp8_emit_tokens.argtypes = [
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
         ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_void_p,
@@ -80,7 +86,16 @@ class NativeBoolWriter:
         return int(self._lib.bw_size(self._h))
 
     def write_mb_modes(self, imodes, is_i4, uvmode, skip, use_skip, skip_prob,
-                       bmode_prob, tree, mb_w, mb_h) -> None:
+                       bmode_prob, tree, mb_w, mb_h, seg_map=None,
+                       seg_probas=None, num_segments=1) -> None:
+        if num_segments > 1:
+            self._lib.bw_write_mb_modes_seg(
+                self._h,
+                _ptr(imodes), _ptr(is_i4), _ptr(uvmode), _ptr(skip),
+                int(use_skip), int(skip_prob), _ptr(bmode_prob), _ptr(tree),
+                mb_w, mb_h, _ptr(seg_map), _ptr(seg_probas),
+                int(num_segments))
+            return
         self._lib.bw_write_mb_modes(
             self._h,
             _ptr(imodes), _ptr(is_i4), _ptr(uvmode), _ptr(skip),

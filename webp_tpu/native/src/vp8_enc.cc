@@ -251,11 +251,13 @@ long bw_finish(void* h, uint8_t* out, long cap) {
 }
 
 // Writes the per-MB mode records into an existing bool writer (partition 0).
-void bw_write_mb_modes(void* h, const uint8_t* imodes /*[nmb][16]*/,
+static void write_mb_modes_impl(void* h, const uint8_t* imodes,
                        const uint8_t* is_i4, const uint8_t* uvmode,
                        const uint8_t* skip, int use_skip, int skip_prob,
-                       const uint8_t* bmode_prob /*[10][10][9]*/,
-                       const int8_t* tree /*[18]*/, int mb_w, int mb_h) {
+                       const uint8_t* bmode_prob,
+                       const int8_t* tree, int mb_w, int mb_h,
+                       const uint8_t* seg_map, const uint8_t* seg_probas,
+                       int num_segments) {
   BoolWriter* bw = (BoolWriter*)h;
   // Precompute tree paths for each mode.
   int path_node[10][8], path_bit[10][8], path_len[10];
@@ -293,6 +295,16 @@ void bw_write_mb_modes(void* h, const uint8_t* imodes /*[nmb][16]*/,
     memset(left.data(), 0, 4);
     for (int mb_x = 0; mb_x < mb_w; ++mb_x) {
       int mb = mb_y * mb_w + mb_x;
+      if (num_segments > 1) {
+        int seg = seg_map[mb];
+        if (seg < 2) {
+          bw->put_bit(seg_probas[0], 0);
+          bw->put_bit(seg_probas[1], seg & 1);
+        } else {
+          bw->put_bit(seg_probas[0], 1);
+          bw->put_bit(seg_probas[2], seg & 1);
+        }
+      }
       if (use_skip) bw->put_bit(skip_prob, skip[mb] ? 1 : 0);
       if (is_i4[mb]) {
         bw->put_bit(145, 0);
@@ -420,3 +432,24 @@ void vp8_record_stats(const int32_t* levels, const int32_t* y2_levels,
 }
 
 }  // extern "C"
+
+extern "C" void bw_write_mb_modes(void* h, const uint8_t* imodes,
+                       const uint8_t* is_i4, const uint8_t* uvmode,
+                       const uint8_t* skip, int use_skip, int skip_prob,
+                       const uint8_t* bmode_prob,
+                       const int8_t* tree, int mb_w, int mb_h) {
+  write_mb_modes_impl(h, imodes, is_i4, uvmode, skip, use_skip, skip_prob,
+                      bmode_prob, tree, mb_w, mb_h, nullptr, nullptr, 1);
+}
+
+extern "C" void bw_write_mb_modes_seg(void* h, const uint8_t* imodes,
+                       const uint8_t* is_i4, const uint8_t* uvmode,
+                       const uint8_t* skip, int use_skip, int skip_prob,
+                       const uint8_t* bmode_prob,
+                       const int8_t* tree, int mb_w, int mb_h,
+                       const uint8_t* seg_map, const uint8_t* seg_probas,
+                       int num_segments) {
+  write_mb_modes_impl(h, imodes, is_i4, uvmode, skip, use_skip, skip_prob,
+                      bmode_prob, tree, mb_w, mb_h, seg_map, seg_probas,
+                      num_segments);
+}
