@@ -158,3 +158,49 @@ def test_device_escape_overflow_falls_back():
     data = webp_tpu.encode_batch([noise], quality=99)[0]
     ref = pil_decode_rgba(data)[..., :3]
     assert np.array_equal(webp_tpu.decode(data), ref)
+
+
+def test_i4_predictors_match_host():
+    """Device strip-built B-mode predictors vs the scalar host oracle."""
+    import jax.numpy as jnp
+
+    from webp_tpu.lossy import dsp
+    from webp_tpu.ops.i4 import pred4_all
+
+    t = RNG.integers(0, 256, (64, 4))
+    l = RNG.integers(0, 256, (64, 4))
+    tl = RNG.integers(0, 256, 64)
+    tr = RNG.integers(0, 256, (64, 4))
+    preds = pred4_all(jnp.asarray(t), jnp.asarray(l), jnp.asarray(tl),
+                      jnp.asarray(tr))
+    for m in range(10):
+        got = np.asarray(preds[m])
+        for i in range(64):
+            want = dsp.pred_luma4(m, t[i], l[i], int(tl[i]), tr[i])
+            assert np.array_equal(got[i], want), (m, i)
+
+
+def test_device_quality_near_libwebp():
+    """The full device path (segments + SNS + I4) must stay within 12%
+    of libwebp method-4 size at no more than 0.35 dB PSNR deficit."""
+    import io
+
+    import webp_tpu
+    from tests.conftest import pil_decode_rgba
+
+    img = np.array(Image.open("/root/reference/testdata/test_color.png")
+                   .convert("RGB"))[:256, :384]
+    ours = webp_tpu.encode(img, quality=75, backend="device")
+    od = pil_decode_rgba(ours)[..., :3]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="WEBP", quality=75, method=4)
+    ld = pil_decode_rgba(buf.getvalue())[..., :3]
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    assert len(ours) < len(buf.getvalue()) * 1.12, \
+        (len(ours), len(buf.getvalue()))
+    assert psnr(img, od) > psnr(img, ld) - 0.35, \
+        (psnr(img, od), psnr(img, ld))
