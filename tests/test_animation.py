@@ -128,3 +128,33 @@ def test_sharpyuv_encode_decodes(frames_rgba):
     out = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
     assert out.shape == img.shape
     assert np.array_equal(webp_tpu.decode(data), out)
+
+
+def test_device_batched_animation_encode():
+    """Frame-parallel device animation encode (P6): full-canvas ANMF
+    frames via the batched device path; libwebp must decode each frame to
+    the source within lossy tolerance, and identical frames must merge."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from webp_tpu.animation.animation import encode_animation_device
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    frames = [np.roll(base, 5 * i, axis=1).copy() for i in range(5)]
+    frames.insert(2, frames[2].copy())  # duplicate -> merges
+
+    data = encode_animation_device(frames, 40, quality=80)
+    im = Image.open(io.BytesIO(data))
+    assert getattr(im, "is_animated", False)
+    assert im.n_frames == 5  # duplicate merged
+    im.seek(2)
+    assert im.info.get("duration", 80) in (40, 80)
+    for i, want_roll in enumerate([0, 5, 10, 15, 20]):
+        im.seek(i)
+        got = np.array(im.convert("RGB"))
+        want = np.roll(base, want_roll, axis=1)
+        mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) > 22, i

@@ -307,3 +307,46 @@ def encode_animation(frames: List[np.ndarray], durations, **options) -> bytes:
     for f, d in zip(frames, durations):
         enc.add_frame(f, d)
     return enc.assemble()
+
+
+def encode_animation_device(frames: List[np.ndarray], durations,
+                            quality: int = 75, loop_count: int = 0,
+                            batch: int = 8) -> bytes:
+    """Frame-parallel animated-WebP encode on the device (SURVEY.md §2.7
+    P6: animation frames are the temporal data-parallel axis; here they
+    ride the encode batch — on a multi-chip mesh the same batch axis is
+    sharded over 'dp').
+
+    Every frame is stored as a full-canvas ANMF (no sub-rect diffing:
+    frames become independent, which is exactly what makes them
+    device-batchable); identical consecutive frames still merge into the
+    previous frame's duration. Lossy only, alpha ignored (opaque canvas).
+    """
+    if not frames:
+        raise WebPError("animation: no frames")
+    frames = [np.asarray(f, dtype=np.uint8)[..., :3] for f in frames]
+    h, w = frames[0].shape[:2]
+    if isinstance(durations, int):
+        durations = [durations] * len(frames)
+
+    # Identical-frame merge (host, cheap): keep unique runs.
+    keep = []      # (frame, duration)
+    for f, d in zip(frames, durations):
+        if keep and np.array_equal(keep[-1][0], f):
+            keep[-1] = (keep[-1][0], keep[-1][1] + d)
+        else:
+            keep.append((f, int(d)))
+
+    from ..lossy.device_encode import encode_lossy_stream
+
+    bitstreams = encode_lossy_stream([f for f, _ in keep], quality=quality,
+                                     batch=batch)
+    mux = Muxer()
+    mux.loop_count = loop_count
+    mux.canvas_width = w
+    mux.canvas_height = h
+    for (f, d), bits in zip(keep, bitstreams):
+        mux.add_frame(MuxFrame(bitstream=bits, duration_ms=d,
+                               blend=BlendMethod.NONE,
+                               dispose=DisposeMethod.NONE))
+    return mux.assemble()
