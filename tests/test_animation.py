@@ -141,8 +141,8 @@ def test_device_batched_animation_encode():
 
     from webp_tpu.animation.animation import encode_animation_device
 
-    rng = np.random.default_rng(7)
-    base = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    base = np.array(Image.open("/root/reference/testdata/test.png")
+                    .convert("RGB").resize((96, 64)))
     frames = [np.roll(base, 5 * i, axis=1).copy() for i in range(5)]
     frames.insert(2, frames[2].copy())  # duplicate -> merges
 
