@@ -261,8 +261,11 @@ def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
     best_hit = None    # (q, data): best result satisfying the target
     best_any = None    # fallback when no pass satisfies it
     max_passes = max(3, opts.pass_count if opts.pass_count > 1 else 6)
+    # Rate-control passes sweep quality; the device path compiles one
+    # program per quality value, so the search runs on the host encoder.
+    backend = "host" if opts.backend in ("device", "auto") else opts.backend
     for p in range(max_passes):
-        data = _encode_lossy(a, replace(opts, quality=q,
+        data = _encode_lossy(a, replace(opts, quality=q, backend=backend,
                                         target_size=0, target_psnr=0.0))
         if opts.target_size > 0:
             hit = len(data) <= opts.target_size

@@ -105,8 +105,9 @@ class DeviceVP8Encoder(VP8Encoder):
     def encode(self) -> bytes:
         from ..ops.fastpath import fast_encode_fn, unpack_levels
 
+        use_i4 = bool(self.cfg.i4_blocks) and self.cfg.method >= 3
         fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
-                            self.dev_segments, self.dev_sns)
+                            self.dev_segments, self.dev_sns, use_i4)
         if self.rgb_input is not None:
             out = fn.rgb(self.rgb_input[None])
         else:
