@@ -158,3 +158,32 @@ def test_device_batched_animation_encode():
         want = np.roll(base, want_roll, axis=1)
         mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
         assert 10 * np.log10(255.0 ** 2 / mse) > 22, i
+
+
+def test_mixed_codec_animation():
+    """allow_mixed picks the smaller codec per frame (animation.go:638):
+    flat graphics frames should come out lossless, photo frames lossy."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from webp_tpu.animation.animation import AnimEncoder, AnimEncodeOptions
+    from webp_tpu.container.parser import Parser
+
+    photo = np.array(Image.open("/root/reference/testdata/test.png")
+                     .convert("RGBA").resize((64, 48)))
+    flat = np.zeros((48, 64, 4), np.uint8)
+    flat[..., 1] = 200
+    flat[..., 3] = 255
+
+    enc = AnimEncoder(64, 48, AnimEncodeOptions(allow_mixed=True, kmax=1))
+    enc.add_frame(photo, 40)
+    enc.add_frame(flat, 40)
+    data = enc.assemble()
+    frames = Parser(data).frames()
+    assert len(frames) == 2
+    kinds = [f.is_lossless for f in frames]
+    assert kinds[1], "flat frame should choose lossless"
+    im = Image.open(io.BytesIO(data))
+    assert im.n_frames == 2

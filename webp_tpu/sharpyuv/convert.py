@@ -36,38 +36,20 @@ RGB_TO_V = (28800, -24116, -4684, 128 << 16)
 
 _g2l = None
 _l2g = None
+_transfer = None
 
 
-def _init_tables():
-    global _g2l, _l2g
-    if _g2l is not None:
+def _init_tables(transfer: str = "bt709"):
+    """Builds the fixed-point transfer tables. The default BT.709/601
+    curve matches the reference's kGammaF path; the full CICP set from
+    gamma.py (sRGB, PQ, HLG, log, ...) is selectable."""
+    global _g2l, _l2g, _transfer
+    if _g2l is not None and _transfer == transfer:
         return
-    a = 0.09929682680944
-    thresh = 0.018053968510807
-    final_scale = float(1 << LINEAR_BITS)
-    g2l = np.empty(G2L_SIZE + 2, dtype=np.int64)
-    norm = 1.0 / G2L_SIZE
-    a_rec = 1.0 / (1.0 + a)
-    for v in range(G2L_SIZE + 1):
-        g = norm * v
-        if g <= thresh * 4.5:
-            value = g / 4.5
-        else:
-            value = (a_rec * (g + a)) ** (1.0 / 0.45)
-        g2l[v] = int(value * final_scale + 0.5)
-    g2l[G2L_SIZE + 1] = g2l[G2L_SIZE]
-    l2g = np.empty(L2G_SIZE + 2, dtype=np.int64)
-    scale = 1.0 / L2G_SIZE
-    for v in range(L2G_SIZE + 1):
-        g = scale * v
-        if g <= thresh:
-            value = 4.5 * g
-        else:
-            value = (1.0 + a) * (g ** 0.45) - a
-        l2g[v] = int(final_scale * value + 0.5)
-    l2g[L2G_SIZE + 1] = l2g[L2G_SIZE]
-    _g2l = g2l
-    _l2g = l2g
+    from .gamma import build_tables
+
+    _g2l, _l2g = build_tables(transfer, G2L_SIZE, L2G_SIZE, LINEAR_BITS)
+    _transfer = transfer
 
 
 def _gamma_to_linear(v: np.ndarray) -> np.ndarray:
@@ -142,9 +124,9 @@ def _interpolate(best_y: np.ndarray, best_uv: np.ndarray) -> np.ndarray:
     return np.clip(out + best_y[:, :, None], 0, MAX_Y)
 
 
-def sharp_rgb_to_yuv420_planes(rgb: np.ndarray):
+def sharp_rgb_to_yuv420_planes(rgb: np.ndarray, transfer: str = "bt709"):
     """RGB uint8 [h, w, 3] -> (Y [h,w], U, V [(h+1)/2, (w+1)/2]) uint8."""
-    _init_tables()
+    _init_tables(transfer)
     height, width = rgb.shape[:2]
     w = (width + 1) & ~1
     h = (height + 1) & ~1
@@ -199,14 +181,14 @@ def sharp_rgb_to_yuv420_planes(rgb: np.ndarray):
     return Y, U, V
 
 
-def sharp_rgb_to_yuv420(rgb: np.ndarray):
+def sharp_rgb_to_yuv420(rgb: np.ndarray, transfer: str = "bt709"):
     """Like encoder.rgb_to_yuv420 but using the sharp algorithm; returns
     MB-padded planes ready for VP8Encoder."""
     from ..encoder import _pad_plane
 
     h, w = rgb.shape[:2]
     mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
-    Ys, Us, Vs = sharp_rgb_to_yuv420_planes(rgb)
+    Ys, Us, Vs = sharp_rgb_to_yuv420_planes(rgb, transfer)
     Y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
     U = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
     V = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
