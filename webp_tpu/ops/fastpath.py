@@ -329,23 +329,22 @@ def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
 
     def iterate(centers, _):
         seg_of = assign(centers)
-        oh = (seg_of[:, None] == ks[None, :]).astype(jnp.int64)  # [256, S]
+        oh = (seg_of[:, None] == ks[None, :]).astype(jnp.int32)  # [256, S]
         accum = (histo[:, None] * oh).sum(axis=0)
         dist = ((histo * bins)[:, None] * oh).sum(axis=0)
         new_c = jnp.where(accum > 0,
                           (dist + accum // 2) // jnp.maximum(accum, 1),
-                          centers.astype(jnp.int64)).astype(jnp.int32)
+                          centers).astype(jnp.int32)
         return new_c, None
 
     centers, _ = jax.lax.scan(iterate, centers, None, length=6)
     seg_of_alpha = assign(centers)
     seg_map = seg_of_alpha[alphas]
 
-    oh = (seg_of_alpha[:, None] == ks[None, :]).astype(jnp.int64)
+    oh = (seg_of_alpha[:, None] == ks[None, :]).astype(jnp.int32)
     accum = (histo[:, None] * oh).sum(axis=0)
     total_w = jnp.maximum(accum.sum(), 1)
-    weighted_avg = ((centers.astype(jnp.int64) * accum).sum()
-                    + total_w // 2) // total_w
+    weighted_avg = ((centers * accum).sum() + total_w // 2) // total_w
     min_c, max_c = centers.min(), centers.max()
     range_c = jnp.maximum(max_c - min_c, 1)
     alpha_n = jnp.clip(255 * (centers - weighted_avg) // range_c, -127, 127)
