@@ -94,6 +94,23 @@ def main() -> None:
     assert len(res) == len(imgs) and all(len(o) > 0 for o in res)
     value = len(imgs) * mpx / min(times)
 
+    # Companion paths (host-side, single core): lossless enc/dec, lossy dec.
+    import webp_tpu
+
+    ll = webp_tpu.encode(rgb, lossless=True)
+    t0 = time.perf_counter()
+    webp_tpu.encode(rgb, lossless=True)
+    ll_enc = mpx / (time.perf_counter() - t0)
+    webp_tpu.decode(ll)
+    t0 = time.perf_counter()
+    webp_tpu.decode(ll)
+    ll_dec = mpx / (time.perf_counter() - t0)
+    lossy = res[0]
+    webp_tpu.decode(lossy)
+    t0 = time.perf_counter()
+    webp_tpu.decode(lossy)
+    lossy_dec = mpx / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "lossy_encode_q75_mpx_per_s",
         "value": round(value, 4),
@@ -103,9 +120,14 @@ def main() -> None:
         "detail": {
             "device_compute_mpx_per_s": round(dev_mpx_s, 2),
             "device_compute_vs_baseline": round(dev_mpx_s / BASELINE_MPX_S, 3),
+            "lossless_encode_mpx_per_s": round(ll_enc, 2),
+            "lossless_decode_mpx_per_s": round(ll_dec, 2),
+            "lossy_decode_mpx_per_s": round(lossy_dec, 2),
             "note": "end-to-end is bound by the dev-harness tunnel "
                     "(~10-30 MB/s to the chip, ~100x below PCIe); "
-                    "device_compute is the chip-side encode throughput",
+                    "device_compute is the chip-side encode throughput; "
+                    "host-side paths run on this harness's single CPU core "
+                    "(reference numbers use all M5 Max cores)",
         },
     }))
 
