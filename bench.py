@@ -105,7 +105,9 @@ def main() -> None:
     t0 = time.perf_counter()
     webp_tpu.decode(ll)
     ll_dec = mpx / (time.perf_counter() - t0)
-    lossy = res[0]
+    from webp_tpu.container import riff as r
+
+    lossy = r.assemble_riff([r.Chunk(r.VP8, res[0])])
     webp_tpu.decode(lossy)
     t0 = time.perf_counter()
     webp_tpu.decode(lossy)
