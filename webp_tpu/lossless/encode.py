@@ -543,6 +543,23 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         bw.write_bits(bits - 2, 3)
         residuals, tile_img = predictor_transform(cur, bits, quality)
         _encode_entropy_coded_image(bw, tile_img, sub_sample_size(w, bits), quality)
+        # Cross-color transform (applied on the predictor residuals,
+        # reference ColorSpaceTransform order) when it pays for itself.
+        cc = None
+        if quality >= 25 and method >= 2:
+            try:
+                from ..native.api import vp8l_cross_color
+
+                cc = vp8l_cross_color(residuals, bits)
+            except Exception:
+                cc = None
+        if cc is not None and cc[2] > 1024.0:
+            residuals, cc_tiles, _ = cc
+            bw.write_bits(1, 1)
+            bw.write_bits(1, 2)  # CROSS_COLOR
+            bw.write_bits(bits - 2, 3)
+            _encode_entropy_coded_image(bw, cc_tiles.reshape(-1),
+                                        sub_sample_size(w, bits), quality)
         bw.write_bits(0, 1)  # no more transforms
         _encode_entropy_coded_image(bw, residuals.reshape(-1), w, quality,
                                     is_level0=True)

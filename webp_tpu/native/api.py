@@ -309,3 +309,26 @@ def vp8l_decode(payload: bytes):
     if rc != 0:
         raise BitstreamError("webp: malformed VP8L stream")
     return out.reshape(h, w), bool(oa.value)
+
+
+def vp8l_cross_color(img: np.ndarray, bits: int):
+    """Cross-color transform search+apply -> (out u32 [h,w],
+    tiles u32 [ty,tx], gain_bits float); None if unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8l_cross_color"):
+        return None
+    if not getattr(lib, "_vp8l_cc_ready", False):
+        lib.vp8l_cross_color.argtypes = [
+            ct.c_void_p, ct.c_long, ct.c_long, ct.c_int,
+            ct.c_void_p, ct.c_void_p,
+        ]
+        lib.vp8l_cross_color.restype = ct.c_double
+        lib._vp8l_cc_ready = True
+    h, w = img.shape
+    img = np.ascontiguousarray(img, dtype=np.uint32)
+    tile = 1 << bits
+    ty, tx = (h + tile - 1) >> bits, (w + tile - 1) >> bits
+    out = np.empty((h, w), dtype=np.uint32)
+    tiles = np.empty((ty, tx), dtype=np.uint32)
+    gain = lib.vp8l_cross_color(_ptr(img), h, w, bits, _ptr(out), _ptr(tiles))
+    return out, tiles, float(gain)

@@ -142,3 +142,142 @@ void vp8l_predictor_transform(const uint32_t* img, long h, long w, int bits,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Cross-color transform (encoder side).
+//
+// Per-tile search of the green->red / green->blue / red->blue multipliers
+// (reference encode_predictor.go ColorSpaceTransform / libwebp
+// VP8LColorSpaceTransform): halving-step descent on the Shannon entropy of
+// the transformed channel histogram, ties preferring zero multipliers.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace {
+
+inline int32_t Delta(int8_t m, int8_t c) {
+  return ((int32_t)m * (int32_t)c) >> 5;
+}
+
+double HistoBits(const int* histo, int total) {
+  if (total == 0) return 0.0;
+  double sum = 0.0;
+  for (int i = 0; i < 256; ++i)
+    if (histo[i]) sum += histo[i] * std::log2((double)histo[i]);
+  return total * std::log2((double)total) - sum;
+}
+
+struct TilePix {
+  const uint32_t* img;
+  long w;
+  long x0, y0, x1, y1;
+  template <typename F>
+  void ForEach(F f) const {
+    for (long y = y0; y < y1; ++y)
+      for (long x = x0; x < x1; ++x) f(img[y * w + x]);
+  }
+  int Count() const { return (int)((x1 - x0) * (y1 - y0)); }
+};
+
+double RedCost(const TilePix& t, int g2r) {
+  int histo[256] = {0};
+  t.ForEach([&](uint32_t px) {
+    const int8_t g = (int8_t)(px >> 8);
+    histo[((int)(px >> 16) - Delta((int8_t)g2r, g)) & 0xFF]++;
+  });
+  double c = HistoBits(histo, t.Count());
+  if (g2r != 0) c += 0.5;  // prefer zero on ties
+  return c;
+}
+
+double BlueCost(const TilePix& t, int g2r, int g2b, int r2b) {
+  (void)g2r;
+  int histo[256] = {0};
+  t.ForEach([&](uint32_t px) {
+    const int8_t g = (int8_t)(px >> 8);
+    const int8_t r = (int8_t)(px >> 16);
+    histo[((int)(px & 0xFF) - Delta((int8_t)g2b, g) -
+           Delta((int8_t)r2b, r)) & 0xFF]++;
+  });
+  double c = HistoBits(histo, t.Count());
+  if (g2b != 0) c += 0.5;
+  if (r2b != 0) c += 0.5;
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: [h, w] u32 residual ARGB (after subtract-green + predictor).
+// Writes transformed pixels to out and per-tile multiplier pixels
+// (0xff000000 | r2b<<16 | g2b<<8 | g2r) to tiles [ty, tx]. Returns the
+// estimated bit gain (entropy reduction) of applying the transform.
+double vp8l_cross_color(const uint32_t* img, long h, long w, int bits,
+                        uint32_t* out, uint32_t* tiles) {
+  const long tile = 1L << bits;
+  const long tx = (w + tile - 1) >> bits;
+  const long ty = (h + tile - 1) >> bits;
+  double gain = 0.0;
+  for (long tyi = 0; tyi < ty; ++tyi) {
+    for (long txi = 0; txi < tx; ++txi) {
+      TilePix t{img, w, txi * tile, tyi * tile,
+                std::min((txi + 1) * tile, w), std::min((tyi + 1) * tile, h)};
+      // Green -> red.
+      int g2r = 0;
+      double best_r = RedCost(t, 0);
+      const double base_r = best_r;
+      for (int step = 32; step >= 1; step >>= 1) {
+        for (int sgn = -1; sgn <= 1; sgn += 2) {
+          const int cand = g2r + sgn * step;
+          if (cand < -128 || cand > 127) continue;
+          const double c = RedCost(t, cand);
+          if (c < best_r) {
+            best_r = c;
+            g2r = cand;
+          }
+        }
+      }
+      // (green, red) -> blue, coordinate descent.
+      int g2b = 0, r2b = 0;
+      double best_b = BlueCost(t, g2r, 0, 0);
+      const double base_b = best_b;
+      for (int step = 32; step >= 1; step >>= 1) {
+        for (int axis = 0; axis < 2; ++axis) {
+          for (int sgn = -1; sgn <= 1; sgn += 2) {
+            const int cg = g2b + (axis == 0 ? sgn * step : 0);
+            const int cr = r2b + (axis == 1 ? sgn * step : 0);
+            if (cg < -128 || cg > 127 || cr < -128 || cr > 127) continue;
+            const double c = BlueCost(t, g2r, cg, cr);
+            if (c < best_b) {
+              best_b = c;
+              g2b = cg;
+              r2b = cr;
+            }
+          }
+        }
+      }
+      gain += (base_r - best_r) + (base_b - best_b);
+      tiles[tyi * tx + txi] = 0xFF000000u |
+                              ((uint32_t)(uint8_t)r2b << 16) |
+                              ((uint32_t)(uint8_t)g2b << 8) |
+                              (uint32_t)(uint8_t)g2r;
+      // Apply.
+      for (long y = t.y0; y < t.y1; ++y) {
+        for (long x = t.x0; x < t.x1; ++x) {
+          const uint32_t px = img[y * w + x];
+          const int8_t g = (int8_t)(px >> 8);
+          const int8_t r = (int8_t)(px >> 16);
+          const uint32_t nr = ((px >> 16) - Delta((int8_t)g2r, g)) & 0xFF;
+          const uint32_t nb = ((px & 0xFF) - Delta((int8_t)g2b, g) -
+                               Delta((int8_t)r2b, r)) & 0xFF;
+          out[y * w + x] = (px & 0xFF00FF00u) | (nr << 16) | nb;
+        }
+      }
+    }
+  }
+  return gain;
+}
+
+}  // extern "C"
