@@ -573,16 +573,239 @@ void EmitTokens(BitWriter* bw, const std::vector<Token>& toks,
   }
 }
 
-}  // namespace
 
-extern "C" {
+// ---------------------------------------------------------------------------
+// Meta-Huffman clustering (encoder): per-tile histograms -> greedy streaming
+// clusters -> remap -> entropy image + per-group trees (the reference's
+// GetHistoImageSymbols role, encode_histogram.go:1400, simplified: streaming
+// assignment + one remap pass instead of stochastic merging).
+// ---------------------------------------------------------------------------
 
-// Encodes one entropy-coded image stream (cache bit + optional meta-huffman
-// bit + 5 trees + LZ77 tokens). Returns number of bits written to `out`
-// (bit 0 = LSB of out[0]), or -1 on overflow.
-long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
-                               int quality, int is_level0, uint8_t* out,
-                               long cap_bytes) {
+double TreeCostEstimate(const Histos& hs) {
+  double c = 0;
+  for (int i = 0; i < 5; ++i) {
+    long nnz = 0;
+    for (int64_t v : hs.h[i]) nnz += (v > 0);
+    c += 40.0 + 5.0 * nnz;
+  }
+  return c;
+}
+
+double AddCostDelta(const Histos& c, const Histos& t) {
+  // HistoCostBits(c + t) - HistoCostBits(c), touching log2 only where the
+  // tile histogram is nonzero (tiles are tiny; clusters are wide).
+  double d = 0;
+  for (int i = 0; i < 5; ++i) {
+    int64_t tc = 0, tt = 0;
+    for (int64_t v : c.h[i]) tc += v;
+    for (int64_t v : t.h[i]) tt += v;
+    if (tt == 0) continue;
+    for (size_t j = 0; j < t.h[i].size(); ++j) {
+      const int64_t b = t.h[i][j];
+      if (!b) continue;
+      const int64_t a = c.h[i][j];
+      d -= (a + b) * std::log2((double)(a + b));
+      if (a) d += a * std::log2((double)a);
+    }
+    d += (tc + tt) * std::log2((double)(tc + tt));
+    if (tc) d -= tc * std::log2((double)tc);
+  }
+  return d;
+}
+
+void AddHistos(Histos* a, const Histos& b) {
+  for (int i = 0; i < 5; ++i)
+    for (size_t j = 0; j < a->h[i].size(); ++j) a->h[i][j] += b.h[i][j];
+}
+
+void AddToken(Histos* hs, const Token& t, const PlaneMap& pm) {
+  int code, nbits;
+  uint32_t extra;
+  if (t.kind == 0) {
+    hs->h[0][(t.v >> 8) & 0xFF]++;
+    hs->h[1][(t.v >> 16) & 0xFF]++;
+    hs->h[2][t.v & 0xFF]++;
+    hs->h[3][(t.v >> 24) & 0xFF]++;
+  } else if (t.kind == 1) {
+    PrefixEncode(t.v, &code, &nbits, &extra);
+    hs->h[0][kNumLiteral + code]++;
+    PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
+    hs->h[4][code]++;
+  } else {
+    hs->h[0][kNumLiteral + kNumLength + t.v]++;
+  }
+}
+
+struct MetaPlan {
+  int hb = 0;
+  long tx = 0, ty = 0;
+  std::vector<uint16_t> tile_group;   // [tx*ty]
+  int num_groups = 0;
+  double cost = 0;                    // token+tree bits estimate
+};
+
+bool BuildMetaPlan(const std::vector<Token>& toks, const PlaneMap& pm,
+                   long n, int xsize, int cache_bits, MetaPlan* plan) {
+  const long ysize = n / xsize;
+  int hb = 3;
+  while (hb < 9 &&
+         (((xsize + (1L << hb) - 1) >> hb) *
+          ((ysize + (1L << hb) - 1) >> hb)) > 2048)
+    ++hb;
+  const long tx = (xsize + (1L << hb) - 1) >> hb;
+  const long ty = (ysize + (1L << hb) - 1) >> hb;
+  const long T = tx * ty;
+  if (T < 4) return false;
+
+  std::vector<Histos> th((size_t)T);
+  for (auto& h : th) h.Init(cache_bits);
+  long pos = 0;
+  for (const Token& t : toks) {
+    const long y = pos / xsize, x = pos % xsize;
+    AddToken(&th[(size_t)((y >> hb) * tx + (x >> hb))], t, pm);
+    pos += (t.kind == 1) ? (long)t.v : 1;
+  }
+
+  // Seed clusters by k-means on cheap per-tile features (entropy + token
+  // mix), then cost-based remapping below does the real work. This avoids
+  // the degenerate all-in-one outcome of threshold-based streaming.
+  const int kMaxGroups = 24;
+  std::vector<std::array<double, 3>> feat((size_t)T);
+  for (long t = 0; t < T; ++t) {
+    const Histos& h = th[(size_t)t];
+    int64_t lit = 0, cop = 0, tot = 0;
+    for (size_t j = 0; j < h.h[0].size(); ++j) {
+      tot += h.h[0][j];
+      if (j < (size_t)kNumLiteral) lit += h.h[0][j];
+      else if (j < (size_t)(kNumLiteral + kNumLength)) cop += h.h[0][j];
+    }
+    const double n0 = tot > 0 ? (double)tot : 1.0;
+    feat[(size_t)t] = {HistoCostBits(h) / n0, (double)lit / n0,
+                       (double)cop / n0};
+  }
+  int K = (int)std::min<long>(kMaxGroups, std::max<long>(2, T / 8));
+  std::vector<std::array<double, 3>> cent((size_t)K);
+  for (int k = 0; k < K; ++k) cent[(size_t)k] = feat[(size_t)(T * k / K)];
+  std::vector<uint16_t> assign((size_t)T, 0);
+  for (int it = 0; it < 4; ++it) {
+    for (long t = 0; t < T; ++t) {
+      double bd = 1e99;
+      int bk = 0;
+      for (int k = 0; k < K; ++k) {
+        double d = 0;
+        for (int f = 0; f < 3; ++f) {
+          const double df = feat[(size_t)t][f] - cent[(size_t)k][f];
+          d += df * df * (f == 0 ? 0.02 : 100.0);  // scale features
+        }
+        if (d < bd) { bd = d; bk = k; }
+      }
+      assign[(size_t)t] = (uint16_t)bk;
+    }
+    std::vector<std::array<double, 3>> acc((size_t)K, {0, 0, 0});
+    std::vector<long> cnt((size_t)K, 0);
+    for (long t = 0; t < T; ++t) {
+      for (int f = 0; f < 3; ++f)
+        acc[assign[(size_t)t]][f] += feat[(size_t)t][f];
+      cnt[assign[(size_t)t]]++;
+    }
+    for (int k = 0; k < K; ++k)
+      if (cnt[(size_t)k])
+        for (int f = 0; f < 3; ++f)
+          cent[(size_t)k][f] = acc[(size_t)k][f] / cnt[(size_t)k];
+  }
+  std::vector<Histos> cl((size_t)K);
+  for (auto& h : cl) h.Init(cache_bits);
+  for (long t = 0; t < T; ++t)
+    AddHistos(&cl[assign[(size_t)t]], th[(size_t)t]);
+  std::vector<double> cl_cost((size_t)K);
+  for (int k = 0; k < K; ++k) cl_cost[(size_t)k] = HistoCostBits(cl[(size_t)k]);
+
+  // Remap passes: reassign each tile to the argmin-add-cost cluster.
+  for (int rp = 0; rp < 2 && cl.size() > 1; ++rp) {
+    std::vector<uint16_t> next = assign;
+    for (long t = 0; t < T; ++t) {
+      int best = assign[(size_t)t];
+      double best_inc = 1e99;
+      for (size_t c = 0; c < cl.size(); ++c) {
+        const double inc = AddCostDelta(cl[c], th[(size_t)t]);
+        if (inc < best_inc) {
+          best_inc = inc;
+          best = (int)c;
+        }
+      }
+      next[(size_t)t] = (uint16_t)best;
+    }
+    // Rebuild clusters from the remap.
+    std::vector<Histos> re(cl.size());
+    for (auto& h : re) h.Init(cache_bits);
+    for (long t = 0; t < T; ++t)
+      AddHistos(&re[(size_t)next[(size_t)t]], th[(size_t)t]);
+    cl.swap(re);
+    assign.swap(next);
+    for (size_t c = 0; c < cl.size(); ++c) cl_cost[c] = HistoCostBits(cl[c]);
+  }
+  // Compact away empty clusters.
+  {
+    std::vector<int> remap2(cl.size(), -1);
+    std::vector<Histos> used;
+    for (long t = 0; t < T; ++t) {
+      const int c = assign[(size_t)t];
+      if (remap2[(size_t)c] < 0) {
+        remap2[(size_t)c] = (int)used.size();
+        used.push_back(cl[(size_t)c]);
+      }
+      assign[(size_t)t] = (uint16_t)remap2[(size_t)c];
+    }
+    cl.swap(used);
+  }
+
+  double total = 0;
+  for (const auto& c : cl) total += HistoCostBits(c) + TreeCostEstimate(c);
+  // Entropy-image side channel: ~log2(K) bits per tile + its trees.
+  total += T * (cl.size() > 1 ? std::log2((double)cl.size()) : 0.0) + 200.0;
+
+  plan->hb = hb;
+  plan->tx = tx;
+  plan->ty = ty;
+  plan->tile_group.swap(assign);
+  plan->num_groups = (int)cl.size();
+  plan->cost = total;
+  return plan->num_groups > 1;
+}
+
+void EmitTokensMeta(BitWriter* bw, const std::vector<Token>& toks,
+                    const std::vector<std::array<HuffCode, 5>>& codes,
+                    const PlaneMap& pm, long xsize, const MetaPlan& mp) {
+  int code, nbits;
+  uint32_t extra;
+  long pos = 0;
+  for (const Token& t : toks) {
+    const long y = pos / xsize, x = pos % xsize;
+    const auto& g =
+        codes[mp.tile_group[(size_t)((y >> mp.hb) * mp.tx + (x >> mp.hb))]];
+    if (t.kind == 0) {
+      g[0].Write(bw, (int)((t.v >> 8) & 0xFF));
+      g[1].Write(bw, (int)((t.v >> 16) & 0xFF));
+      g[2].Write(bw, (int)(t.v & 0xFF));
+      g[3].Write(bw, (int)((t.v >> 24) & 0xFF));
+      ++pos;
+    } else if (t.kind == 1) {
+      PrefixEncode(t.v, &code, &nbits, &extra);
+      g[0].Write(bw, kNumLiteral + code);
+      if (nbits) bw->Put(extra, nbits);
+      PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
+      g[4].Write(bw, code);
+      if (nbits) bw->Put(extra, nbits);
+      pos += t.v;
+    } else {
+      g[0].Write(bw, kNumLiteral + kNumLength + (int)t.v);
+      ++pos;
+    }
+  }
+}
+
+void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
+                  int quality, bool is_level0) {
   std::vector<Token> base;
   BackwardReferences(argb, n, xsize, quality, &base);
 
@@ -594,8 +817,6 @@ long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
   double best_cost = HistoCostBits(hs);
   int best_cb = 0;
   if (is_level0 && n >= 512 && quality >= 25) {
-    // One pass over the base tokens evaluating all candidate cache sizes
-    // simultaneously (vs one full replay per size).
     constexpr int kCbs[3] = {6, 8, 10};
     Histos ch[3];
     std::vector<int64_t> cache[3];
@@ -650,20 +871,74 @@ long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
     best_toks.swap(base);
   }
   BuildHistogram(best_toks, pm, best_cb, &hs);
-  HuffCode codes[5];
-  for (int i = 0; i < 5; ++i) codes[i].FromCounts(hs.h[i]);
 
-  BitWriter bw;
-  if (best_cb) {
-    bw.Put(1, 1);
-    bw.Put((uint32_t)best_cb, 4);
-  } else {
-    bw.Put(0, 1);
+  // Meta-Huffman clustering decision (level-0 streams only).
+  MetaPlan mp;
+  bool use_meta = false;
+  if (is_level0 && quality >= 25 && n >= 4096 && (n % xsize) == 0) {
+    if (BuildMetaPlan(best_toks, pm, n, xsize, best_cb, &mp)) {
+      const double single = HistoCostBits(hs) + TreeCostEstimate(hs);
+      use_meta = mp.cost < single;
+    }
   }
-  if (is_level0) bw.Put(0, 1);  // single huffman group
-  for (int i = 0; i < 5; ++i) WriteHuffmanCode(&bw, codes[i].desc);
-  EmitTokens(&bw, best_toks, codes, pm);
 
+  if (best_cb) {
+    bw->Put(1, 1);
+    bw->Put((uint32_t)best_cb, 4);
+  } else {
+    bw->Put(0, 1);
+  }
+  if (is_level0) bw->Put(use_meta ? 1 : 0, 1);
+
+  if (!use_meta) {
+    HuffCode codes[5];
+    for (int i = 0; i < 5; ++i) codes[i].FromCounts(hs.h[i]);
+    for (int i = 0; i < 5; ++i) WriteHuffmanCode(bw, codes[i].desc);
+    EmitTokens(bw, best_toks, codes, pm);
+    return;
+  }
+
+  // Entropy image: tile -> group ids in the green(+red) channel, encoded
+  // recursively as its own entropy-coded stream.
+  bw->Put((uint32_t)(mp.hb - 2), 3);
+  std::vector<uint32_t> meta((size_t)(mp.tx * mp.ty));
+  for (size_t i = 0; i < meta.size(); ++i)
+    meta[i] = 0xFF000000u | ((uint32_t)mp.tile_group[i] << 8);
+  EncodeStream(bw, meta.data(), (long)meta.size(), (int)mp.tx, quality,
+               /*is_level0=*/false);
+
+  // Per-group histograms + trees.
+  std::vector<Histos> gh((size_t)mp.num_groups);
+  for (auto& h : gh) h.Init(best_cb);
+  long pos = 0;
+  for (const Token& t : best_toks) {
+    const long y = pos / xsize, x = pos % xsize;
+    AddToken(&gh[mp.tile_group[(size_t)((y >> mp.hb) * mp.tx + (x >> mp.hb))]],
+             t, pm);
+    pos += (t.kind == 1) ? (long)t.v : 1;
+  }
+  std::vector<std::array<HuffCode, 5>> codes((size_t)mp.num_groups);
+  for (int gidx = 0; gidx < mp.num_groups; ++gidx)
+    for (int i = 0; i < 5; ++i)
+      codes[(size_t)gidx][(size_t)i].FromCounts(gh[(size_t)gidx].h[i]);
+  for (int gidx = 0; gidx < mp.num_groups; ++gidx)
+    for (int i = 0; i < 5; ++i)
+      WriteHuffmanCode(bw, codes[(size_t)gidx][(size_t)i].desc);
+  EmitTokensMeta(bw, best_toks, codes, pm, xsize, mp);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encodes one entropy-coded image stream (cache bit + optional meta-huffman
+// entropy image + trees + LZ77 tokens). Returns number of bits written to
+// `out` (bit 0 = LSB of out[0]), or -1 on overflow.
+long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
+                               int quality, int is_level0, uint8_t* out,
+                               long cap_bytes) {
+  BitWriter bw;
+  EncodeStream(&bw, argb, n, xsize, quality, is_level0 != 0);
   const long bits = bw.BitPos();
   bw.FinishByte();
   if ((long)bw.buf.size() > cap_bytes) return -1;
