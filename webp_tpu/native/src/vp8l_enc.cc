@@ -144,56 +144,72 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
   }
   long pos = start;
   const long n_cap = end;  // tokens must not spill into the next chunk
-  while (pos < n_cap) {
-    long best_len = 0, best_dist = 0;
-    if (pos + 1 < n) {
-      long h = Hash2(a, pos);
-      long cand = head[(size_t)h];
-      int chain = 0;
-      const long min_pos = pos > kWindowSize ? pos - kWindowSize : 0;
-      const long limit = std::min(n_cap - pos, kMaxLength);
-      while (cand >= min_pos && chain < max_chain) {
-        if (best_len >= limit) break;
-        if (best_len == 0 ||
-            (pos + best_len < n && a[cand + best_len] == a[pos + best_len])) {
-          const long length = MatchLen(a + cand, a + pos, limit);
-          if (length > best_len) {
-            best_len = length;
-            best_dist = pos - cand;
-          }
+
+  // Match finder at `pos` (hash chain + explicit row-above candidate).
+  auto find_best = [&](long p, long* bl, long* bd) {
+    *bl = 0;
+    *bd = 0;
+    if (p + 1 >= n) return;
+    long cand = head[(size_t)Hash2(a, p)];
+    int chain = 0;
+    const long min_pos = p > kWindowSize ? p - kWindowSize : 0;
+    const long limit = std::min(n_cap - p, kMaxLength);
+    while (cand >= min_pos && chain < max_chain) {
+      if (*bl >= limit) break;
+      if (*bl == 0 || (p + *bl < n && a[cand + *bl] == a[p + *bl])) {
+        const long length = MatchLen(a + cand, a + p, limit);
+        if (length > *bl) {
+          *bl = length;
+          *bd = p - cand;
         }
-        cand = prev[(size_t)cand];
-        ++chain;
       }
-      if (pos >= xsize) {
-        const long cand2 = pos - xsize;
-        const long limit2 = std::min(n_cap - pos, kMaxLength);
-        const long length = MatchLen(a + cand2, a + pos, limit2);
-        // Prefer the row-above copy on length ties (encode.py:123-128).
-        if (length >= 1 &&
-            (length > best_len ||
-             (length == best_len && xsize < best_dist))) {
-          best_len = length;
-          best_dist = xsize;
-        }
+      cand = prev[(size_t)cand];
+      ++chain;
+    }
+    if (p >= xsize) {
+      const long length = MatchLen(a + p - xsize, a + p, limit);
+      // Prefer the row-above copy on length ties (encode.py:123-128).
+      if (length >= 1 && (length > *bl || (length == *bl && xsize < *bd))) {
+        *bl = length;
+        *bd = xsize;
       }
     }
+  };
+  auto insert = [&](long p) {
+    if (p + 1 < n) {
+      const long h = Hash2(a, p);
+      prev[(size_t)p] = head[(size_t)h];
+      head[(size_t)h] = p;
+    }
+  };
+
+  while (pos < n_cap) {
+    long best_len, best_dist;
+    find_best(pos, &best_len, &best_dist);
     if (best_len >= 3) {
+      // Lazy matching: a strictly longer match one pixel later wins
+      // (quality >= 50 only; it doubles the match searches).
+      bool pos_inserted = false;
+      if (quality >= 50 && pos + 1 < n_cap && best_len < kMaxLength) {
+        insert(pos);
+        pos_inserted = true;
+        long l2, d2;
+        find_best(pos + 1, &l2, &d2);
+        if (l2 > best_len + 1) {
+          out->push_back({0, a[pos], 0});
+          ++pos;
+          pos_inserted = false;  // the new pos was not inserted yet
+          best_len = l2;
+          best_dist = d2;
+        }
+      }
       out->push_back({1, (uint32_t)best_len, (uint32_t)best_dist});
       const long ins_end = std::min(pos + best_len, n - 1);
-      for (long p = pos; p < ins_end; ++p) {
-        long h = Hash2(a, p);
-        prev[(size_t)p] = head[(size_t)h];
-        head[(size_t)h] = p;
-      }
+      for (long p = pos + (pos_inserted ? 1 : 0); p < ins_end; ++p) insert(p);
       pos += best_len;
     } else {
       out->push_back({0, a[pos], 0});
-      if (pos + 1 < n) {
-        long h = Hash2(a, pos);
-        prev[(size_t)pos] = head[(size_t)h];
-        head[(size_t)h] = pos;
-      }
+      insert(pos);
       ++pos;
     }
   }
