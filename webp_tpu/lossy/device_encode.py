@@ -203,15 +203,6 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
         return list(ex.map(emit, range(B)))
 
 
-def launch_batch(rgbs, quality: int = 75):
-    """Starts the device compute for a batch without blocking (pipelining)."""
-    from ..ops.fastpath import fast_encode_fn
-
-    B, H, W, _ = rgbs.shape
-    fn = fast_encode_fn(W // 16, H // 16, quality, 4, 50)
-    return fn.rgb(rgbs)
-
-
 def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
                         partitions: int = 0, filter_strength: int = 60,
                         num_threads: int = 12, host_yuv: bool = None,

@@ -764,7 +764,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             is_i4, i4_modes, _ = I4.i4_search(
                 Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
                 i16_score, approx_block_rate)
-            i4_ctx = (is_i4, i4_modes, I4.mb_tr_strips(Y, mb_w, mb_h))
+            i4_ctx = (is_i4, i4_modes)
         else:
             is_i4 = jnp.zeros((n_mb,), bool)
             i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)

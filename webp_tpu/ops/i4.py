@@ -9,10 +9,10 @@ Phase 1 scores all 10 modes for every 4x4 subblock at once against
 source-pixel context (the same open-loop approximation as the I16
 search); the mode-signalling cost uses the context-averaged
 FIXED_COSTS_I4 marginals. Phase 2 reconstructs chosen-I4 macroblocks
-closed-loop with a 16-step unrolled subblock walk inside the wavefront
-step; the above-right strip of rightmost subblocks comes from source
-pixels (one 4-pixel approximation per MB — the skew-1 schedule has no
-top-right macroblock).
+fully closed-loop with a 16-substep subblock walk inside the wavefront
+step; the scan runs at skew 2 there, so the above-right strip of
+rightmost subblocks is the exact reconstruction of the macroblock
+above-right (computed one step earlier).
 """
 
 from __future__ import annotations
@@ -200,15 +200,12 @@ def lam_i4_flat(lam):
 
 def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
                    qp_y1):
-    """Fully closed-loop I4 reconstruction, vectorized over macroblocks.
+    """Fully closed-loop I4 reconstruction for one wavefront step.
 
-    Runs OUTSIDE the wavefront scan (phase 3): all I4 macroblocks of the
-    whole batch walk their 16 subblocks together, so the 16 serial
-    sub-steps amortize over [B * n_mb] lanes instead of repeating inside
-    every scan step. Within the MB every context pixel is exact
-    reconstruction; the outer borders come from phase 2 (the i16
-    reconstruction of neighbors — see fastpath for the approximation
-    note).
+    16 serial substeps over the MB's subblocks; every context pixel is
+    exact reconstruction (the skew-2 scan supplies the above-right MB's
+    bottom row). The strip-built predictors keep the per-substep op count
+    small enough to live inside the scan.
 
     src_b: [L, 16, 4, 4] int32 (raster subblocks); modes: [L, 16];
     topY/leftY: [L, 16] border rows; tlY: [L]; trs: [L, 4] above-right
@@ -258,40 +255,3 @@ def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
         lvs.append(lv)
         work = jax.lax.dynamic_update_slice(work, rec, (0, r * 4, c * 4))
     return jnp.stack(lvs, axis=1), work
-
-
-def mb_borders(bottom, right, mb_w, mb_h):
-    """Phase-2 border arrays -> per-MB outer contexts for phase 3.
-
-    bottom/right: [n_mb, 16] reconstructed bottom row / right column of
-    every MB. Returns (top [n_mb, 16], left [n_mb, 16], tl [n_mb],
-    trs [n_mb, 4]): the row above, column to the left, corner, and the
-    4-pixel above-right strip (edge-replicated).
-    """
-    n_mb = mb_w * mb_h
-    b2 = bottom.reshape(mb_h, mb_w, 16)
-    r2 = right.reshape(mb_h, mb_w, 16)
-    zrow = jnp.zeros((1, mb_w, 16), bottom.dtype)
-    top = jnp.concatenate([zrow, b2[:-1]], axis=0)         # row above
-    zcol = jnp.zeros((mb_h, 1, 16), right.dtype)
-    left = jnp.concatenate([zcol, r2[:, :-1]], axis=1)
-    corner = jnp.pad(b2[:-1, :-1, 15], ((1, 0), (1, 0)))   # above-left pixel
-    # Above-right strip: first 4 pixels of the above-right MB's bottom row;
-    # right edge replicates the last pixel of the row above.
-    edge = jnp.broadcast_to(top[:, -1:, 15:16], (mb_h, 1, 4))
-    trs = jnp.concatenate([top[:, 1:, 0:4], edge], axis=1)
-    return (top.reshape(n_mb, 16), left.reshape(n_mb, 16),
-            corner.reshape(n_mb), trs.reshape(n_mb, 4))
-
-
-def mb_tr_strips(Y, mb_w, mb_h):
-    """Source above-right strip per MB ([n_mb, 4]): pixels at row
-    my*16 - 1, cols mx*16+16..+20 (replicated at the right edge, 127 when
-    masked by the caller on the top row)."""
-    H, W = Y.shape
-    pad = jnp.full((H + 1, W), 127, jnp.int32)
-    pad = pad.at[1:, :].set(Y)
-    mb_tops = pad[0:H:16, :]                               # [mbH, W]
-    edge = jnp.broadcast_to(mb_tops[:, -1:, None], (mb_h, 1, 4))
-    inner = mb_tops[:, 16:].reshape(mb_h, -1, 4)[:, 0::4]
-    return jnp.concatenate([inner, edge], axis=1).reshape(mb_h * mb_w, 4)
