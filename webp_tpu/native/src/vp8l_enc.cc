@@ -607,22 +607,34 @@ double TreeCostEstimate(const Histos& hs) {
   return c;
 }
 
-double AddCostDelta(const Histos& c, const Histos& t) {
-  // HistoCostBits(c + t) - HistoCostBits(c), touching log2 only where the
-  // tile histogram is nonzero (tiles are tiny; clusters are wide).
+struct SparseTile {
+  // (histo index << 16 | entry, count) pairs + per-histo totals.
+  std::vector<std::pair<uint32_t, int32_t>> entries;
+  int64_t totals[5] = {0, 0, 0, 0, 0};
+  void From(const Histos& t) {
+    for (int i = 0; i < 5; ++i)
+      for (size_t j = 0; j < t.h[i].size(); ++j)
+        if (t.h[i][j]) {
+          entries.push_back({((uint32_t)i << 16) | (uint32_t)j,
+                             (int32_t)t.h[i][j]});
+          totals[i] += t.h[i][j];
+        }
+  }
+};
+
+double AddCostDelta(const Histos& c, const int64_t c_totals[5],
+                    const SparseTile& t) {
+  // HistoCostBits(c + t) - HistoCostBits(c) over the tile's nonzeros only.
   double d = 0;
+  for (const auto& e : t.entries) {
+    const int64_t a = c.h[e.first >> 16][e.first & 0xFFFF];
+    const int64_t b = e.second;
+    d -= (a + b) * std::log2((double)(a + b));
+    if (a) d += a * std::log2((double)a);
+  }
   for (int i = 0; i < 5; ++i) {
-    int64_t tc = 0, tt = 0;
-    for (int64_t v : c.h[i]) tc += v;
-    for (int64_t v : t.h[i]) tt += v;
-    if (tt == 0) continue;
-    for (size_t j = 0; j < t.h[i].size(); ++j) {
-      const int64_t b = t.h[i][j];
-      if (!b) continue;
-      const int64_t a = c.h[i][j];
-      d -= (a + b) * std::log2((double)(a + b));
-      if (a) d += a * std::log2((double)a);
-    }
+    const int64_t tc = c_totals[i], tt = t.totals[i];
+    if (!tt) continue;
     d += (tc + tt) * std::log2((double)(tc + tt));
     if (tc) d -= tc * std::log2((double)tc);
   }
@@ -737,13 +749,20 @@ bool BuildMetaPlan(const std::vector<Token>& toks, const PlaneMap& pm,
   for (int k = 0; k < K; ++k) cl_cost[(size_t)k] = HistoCostBits(cl[(size_t)k]);
 
   // Remap passes: reassign each tile to the argmin-add-cost cluster.
+  std::vector<SparseTile> sp((size_t)T);
+  for (long t = 0; t < T; ++t) sp[(size_t)t].From(th[(size_t)t]);
   for (int rp = 0; rp < 2 && cl.size() > 1; ++rp) {
+    std::vector<std::array<int64_t, 5>> ctot(cl.size(), {0, 0, 0, 0, 0});
+    for (size_t c = 0; c < cl.size(); ++c)
+      for (int i = 0; i < 5; ++i)
+        for (int64_t v : cl[c].h[i]) ctot[c][i] += v;
     std::vector<uint16_t> next = assign;
     for (long t = 0; t < T; ++t) {
       int best = assign[(size_t)t];
       double best_inc = 1e99;
       for (size_t c = 0; c < cl.size(); ++c) {
-        const double inc = AddCostDelta(cl[c], th[(size_t)t]);
+        const double inc =
+            AddCostDelta(cl[c], ctot[c].data(), sp[(size_t)t]);
         if (inc < best_inc) {
           best_inc = inc;
           best = (int)c;
