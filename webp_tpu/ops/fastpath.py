@@ -59,7 +59,7 @@ BANDS = np.asarray(T.BANDS[:16])
 # exact host path. Block-granular escapes keep the device-side compaction
 # cheap: the nonzero/cumsum runs over n_mb*24 block flags, not n_mb*384
 # coefficients.
-ESC_BLOCKS_PER_MB = 3
+ESC_BLOCKS_PER_MB = 2
 
 
 @functools.lru_cache(maxsize=4)
