@@ -204,3 +204,35 @@ def test_device_quality_near_libwebp():
         (len(ours), len(buf.getvalue()))
     assert psnr(img, od) > psnr(img, ld) - 0.35, \
         (psnr(img, od), psnr(img, ld))
+
+
+def test_fuzz_native_decoders_no_crash():
+    """Mutated + truncated bitstreams must raise, decode, or be rejected —
+    never crash the process (the reference's FuzzDecode tier)."""
+    import io
+
+    from webp_tpu.container.parser import Parser
+
+    rng = np.random.default_rng(11)
+    img = Image.open("/root/reference/testdata/test.png")
+    b1 = io.BytesIO()
+    img.convert("RGBA").resize((40, 28)).save(b1, format="WEBP",
+                                              lossless=True, method=4)
+    b2 = io.BytesIO()
+    img.convert("RGB").resize((48, 32)).save(b2, format="WEBP", quality=70)
+    ll = bytearray(Parser(b1.getvalue()).frames()[0].bitstream)
+    lo = bytearray(Parser(b2.getvalue()).frames()[0].bitstream)
+    for payload, dec in ((ll, native.vp8l_decode), (lo, native.vp8_decode)):
+        for _ in range(120):
+            mut = bytearray(payload)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+            try:
+                dec(bytes(mut))
+            except Exception:
+                pass
+        for cut in range(5, len(payload), 11):
+            try:
+                dec(bytes(payload[:cut]))
+            except Exception:
+                pass
