@@ -101,12 +101,17 @@ struct BoolReader {
       bit = 0;
       range = split;
     }
-    while (range < 128) {
-      value <<= 1;
-      range <<= 1;
-      if (++bit_count == 8) {
-        bit_count = 0;
-        value |= next_byte();
+    if (range < 128) {
+      // Bulk renormalization: one clz instead of up to 7 loop iterations
+      // (bit-exact with the per-bit form: the byte a step-wise renorm
+      // would inject at count==8 lands at the same final offset).
+      const int shift = 7 - (31 - __builtin_clz(range));
+      range <<= shift;
+      value <<= shift;
+      bit_count += shift;
+      if (bit_count >= 8) {
+        bit_count -= 8;
+        value |= (uint32_t)next_byte() << bit_count;
       }
     }
     return bit;
