@@ -15,20 +15,22 @@ critical path. This module splits the work the TPU-native way:
     elementwise rate model all map straight onto the VPU/MXU.
 
   Phase 2 — closed-loop reconstruction, light wavefront. With modes fixed,
-    a lax.scan over anti-diagonals t = x + y (I16 prediction needs no
-    top-right neighbor, so the skew is 1, not the reference's 2-column
-    skew rowSync.waitFor(y-1, x+2)) computes exact levels and reconstructed
-    context. Sources and modes are pre-skewed into [n_steps, mbH, ...]
-    arrays outside the scan, so every step is pure static slices + shifted
-    carries: no gathers, no scatters, ~1/20th of the exact kernel's work.
+    a lax.scan over skewed anti-diagonals computes exact levels and
+    reconstructed context: skew 1 (t = x + y) for I16-only, skew 2
+    (t = x + 2y, the reference's rowSync.waitFor(y-1, x+2)) when I4 needs
+    the above-right macroblock. Sources and modes are pre-skewed into
+    [n_steps, mbH, ...] arrays outside the scan, so every step is pure
+    static slices + shifted carries: no gathers, no scatters.
 
-  The emitted bitstream is fully closed-loop: levels are quantized against
-  predictions built from true reconstructed neighbors, exactly what the
-  decoder reconstructs. Only the *choice* of mode used source context.
+  Phase 0 (segments) and the I4 subblock search run fully parallel like
+  phase 1. The emitted bitstream is fully closed-loop: levels are
+  quantized against predictions built from true reconstructed neighbors,
+  exactly what the decoder reconstructs. Only the *choice* of mode used
+  source-pixel context.
 
 Output packing: levels are nibble-packed on device (4 bits/coefficient,
-escape list for |level| > 7) because the host link, not the chip, is the
-scarce resource — 25 blocks * 16 coeffs collapse from 800 B/MB to 200 B/MB.
+block-granular escape list for |level| > 7, y2 as int16) because the host
+link, not the chip, is the scarce resource.
 """
 
 from __future__ import annotations
