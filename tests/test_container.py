@@ -82,3 +82,60 @@ def test_vp8l_dim_parsing():
     bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
     hdr = bytes([0x2F]) + struct.pack("<I", bits)
     assert parse_vp8l_dimensions(hdr) == (w, h, True)
+
+
+def test_vp8x_alpha_metadata_roundtrip():
+    """Driver config 4: lossless method 6 + ALPH alpha + ICC/EXIF metadata
+    round-trip in a single extended file, cross-checked with libwebp."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import webp_tpu
+    from tests.conftest import pil_decode_rgba
+    from webp_tpu.container.parser import Parser
+
+    img = np.array(Image.open("/root/reference/testdata/test.png")
+                   .convert("RGBA").resize((80, 56)))
+    img[..., 3] = np.linspace(40, 255, 56, dtype=np.uint8)[:, None]
+
+    # Lossless m6 + metadata.
+    data = webp_tpu.encode(img, lossless=True, method=6,
+                           iccp=b"fake-icc-profile", exif=b"EXIF\x00data",
+                           xmp=b"<xmp/>")
+    p = Parser(data)
+    assert p.parsed.iccp == b"fake-icc-profile"
+    assert p.parsed.exif == b"EXIF\x00data"
+    assert p.parsed.xmp == b"<xmp/>"
+    assert np.array_equal(pil_decode_rgba(data), img)   # libwebp bit-exact
+    assert np.array_equal(webp_tpu.decode(data), img)
+
+    # Lossy + ALPH alpha plane + metadata.
+    data = webp_tpu.encode(img, quality=80, exif=b"E2")
+    p = Parser(data)
+    assert p.features.has_alpha and p.parsed.exif == b"E2"
+    ref = pil_decode_rgba(data)
+    assert np.array_equal(webp_tpu.decode(data), ref)
+    a_err = np.abs(ref[..., 3].astype(int) - img[..., 3].astype(int))
+    assert a_err.max() <= 1  # lossless-coded alpha plane
+
+
+def test_decode_libwebp_lossy_alpha():
+    """ALPH decode conformance on libwebp-produced lossy+alpha files."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import webp_tpu
+    from tests.conftest import pil_decode_rgba
+
+    rng = np.random.default_rng(2)
+    img = np.array(Image.open("/root/reference/testdata/test.png")
+                   .convert("RGBA").resize((64, 48)))
+    img[..., 3] = rng.integers(0, 256, (48, 64), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="WEBP", quality=75)
+    data = buf.getvalue()
+    assert np.array_equal(webp_tpu.decode(data), pil_decode_rgba(data))

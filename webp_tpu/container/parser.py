@@ -100,7 +100,9 @@ class Parser:
     def _parse(self) -> None:
         data = self.data
         file_size = r.parse_riff_header(data)
-        end = min(len(data), r.RIFF_HEADER_SIZE - 8 + file_size)
+        # Chunks end at 8 + riff_size ("RIFF" + size field = 8 bytes, the
+        # size counts everything after it, including the WEBP fourcc).
+        end = min(len(data), 8 + file_size)
         off = r.RIFF_HEADER_SIZE
         f = self.parsed.features
         saw_image = False
