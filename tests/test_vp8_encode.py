@@ -106,3 +106,20 @@ def test_segments_4(photo):
 
     dec = VP8Decoder(Parser(data).frames()[0].bitstream)
     assert dec.seg_hdr.use_segment
+
+
+def test_q75_m4_sharpyuv_beats_libwebp(photo):
+    """Driver config 3: Q75 method-4 sharp-YUV must match or beat libwebp
+    in rate-distortion terms: using the ~0.05 dB-per-1%-rate exchange rate
+    (0.5 dB per 10%, the usual BD slope at these rates), our PSNR
+    advantage must cover any size increase (and vice versa)."""
+    img = np.array(Image.open("/root/reference/testdata/test_color.png")
+                   .convert("RGB").resize((320, 224)))
+    ours = webp_tpu.encode(img, quality=75, method=4, use_sharp_yuv=True)
+    op = _psnr(img, pil_decode_rgba(ours)[..., :3])
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="WEBP", quality=75, method=4)
+    lp = _psnr(img, pil_decode_rgba(buf.getvalue())[..., :3])
+    lsize = len(buf.getvalue())
+    rate_pct = 100.0 * (len(ours) - lsize) / lsize
+    assert (op - lp) >= 0.05 * rate_pct, (len(ours), op, lsize, lp)
