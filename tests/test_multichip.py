@@ -46,14 +46,16 @@ def test_sharded_encode_bitstream_conformant(mesh22):
         dummyY = np.zeros((h, w), np.uint8)
         dummyU = np.zeros((h // 2, w // 2), np.uint8)
         enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, w, h,
-                               LossyConfig(quality=75))
+                               LossyConfig(quality=75, segments=4,
+                                           sns_strength=50))
         enc.proba = T.COEFFS_PROBA0.copy()
         enc.levels = dat["lv24"].astype(np.int32).reshape(mb_h, mb_w, 24, 16)
         enc.y2_levels = dat["y2"].astype(np.int32).reshape(mb_h, mb_w, 16)
-        enc.imodes[..., 0] = dat["modes"].reshape(mb_h, mb_w)
+        enc.imodes = dat["imodes"].reshape(mb_h, mb_w, 16).copy()
         enc.uvmode = dat["uvmodes"].reshape(mb_h, mb_w)
         enc.skip = dat["skip"].reshape(mb_h, mb_w).copy()
-        enc.is_i4[:] = False
+        enc.is_i4 = dat["is_i4"].reshape(mb_h, mb_w).copy()
+        enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"])
         data = r.assemble_riff([r.Chunk(r.VP8, enc._finish_bitstream())])
         ref = pil_decode_rgba(data)[..., :3]   # libwebp decodes our bytes
         assert np.array_equal(webp_tpu.decode(data), ref)
@@ -87,14 +89,16 @@ def test_sharded_matches_single_device_quality(mesh22):
     dummyY = np.zeros((h, w), np.uint8)
     dummyU = np.zeros((h // 2, w // 2), np.uint8)
     enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, w, h,
-                           LossyConfig(quality=75))
+                           LossyConfig(quality=75, segments=4,
+                                       sns_strength=50))
     enc.proba = T.COEFFS_PROBA0.copy()
     enc.levels = dat["lv24"].astype(np.int32).reshape(mb_h, mb_w, 24, 16)
     enc.y2_levels = dat["y2"].astype(np.int32).reshape(mb_h, mb_w, 16)
-    enc.imodes[..., 0] = dat["modes"].reshape(mb_h, mb_w)
+    enc.imodes = dat["imodes"].reshape(mb_h, mb_w, 16).copy()
     enc.uvmode = dat["uvmodes"].reshape(mb_h, mb_w)
     enc.skip = dat["skip"].reshape(mb_h, mb_w).copy()
-    enc.is_i4[:] = False
+    enc.is_i4 = dat["is_i4"].reshape(mb_h, mb_w).copy()
+    enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"])
     data = r.assemble_riff([r.Chunk(r.VP8, enc._finish_bitstream())])
     p_shard = _psnr(img, pil_decode_rgba(data)[..., :3])
     assert p_shard > p_single - 0.5, f"{p_shard:.2f} vs {p_single:.2f}"

@@ -292,11 +292,8 @@ def _hist_alpha(coeffs):
     return jnp.minimum(alpha, 255)
 
 
-def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
-                         num_segs=4):
-    """Returns (seg_map [n_mb] i32, q_idx [4] i32, beta [4] i32)."""
-    from ..lossy.analysis import _quality_to_compression
-
+def _mb_alphas(Y, U, V, mb_w, mb_h):
+    """Per-MB texture alphas [n_mb] (compute_alphas analog)."""
     n_mb = mb_w * mb_h
     yb = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
                 .reshape(n_mb, 16, 16), 16)
@@ -311,11 +308,18 @@ def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
     dcu = jnp.round(uvb.mean(axis=(1, 2, 3))).astype(jnp.int32)
     uv = _hist_alpha(dct.fdct4x4(uvb, dcu[:, None, None, None])
                      .reshape(n_mb, 8, 16))
-    alphas = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
+    return jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
 
-    # Histogram k-means over the 256-bin alpha histogram (6 iterations).
+
+def _plan_from_histo(histo, alphas, quality, sns_strength, num_segs=4):
+    """k-means over a 256-bin alpha histogram -> (seg_map, q_idx, beta).
+
+    On a multi-chip mesh the histogram is psum'd over row-band shards
+    before this runs, so every shard derives identical centers (the
+    segmentation header is image-global)."""
+    from ..lossy.analysis import _quality_to_compression
+
     bins = jnp.arange(256)
-    histo = (alphas[None, :] == bins[:, None]).sum(axis=1)
     nzm = histo > 0
     min_a = jnp.argmax(nzm)
     max_a = 255 - jnp.argmax(nzm[::-1])
@@ -343,6 +347,7 @@ def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
     seg_of_alpha = assign(centers)
     seg_map = seg_of_alpha[alphas]
 
+
     oh = (seg_of_alpha[:, None] == ks[None, :]).astype(jnp.int32)
     accum = (histo[:, None] * oh).sum(axis=0)
     total_w = jnp.maximum(accum.sum(), 1)
@@ -359,6 +364,14 @@ def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
     c = jnp.power(jnp.float32(c_base), expn)
     q_idx = jnp.clip((127.0 * (1.0 - c)).astype(jnp.int32), 0, 127)
     return seg_map, q_idx, beta_n.astype(jnp.int32)
+
+
+def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
+                         num_segs=4):
+    """Returns (seg_map [n_mb] i32, q_idx [4] i32, beta [4] i32)."""
+    alphas = _mb_alphas(Y, U, V, mb_w, mb_h)
+    histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(axis=1)
+    return _plan_from_histo(histo, alphas, quality, sns_strength, num_segs)
 
 
 def _seg_select(rows, seg_map):
@@ -557,6 +570,14 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
         xs["hy"], xs["hty"] = halo_seg(hy, 16), tlseg(hy, 16)
         xs["hu"], xs["htu"] = halo_seg(hu, 8), tlseg(hu, 8)
         xs["hv"], xs["htv"] = halo_seg(hv, 8), tlseg(hv, 8)
+        if i4 is not None:
+            # Above-right strip for the band's top MB row: the halo pixels
+            # over the NEXT MB (edge-replicated at the right border).
+            nxt = jnp.concatenate(
+                [hy.reshape(-1, 16)[1:, 0:4],
+                 jnp.broadcast_to(hy[-1], (1, 4))], axis=0)
+            pad4 = jnp.zeros((n_steps - nxt.shape[0], 4), jnp.int32)
+            xs["htr"] = jnp.concatenate([nxt, pad4], axis=0)
 
     lanes_y = jnp.arange(mb_h)
 
@@ -608,6 +629,8 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
             trs = shift1(By1)[:, 0:4]
             edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
             trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
+            if halos is not None:
+                trs = trs.at[0].set(jnp.where(above, x["htr"], trs[0]))
             lv_i4, work = I4.i4_reconstruct(
                 x["y"].astype(jnp.int32), x["i4m"], topY, leftY, tlY,
                 trs, has_top, has_left, qp_t["y1"])
@@ -699,28 +722,73 @@ def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):
 # Entry: jitted batched encoder for a fixed geometry.
 # ---------------------------------------------------------------------------
 
-def encode_band(Y, U, V, hy, hu, hv, has_above, qp, lambdas, rt,
-                mb_w, mb_h, esc_cap):
-    """One row band of the two-phase encoder with cross-band source halos
-    (the multi-chip sharding unit). Returns the packed output dict plus a
-    level histogram for the mesh-wide psum (ProbaStats-merge analog,
-    reference encode_proba.go:171)."""
+def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
+                quality, segments=4, sns_strength=50, i4_blocks=True,
+                psum_axis=None):
+    """One row band of the flagship encoder with cross-band source halos
+    (the multi-chip sharding unit): device segmentation (alpha histogram
+    all-reduced over `psum_axis` so every band derives the same global
+    plan — the ProbaStats-merge analog, reference encode_proba.go:171),
+    I16+I4 search and the closed-loop wavefront. Returns the packed
+    output dict plus a level histogram (also mesh-reduced by callers)."""
     Y = Y.astype(jnp.int32)
     U = U.astype(jnp.int32)
     V = V.astype(jnp.int32)
+    n_mb = mb_w * mb_h
     halos = (hy.astype(jnp.int32), hu.astype(jnp.int32),
              hv.astype(jnp.int32))
-    modes, uvmodes, _ = _phase1(Y, U, V, qp, lambdas, rt, mb_w, mb_h,
-                                halos=halos, has_above=has_above)
-    lv24, y2, _, _ = _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h,
-                             halos=halos, has_above=has_above)
+    if segments > 1:
+        alphas = _mb_alphas(Y, U, V, mb_w, mb_h)
+        histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(axis=1)
+        if psum_axis is not None:
+            histo = jax.lax.psum(histo, psum_axis)
+        seg_map, seg_q, seg_beta = _plan_from_histo(
+            histo, alphas, quality, sns_strength, segments)
+        qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+        seg = (seg_map, seg_rows)
+    else:
+        qp_i, lam_i = rd_params(quality)
+        lam_i = {k: jnp.float32(v) for k, v in lam_i.items()}
+        seg_map = jnp.zeros((n_mb,), jnp.int32)
+        seg_q = jnp.zeros((4,), jnp.int32)
+        seg_beta = jnp.zeros((4,), jnp.int32)
+        seg = None
+    modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h,
+                                        halos=halos, has_above=has_above)
+    if i4_blocks:
+        from . import i4 as I4
+
+        src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
+                       .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
+        is_i4, i4_modes, _ = I4.i4_search(
+            Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
+            i16_score, approx_block_rate)
+        # The band's first MB row predicts from the *source* halo; I4's
+        # 4x4 modes lean too hard on exact context there (multi-dB local
+        # drift), so the boundary row stays I16 (one row per band).
+        boundary = (jnp.arange(n_mb) < mb_w) & jnp.asarray(has_above)
+        is_i4 = is_i4 & ~boundary
+        i4_ctx = (is_i4, i4_modes)
+    else:
+        is_i4 = jnp.zeros((n_mb,), bool)
+        i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
+        i4_ctx = None
+    lv24, y2, _, _ = _phase2(Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h,
+                             halos=halos, has_above=has_above, seg=seg,
+                             i4=i4_ctx)
     packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
     skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
+    imodes = jnp.where(is_i4[:, None], i4_modes,
+                       jnp.concatenate([modes[:, None],
+                                        jnp.zeros((n_mb, 15), jnp.uint8)],
+                                       axis=1))
     hist = jnp.histogram(jnp.abs(lv24).astype(jnp.int32), bins=16,
                          range=(0, 16))[0]
     return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
             "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
-            "uvmodes": uvmodes, "skip": skip, "hist": hist}
+            "uvmodes": uvmodes, "skip": skip, "is_i4": is_i4,
+            "imodes": imodes, "seg_map": seg_map.astype(jnp.uint8),
+            "seg_q": seg_q, "seg_beta": seg_beta, "hist": hist}
 
 
 @functools.lru_cache(maxsize=8)

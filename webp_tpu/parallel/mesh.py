@@ -44,13 +44,17 @@ def make_mesh(n_devices: int = None, dp: int = None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "sp"))
 
 
-def make_sharded_encode_fn(mesh: Mesh, quality: int = 75):
+def make_sharded_encode_fn(mesh: Mesh, quality: int = 75,
+                           segments: int = 4, sns_strength: int = 50,
+                           i4_blocks: bool = True):
     """Returns a jitted multi-chip encode step over rgb [B, H, W, 3] uint8.
 
-    B must divide by mesh 'dp', H by 16 * mesh 'sp'. Output levels stay
-    sharded (batch over dp, MB rows over sp); the histogram is replicated.
+    B must divide by mesh 'dp', H by 16 * mesh 'sp'. Runs the full flagship
+    config per band: device segmentation (alpha histograms all-reduced over
+    'sp' so every band derives the identical global plan), I16+I4 search,
+    closed-loop wavefront. Output levels stay sharded (batch over dp, MB
+    rows over sp); the level histogram is replicated.
     """
-    qp, lambdas = fastpath.rd_params(quality)
     rt = fastpath.RateTables(np.asarray(fastpath.T.COEFFS_PROBA0))
     sp_size = mesh.shape["sp"]
 
@@ -77,14 +81,16 @@ def make_sharded_encode_fn(mesh: Mesh, quality: int = 75):
         esc_cap = max(1024, fastpath.ESC_BLOCKS_PER_MB * mb_w * mb_h)
         out = jax.vmap(
             lambda y, u, v, a, bb, c: fastpath.encode_band(
-                y, u, v, a, bb, c, has_above, qp, lambdas, rt,
-                mb_w, mb_h, esc_cap)
+                y, u, v, a, bb, c, has_above, rt, mb_w, mb_h, esc_cap,
+                quality, segments, sns_strength, i4_blocks,
+                psum_axis="sp")
         )(Y, U, V, hy, hu, hv)
         # Mesh-wide probability statistics (psum over sp then dp).
         hist = jax.lax.psum(jax.lax.psum(out.pop("hist").sum(0), "sp"), "dp")
         return (out["packed"], out["esc_idx"], out["esc_val"],
                 out["esc_cnt"][:, None], out["y2"], out["modes"],
-                out["uvmodes"], out["skip"], hist)
+                out["uvmodes"], out["skip"], out["is_i4"], out["imodes"],
+                out["seg_map"], out["seg_q"], out["seg_beta"], hist)
 
     fn = shard_map(
         band_fn,
@@ -99,6 +105,11 @@ def make_sharded_encode_fn(mesh: Mesh, quality: int = 75):
             P("dp", "sp"),               # modes
             P("dp", "sp"),               # uv modes
             P("dp", "sp"),               # skip
+            P("dp", "sp"),               # is_i4
+            P("dp", "sp", None),         # imodes
+            P("dp", "sp"),               # segment map
+            P("dp", None),               # segment quant indices (replicated/sp)
+            P("dp", None),               # segment betas
             P(),                         # replicated histogram
         ),
     )
@@ -128,8 +139,9 @@ def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
 
     from ..ops.fastpath import unpack_levels
 
-    (packed, esc_idx, esc_val, esc_cnt, y2, modes, uvm, skip, hist) = [
-        np.asarray(o) for o in outputs]
+    (packed, esc_idx, esc_val, esc_cnt, y2, modes, uvm, skip, is_i4,
+     imodes, seg_map, seg_q, seg_beta, hist) = [np.asarray(o)
+                                                for o in outputs]
     B = packed.shape[0]
     n_mb = mb_w * mb_h
     n_loc = n_mb // sp
@@ -143,5 +155,7 @@ def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
                 packed[b, sl], esc_idx[b, s * cap:(s + 1) * cap],
                 esc_val[b, s * cap:(s + 1) * cap], esc_cnt[b, s], n_loc)
         out.append({"lv24": lv, "y2": y2[b], "modes": modes[b],
-                    "uvmodes": uvm[b], "skip": skip[b]})
+                    "uvmodes": uvm[b], "skip": skip[b], "is_i4": is_i4[b],
+                    "imodes": imodes[b], "seg_map": seg_map[b],
+                    "seg_q": seg_q[b][:4], "seg_beta": seg_beta[b][:4]})
     return out
