@@ -90,7 +90,7 @@ def main() -> None:
         dev_mpx_s = max(dev_mpx_s, 8 * mpx / (time.perf_counter() - t0))
 
     # Warmup / compile.
-    out = encode_lossy_stream(imgs[:8], quality=75, batch=8)
+    out = encode_lossy_stream(imgs[:16], quality=75, batch=16)
     assert all(len(o) > 0 for o in out)
 
     # Host-side companion paths first (before the stream loops so leftover
@@ -111,7 +111,7 @@ def main() -> None:
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = encode_lossy_stream(imgs, quality=75, batch=8)
+        res = encode_lossy_stream(imgs, quality=75, batch=16)
         times.append(time.perf_counter() - t0)
     assert len(res) == len(imgs) and all(len(o) > 0 for o in res)
     value = len(imgs) * mpx / min(times)
