@@ -109,3 +109,42 @@ def test_rate_control_targets(photo):
 
     data = webp_tpu.encode(photo, target_psnr=26.0)
     assert E.LAST_STATS.psnr >= 25.5
+
+
+def test_fuzz_whole_files_never_crash():
+    """Mutated/truncated whole WebP files through the public decode API:
+    every outcome must be a decode or a WebPError, never a crash/hang
+    (FuzzDecode analog at the container level)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import webp_tpu
+
+    rng = np.random.default_rng(5)
+    img = Image.open("/root/reference/testdata/test.png")
+    files = []
+    b = io.BytesIO(); img.convert("RGB").resize((48, 32)).save(b, "WEBP", quality=70)
+    files.append(bytearray(b.getvalue()))
+    b = io.BytesIO(); img.convert("RGBA").resize((40, 28)).save(b, "WEBP", lossless=True)
+    files.append(bytearray(b.getvalue()))
+    b = io.BytesIO()
+    frames = [img.convert("RGBA").resize((32, 24)) for _ in range(3)]
+    frames[0].save(b, "WEBP", save_all=True, append_images=frames[1:],
+                   duration=50)
+    files.append(bytearray(b.getvalue()))
+    for payload in files:
+        for _ in range(80):
+            mut = bytearray(payload)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+            try:
+                webp_tpu.decode(bytes(mut))
+            except webp_tpu.WebPError:
+                pass
+        for cut in range(0, len(payload), 13):
+            try:
+                webp_tpu.decode(bytes(payload[:cut]))
+            except webp_tpu.WebPError:
+                pass
