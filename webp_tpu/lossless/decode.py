@@ -18,6 +18,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..bitio.lossless import LosslessBitReader
+from ..container.riff import WebPError
 from . import huffman as hf
 from .huffman import HuffmanTable
 
@@ -90,8 +91,9 @@ class HTreeGroup:
     trees: List[HuffmanTable] = field(default_factory=list)  # G, R, B, A, D
 
 
-class BitstreamError(ValueError):
-    pass
+class BitstreamError(WebPError):
+    """Malformed/truncated VP8L bitstream (a WebPError: decode() raises
+    only WebPError subclasses on bad input)."""
 
 
 class VP8LDecoder:
