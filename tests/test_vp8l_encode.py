@@ -89,3 +89,22 @@ def test_metadata_roundtrip(photo):
 def test_lossless_metadata(photo):
     data = webp_tpu.encode(photo, lossless=True, exif=b"E")
     assert np.array_equal(pil_decode_rgba(data), _rgba(photo))
+
+
+def test_size_competitive_small_images():
+    """The transform-config search (predictor on/off compared by exact coded
+    size) plus the widened color-cache search keep small-image output within
+    12% of libwebp m4 (graphics previously lost ~28% to a forced predictor
+    transform; libwebp decides via AnalyzeEntropy, vp8l_enc.c)."""
+    for name, sz in [("test.png", (256, 192)), ("test.png", (128, 96)),
+                     ("test_color.png", (200, 133))]:
+        im = Image.open(f"/root/reference/testdata/{name}").convert("RGB")
+        im = im.resize(sz)
+        rgb = np.asarray(im)
+        mine = webp_tpu.encode(rgb, lossless=True)
+        buf = io.BytesIO()
+        im.save(buf, format="WEBP", lossless=True, quality=75, method=4)
+        assert np.array_equal(
+            np.asarray(Image.open(io.BytesIO(mine)).convert("RGB")), rgb)
+        ratio = len(mine) / len(buf.getvalue())
+        assert ratio <= 1.12, f"{name}@{sz}: {ratio:.3f} vs libwebp"

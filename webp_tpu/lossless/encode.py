@@ -532,36 +532,60 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         _encode_entropy_coded_image(bw, packed.reshape(-1),
                                     packed.shape[1], quality, is_level0=True)
     else:
-        cur = argb
-        bw.write_bits(1, 1)
-        bw.write_bits(2, 2)  # SUBTRACT_GREEN
-        cur = subtract_green(cur)
-        # Predictor transform.
-        bits = 4
-        bw.write_bits(1, 1)
-        bw.write_bits(0, 2)  # PREDICTOR
-        bw.write_bits(bits - 2, 3)
-        residuals, tile_img = predictor_transform(cur, bits, quality)
-        _encode_entropy_coded_image(bw, tile_img, sub_sample_size(w, bits), quality)
-        # Cross-color transform (applied on the predictor residuals,
-        # reference ColorSpaceTransform order) when it pays for itself.
-        cc = None
-        if quality >= 25 and method >= 2:
-            try:
-                from ..native.api import vp8l_cross_color
+        sg = subtract_green(argb)
 
-                cc = vp8l_cross_color(residuals, bits)
-            except Exception:
+        def _body(use_pred: bool) -> tuple[bytes, int]:
+            """Encodes one transform-config candidate (subtract-green
+            always; predictor + gated cross-color optionally) into its own
+            bit buffer so configs can be compared by exact coded size."""
+            b2 = LosslessBitWriter()
+            b2.write_bits(1, 1)
+            b2.write_bits(2, 2)  # SUBTRACT_GREEN
+            cur = sg
+            if use_pred:
+                bits = 4
+                b2.write_bits(1, 1)
+                b2.write_bits(0, 2)  # PREDICTOR
+                b2.write_bits(bits - 2, 3)
+                residuals, tile_img = predictor_transform(cur, bits, quality)
+                _encode_entropy_coded_image(
+                    b2, tile_img, sub_sample_size(w, bits), quality)
+                # Cross-color (on the predictor residuals, reference
+                # ColorSpaceTransform order) when it pays for itself.
                 cc = None
-        if cc is not None and cc[2] > 1024.0:
-            residuals, cc_tiles, _ = cc
-            bw.write_bits(1, 1)
-            bw.write_bits(1, 2)  # CROSS_COLOR
-            bw.write_bits(bits - 2, 3)
-            _encode_entropy_coded_image(bw, cc_tiles.reshape(-1),
-                                        sub_sample_size(w, bits), quality)
-        bw.write_bits(0, 1)  # no more transforms
-        _encode_entropy_coded_image(bw, residuals.reshape(-1), w, quality,
-                                    is_level0=True)
+                if quality >= 25 and method >= 2:
+                    try:
+                        from ..native.api import vp8l_cross_color
+
+                        cc = vp8l_cross_color(residuals, bits)
+                    except Exception:
+                        cc = None
+                if cc is not None and cc[2] > 1024.0:
+                    residuals, cc_tiles, _ = cc
+                    b2.write_bits(1, 1)
+                    b2.write_bits(1, 2)  # CROSS_COLOR
+                    b2.write_bits(bits - 2, 3)
+                    _encode_entropy_coded_image(
+                        b2, cc_tiles.reshape(-1), sub_sample_size(w, bits),
+                        quality)
+                cur = residuals
+            b2.write_bits(0, 1)  # no more transforms
+            _encode_entropy_coded_image(b2, cur.reshape(-1), w, quality,
+                                        is_level0=True)
+            nbits = b2.bit_position()
+            return b2.finish(), nbits
+
+        # Transform-config search: the predictor helps photographs but hurts
+        # graphics whose raw pixels LZ77-compress directly (libwebp decides
+        # via AnalyzeEntropy; an exact size comparison is both simpler and
+        # never wrong). Small images pay the double encode; large images
+        # keep the single spatial config the reference always picks for
+        # them (encode.go:274-277).
+        best = _body(True)
+        if h * w <= (1 << 18) and quality >= 50 and method >= 4:
+            cand = _body(False)
+            if cand[1] < best[1]:
+                best = cand
+        bw.append_bits_buffer(best[0], best[1])
 
     return bw.finish()

@@ -17,6 +17,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <queue>
 #include <thread>
 #include <vector>
@@ -839,6 +840,300 @@ void EmitTokensMeta(BitWriter* bw, const std::vector<Token>& toks,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Cost-model optimal parse ("trace" pass).
+//
+// Semantics follow reference internal/lossless/encode_backward.go:847-1540
+// and hashchain.go:389-455 (libwebp's backward_references_cost_enc.c): build
+// a per-pixel best-match table, estimate per-symbol bit costs from a seed
+// token stream, run a forward shortest-path DP over (literal | cache | copy)
+// steps, then trace the cheapest path back into tokens. Our DP serializes
+// candidate intervals directly into the cost array (the piecewise-constant
+// length-cost runs plus the constant-offset reach extension keep that near
+// linear) instead of the reference's interval linked list.
+// ---------------------------------------------------------------------------
+
+// Per-pixel best match, packed (offset << 12) | length. Iteration budget and
+// window scale with quality (hashchain.go:59-66,110-134).
+void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
+                    std::vector<uint32_t>* out) {
+  out->assign((size_t)n, 0);
+  if (n < 2) return;
+  const int iter_max =
+      quality > 75 ? 8 + quality * quality / 128 : 8 + quality / 3;
+  long win = quality > 75   ? kWindowSize
+             : quality > 50 ? (long)xsize << 8
+             : quality > 25 ? (long)xsize << 6
+                            : (long)xsize << 4;
+  if (win > kWindowSize) win = kWindowSize;
+
+  // Forward pass: singly-linked same-hash chains.
+  std::vector<int32_t> head((size_t)kHashSize, -1);
+  std::vector<int32_t> chain((size_t)n, -1);
+  for (long i = 0; i + 1 < n; ++i) {
+    const long h = Hash2(a, i);
+    chain[(size_t)i] = head[(size_t)h];
+    head[(size_t)h] = (int32_t)i;
+  }
+
+  // Reverse fill: budgeted chain walk with the row-above / previous-pixel
+  // spatial heuristics tried first.
+  for (long i = n - 2; i >= 1; --i) {
+    // Last pixel stays length-0 (a match never covers argb[n-1] so the
+    // bestArgb probe below stays in bounds; reference hashchain.go:391).
+    const long max_len = std::min(kMaxLength, n - 1 - i);
+    if (max_len < 1) continue;
+    const long min_pos = i > win ? i - win : 0;
+    long best_len = 0, best_dist = 0;
+    int iter = iter_max;
+    if (i >= xsize) {
+      const long l = MatchLen(a + i - xsize, a + i, max_len);
+      if (l > best_len) {
+        best_len = l;
+        best_dist = xsize;
+      }
+      --iter;
+    }
+    {
+      const long l = MatchLen(a + i - 1, a + i, max_len);
+      if (l > best_len) {
+        best_len = l;
+        best_dist = 1;
+      }
+      --iter;
+    }
+    const long len_stop = std::min(max_len, (long)256);
+    if (best_len < max_len) {
+      uint32_t probe = a[i + best_len];
+      for (long pos = chain[(size_t)i]; pos >= min_pos && iter > 0;
+           pos = chain[(size_t)pos]) {
+        --iter;
+        if (a[pos + best_len] != probe) continue;
+        const long l = MatchLen(a + pos, a + i, max_len);
+        if (l > best_len) {
+          best_len = l;
+          best_dist = i - pos;
+          if (best_len >= len_stop || best_len >= max_len) break;
+          probe = a[i + best_len];
+        }
+      }
+    }
+    if (best_len >= 2)
+      (*out)[(size_t)i] = ((uint32_t)best_dist << 12) | (uint32_t)best_len;
+  }
+}
+
+// Entropy estimates (bits per symbol) from a seed token stream:
+// cost[s] = log2(total) - log2(count[s]) (encode_backward.go:885-911).
+struct TraceModel {
+  double red[256], blue[256], alpha[256], dist[kNumDistance];
+  std::vector<double> lit;  // green | length codes | cache indices
+
+  static void ToBits(const std::vector<int64_t>& c, double* o, size_t k) {
+    int64_t sum = 0;
+    int nz = 0;
+    for (size_t i = 0; i < k; ++i) {
+      sum += c[i];
+      nz += c[i] > 0;
+    }
+    if (nz <= 1) {
+      for (size_t i = 0; i < k; ++i) o[i] = 0.0;
+      return;
+    }
+    const double ls = std::log2((double)sum);
+    for (size_t i = 0; i < k; ++i)
+      o[i] = c[i] > 0 ? ls - std::log2((double)c[i]) : ls;
+  }
+
+  void Build(const std::vector<Token>& seed, const PlaneMap& pm,
+             int cache_bits) {
+    Histos hs;
+    BuildHistogram(seed, pm, cache_bits, &hs);
+    lit.resize(hs.h[0].size());
+    ToBits(hs.h[0], lit.data(), hs.h[0].size());
+    ToBits(hs.h[1], red, 256);
+    ToBits(hs.h[2], blue, 256);
+    ToBits(hs.h[3], alpha, 256);
+    ToBits(hs.h[4], dist, kNumDistance);
+  }
+
+  double LiteralCost(uint32_t v) const {
+    return alpha[(v >> 24) & 0xFF] + red[(v >> 16) & 0xFF] +
+           lit[(v >> 8) & 0xFF] + blue[v & 0xFF];
+  }
+  double LengthCost(long length) const {  // prefix code + extra bits
+    int code, nbits;
+    uint32_t extra;
+    PrefixEncode((uint32_t)length, &code, &nbits, &extra);
+    return lit[(size_t)(kNumLiteral + code)] + nbits;
+  }
+  double DistCost(uint32_t plane_code) const {
+    int code, nbits;
+    uint32_t extra;
+    PrefixEncode(plane_code, &code, &nbits, &extra);
+    return dist[code] + nbits;
+  }
+};
+
+// Forward DP + backward trace. Seed tokens (already cache-applied) define
+// the cost model; `out` gets the re-parsed token stream with the same
+// cache_bits applied. Returns false when the parse is degenerate.
+bool TraceParse(const uint32_t* a, long n, int xsize, int quality,
+                int cache_bits, const PlaneMap& pm,
+                const std::vector<Token>& seed, std::vector<Token>* out) {
+  if (n < 2) return false;
+  std::vector<uint32_t> ol;
+  FillMatchTable(a, n, xsize, quality, &ol);
+
+  TraceModel cm;
+  cm.Build(seed, pm, cache_bits);
+
+  // Piecewise-constant runs of the length cost, indexed by length.
+  const long max_l = std::min(kMaxLength, n);
+  std::vector<float> len_cost((size_t)max_l + 1, 0.f);
+  for (long l = 1; l <= max_l; ++l) len_cost[(size_t)l] = (float)cm.LengthCost(l);
+  struct Run {
+    long lo, hi;  // lengths [lo, hi]
+    float cost;
+  };
+  std::vector<Run> runs;
+  for (long l = 1; l <= max_l; ++l) {
+    if (!runs.empty() && runs.back().cost == len_cost[(size_t)l])
+      runs.back().hi = l;
+    else
+      runs.push_back({l, l, len_cost[(size_t)l]});
+  }
+
+  constexpr float kInf = 3.4e38f;
+  std::vector<float> costs((size_t)n, kInf);
+  std::vector<uint16_t> step((size_t)n, 0);
+
+  // Serialize one copy candidate: copies starting at `pos` with lengths
+  // 1..len (cost base + len_cost[L]) land on pixels pos..pos+len-1.
+  auto push = [&](float base, long pos, long len) {
+    for (const Run& r : runs) {
+      if (r.lo > len) break;
+      const long hi = std::min(r.hi, len);
+      const float c = base + r.cost;
+      for (long L = r.lo; L <= hi; ++L) {
+        const long i = pos + L - 1;
+        if (costs[(size_t)i] > c) {
+          costs[(size_t)i] = c;
+          step[(size_t)i] = (uint16_t)L;
+        }
+      }
+    }
+  };
+
+  // Approximate running color cache (exact replay happens on emission).
+  const uint32_t cshift = 32 - (uint32_t)cache_bits;
+  std::vector<int64_t> cc;
+  if (cache_bits > 0) cc.assign((size_t)1 << cache_bits, -1);
+  // The 0.68/0.82 scalers bias the DP toward cache hits / literals the
+  // final (cache-replayed) emission will actually shorten
+  // (encode_backward.go:1313-1326, libwebp's DivRound heuristic).
+  auto literal_at = [&](long i, float prev) {
+    float c = prev;
+    const uint32_t px = a[i];
+    if (cache_bits > 0) {
+      const uint32_t key = (0x1E35A7BDu * px) >> cshift;
+      if (cc[key] == (int64_t)px) {
+        c += (float)(cm.lit[(size_t)(kNumLiteral + kNumLength + key)] * 0.68);
+      } else {
+        cc[key] = px;
+        c += (float)(cm.LiteralCost(px) * 0.82);
+      }
+    } else {
+      c += (float)(cm.LiteralCost(px) * 0.82);
+    }
+    if (costs[(size_t)i] > c) {
+      costs[(size_t)i] = c;
+      step[(size_t)i] = 1;
+    }
+  };
+
+  literal_at(0, 0.f);
+  long off_prev = -1, len_prev = 0, reach = 0;
+  float off_cost = 0.f;
+  bool first_const = false;
+  for (long i = 1; i < n; ++i) {
+    const float prev = costs[(size_t)(i - 1)];
+    const long off = ol[(size_t)i] >> 12;
+    const long len = ol[(size_t)i] & 0xFFF;
+    literal_at(i, prev);
+    if (len >= 2) {
+      if (off != off_prev) {
+        off_cost = (float)cm.DistCost(pm.Code((uint32_t)off));
+        push(prev + off_cost, i, len);
+        first_const = true;
+        reach = i + len - 1;
+      } else {
+        // Constant-offset run: pixels i..reach are already covered by the
+        // interval pushed at the run's start; only extend past `reach`
+        // (encode_backward.go:1382-1432).
+        if (first_const) {
+          reach = i - 1 + len_prev - 1;
+          first_const = false;
+        }
+        if (i + len - 1 > reach) {
+          long j = i;
+          while (j <= reach && (long)(ol[(size_t)(j + 1)] >> 12) == off) ++j;
+          const long len_j = ol[(size_t)j] & 0xFFF;
+          if (len_j >= 2) {
+            push(costs[(size_t)(j - 1)] + off_cost, j, len_j);
+            reach = j + len_j - 1;
+          }
+        }
+      }
+    }
+    off_prev = off;
+    len_prev = len;
+  }
+
+  // Backward trace: pack chosen step sizes right-to-left.
+  std::vector<uint16_t> path;
+  path.reserve((size_t)n / 4);
+  for (long cur = n - 1; cur >= 0;) {
+    const long k = step[(size_t)cur];
+    if (k < 1) return false;  // unreachable pixel: bail out
+    path.push_back((uint16_t)k);
+    cur -= k;
+  }
+
+  // Emit tokens along the path (exact color-cache replay).
+  out->clear();
+  out->reserve(path.size());
+  if (cache_bits > 0) cc.assign((size_t)1 << cache_bits, -1);
+  long i = 0;
+  for (size_t ix = path.size(); ix-- > 0;) {
+    const long L = path[ix];
+    if (L != 1) {
+      const uint32_t off = ol[(size_t)i] >> 12;
+      if (off == 0) return false;
+      out->push_back({1, (uint32_t)L, off});
+      if (cache_bits > 0)
+        for (long k = 0; k < L; ++k)
+          cc[(0x1E35A7BDu * a[i + k]) >> cshift] = a[i + k];
+      i += L;
+    } else {
+      const uint32_t px = a[i];
+      if (cache_bits > 0) {
+        const uint32_t key = (0x1E35A7BDu * px) >> cshift;
+        if (cc[key] == (int64_t)px) {
+          out->push_back({2, key, 0});
+        } else {
+          cc[key] = px;
+          out->push_back({0, px, 0});
+        }
+      } else {
+        out->push_back({0, px, 0});
+      }
+      ++i;
+    }
+  }
+  return i == n;
+}
+
 void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
                   int quality, bool is_level0) {
   std::vector<Token> base;
@@ -852,10 +1147,14 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   double best_cost = HistoCostBits(hs);
   int best_cb = 0;
   if (is_level0 && n >= 512 && quality >= 25) {
-    constexpr int kCbs[3] = {6, 8, 10};
-    Histos ch[3];
-    std::vector<int64_t> cache[3];
-    for (int c = 0; c < 3; ++c) {
+    constexpr int kNumCbs = 6;
+    constexpr int kCbs[kNumCbs] = {1, 2, 4, 6, 8, 10};
+    // Small cache sizes only pay off on small/graphic images; skip them on
+    // large ones so the per-token candidate loop stays cheap.
+    const int c0 = n > (1L << 18) ? 3 : 0;
+    Histos ch[kNumCbs];
+    std::vector<int64_t> cache[kNumCbs];
+    for (int c = c0; c < kNumCbs; ++c) {
       ch[c].Init(kCbs[c]);
       cache[c].assign((size_t)1 << kCbs[c], -1);
     }
@@ -865,7 +1164,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     for (const Token& t : base) {
       if (t.kind == 0) {
         const uint32_t hash = 0x1E35A7BDu * t.v;
-        for (int c = 0; c < 3; ++c) {
+        for (int c = c0; c < kNumCbs; ++c) {
           const uint32_t key = hash >> (32 - kCbs[c]);
           if (cache[c][key] == (int64_t)t.v) {
             ch[c].h[0][kNumLiteral + kNumLength + key]++;
@@ -882,16 +1181,17 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
         for (long p = pos; p < pos + (long)t.v; ++p) {
           const uint32_t px = argb[p];
           const uint32_t hash = 0x1E35A7BDu * px;
-          for (int c = 0; c < 3; ++c) cache[c][hash >> (32 - kCbs[c])] = px;
+          for (int c = c0; c < kNumCbs; ++c)
+            cache[c][hash >> (32 - kCbs[c])] = px;
         }
         pos += t.v;
         PrefixEncode(t.v, &code, &nbits, &extra);
-        for (int c = 0; c < 3; ++c) ch[c].h[0][kNumLiteral + code]++;
+        for (int c = c0; c < kNumCbs; ++c) ch[c].h[0][kNumLiteral + code]++;
         PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
-        for (int c = 0; c < 3; ++c) ch[c].h[4][code]++;
+        for (int c = c0; c < kNumCbs; ++c) ch[c].h[4][code]++;
       }
     }
-    for (int c = 0; c < 3; ++c) {
+    for (int c = c0; c < kNumCbs; ++c) {
       const double cost = HistoCostBits(ch[c]);
       if (cost < best_cost) {
         best_cost = cost;
@@ -906,6 +1206,29 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     best_toks.swap(base);
   }
   BuildHistogram(best_toks, pm, best_cb, &hs);
+
+  // Cost-model re-parse: always at quality >= 90; at default qualities only
+  // where the greedy parse leaves the most on the table (small images) so
+  // the large-image throughput path keeps its speed (the reference gates on
+  // quality alone, encode_backward.go:773-795).
+  static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
+  if (!kNoTrace && quality >= 50 && n >= 64 &&
+      (quality >= 90 || n <= (1L << 18))) {
+    std::vector<Token> traced;
+    if (TraceParse(argb, n, xsize, quality, best_cb, pm, best_toks,
+                   &traced)) {
+      Histos ths;
+      BuildHistogram(traced, pm, best_cb, &ths);
+      if (std::getenv("WEBPTPU_TRACE_DEBUG"))
+        fprintf(stderr, "[trace] n=%ld greedy=%.0f traced=%.0f toks %zu->%zu\n",
+                n, HistoCostBits(hs), HistoCostBits(ths), best_toks.size(),
+                traced.size());
+      if (HistoCostBits(ths) < HistoCostBits(hs)) {
+        best_toks.swap(traced);
+        hs = std::move(ths);
+      }
+    }
+  }
 
   // Meta-Huffman clustering decision (level-0 streams only).
   MetaPlan mp;
