@@ -70,28 +70,40 @@ struct BoolWriter {
   }
 };
 
-// --- RFC 6386 boolean decoder (16-bit value window).
+// --- RFC 6386 boolean decoder.
+//
+// 64-bit sliding window: `value` holds the 16-bit compare window at bit
+// offset `cbits` plus up to 48 preloaded bits below it. Renormalization
+// only decrements `cbits` (no value shift, no per-byte injection); bytes
+// are loaded five at a time when the preload runs low. Bit-exact with the
+// canonical per-byte decoder: the compare window tracks the identical
+// stream position, refills just batch the byte loads.
 struct BoolReader {
   const uint8_t* data;
   size_t n, pos = 0;
-  uint32_t value = 0;
+  uint64_t value = 0;
   uint32_t range = 255;
-  int bit_count = 0;
+  int cbits = 0;   // preloaded bits below the 16-bit compare window
+  long vbits = 0;  // virtual (past-end) bits loaded; lowest bits of value
   bool eof = false;
 
   explicit BoolReader(const uint8_t* d, size_t len) : data(d), n(len) {
-    for (int i = 0; i < 2; ++i) value = (value << 8) | next_byte();
+    for (int i = 0; i < 2; ++i)
+      value = (value << 8) | (pos < n ? data[pos++] : (vbits += 8, 0));
+    if (vbits > 0) eof = true;  // stream shorter than the initial window
+    refill();
   }
 
-  inline uint8_t next_byte() {
-    if (pos < n) return data[pos++];
-    eof = true;
-    return 0;
+  inline void refill() {
+    while (cbits <= 40) {
+      value = (value << 8) | (pos < n ? data[pos++] : (vbits += 8, 0));
+      cbits += 8;
+    }
   }
 
   inline int get_bit(int prob) {
-    uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
-    uint32_t bigsplit = split << 8;
+    const uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
+    const uint64_t bigsplit = (uint64_t)split << (8 + cbits);
     int bit;
     if (value >= bigsplit) {
       bit = 1;
@@ -102,17 +114,16 @@ struct BoolReader {
       range = split;
     }
     if (range < 128) {
-      // Bulk renormalization: one clz instead of up to 7 loop iterations
-      // (bit-exact with the per-bit form: the byte a step-wise renorm
-      // would inject at count==8 lands at the same final offset).
+      // Bulk renormalization: one clz instead of up to 7 loop iterations.
       const int shift = 7 - (31 - __builtin_clz(range));
       range <<= shift;
-      value <<= shift;
-      bit_count += shift;
-      if (bit_count >= 8) {
-        bit_count -= 8;
-        value |= (uint32_t)next_byte() << bit_count;
-      }
+      cbits -= shift;
+      if (cbits < 7) refill();
+      // Flag end-of-stream with the same threshold as a per-byte decoder
+      // (which injects byte k only after 8k renorm bits, so its window's
+      // last 8 bits ride on implicit zeros without flagging): the stream
+      // is over when more than a byte of the window is virtual.
+      if (vbits > 0 && vbits >= cbits + 8) eof = true;
     }
     return bit;
   }

@@ -6,6 +6,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 #include "bitio.h"
@@ -361,6 +364,16 @@ static void IDCTAdd(const int16_t* in, uint8_t* dst, int stride) {
   }
 }
 
+// DC-only inverse transform: every output pixel moves by (dc + 4) >> 3
+// (the full IDCT of a DC-only block; the common case at mid/low quality).
+static void IDCTAddDC(int dc, uint8_t* dst, int stride) {
+  const int v = (dc + 4) >> 3;
+  for (int r = 0; r < 4; ++r) {
+    uint8_t* o = dst + r * stride;
+    for (int c = 0; c < 4; ++c) o[c] = clip8(o[c] + v);
+  }
+}
+
 // --- Prediction (operates directly on the padded planes) -------------------
 
 struct Ctx {
@@ -651,10 +664,19 @@ int vp8_decode(const uint8_t* data, long n,
   d.ys = ys;
   d.uvs = uvs;
 
+  const bool prof = std::getenv("WEBPTPU_VP8_PROF") != nullptr;
+  auto tick = [] { return std::chrono::steady_clock::now(); };
+  auto ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = tick();
   int nmb = d.mb_w * d.mb_h;
   std::vector<int16_t> coeffs((size_t)nmb * 24 * 16, 0);
   std::vector<uint8_t> tnz(d.mb_w, 0), tdc(d.mb_w, 0);
   std::vector<uint8_t> has_nz(nmb, 0);
+  // Per-block GetCoeffs return (position after the last nonzero) so the
+  // reconstruction pass can skip or DC-fast-path empty/DC-only blocks.
+  std::vector<uint8_t> bnz((size_t)nmb * 24, 0);
 
   // ---- Pass 1: token decode for all MBs.
   for (int mby = 0; mby < d.mb_h; ++mby) {
@@ -680,6 +702,7 @@ int vp8_decode(const uint8_t* data, long n,
         int ctx = tdc[mbx] + ldc;
         int nz = GetCoeffs(br, d, 1, ctx, q.y2_dc, q.y2_ac, 0, dc);
         tdc[mbx] = ldc = nz > 0 ? 1 : 0;
+        if (nz > 0) has_nz[mb] = 1;
         TransformWHT(dc, dst);
         first = 1;
         ptype = 0;
@@ -696,7 +719,9 @@ int vp8_decode(const uint8_t* data, long n,
           int ctx = lb + (t & 1);
           int nz = GetCoeffs(br, d, ptype, ctx, q.y1_dc, q.y1_ac, first,
                              dst + bi * 16);
+          bnz[(size_t)mb * 24 + bi] = (uint8_t)nz;
           lb = nz > first ? 1 : 0;
+          if (lb) has_nz[mb] = 1;
           t = (t >> 1) | (lb << 7);
         }
         t >>= 4;
@@ -713,7 +738,9 @@ int vp8_decode(const uint8_t* data, long n,
             int ctx = lb + (t & 1);
             int nz = GetCoeffs(br, d, 2, ctx, q.uv_dc, q.uv_ac, 0,
                                dst + bi * 16);
+            bnz[(size_t)mb * 24 + bi] = (uint8_t)nz;
             lb = nz > 0 ? 1 : 0;
+            if (lb) has_nz[mb] = 1;
             t = (t >> 1) | (lb << 3);
           }
           t >>= 2;
@@ -724,15 +751,11 @@ int vp8_decode(const uint8_t* data, long n,
       }
       tnz[mbx] = (uint8_t)out_t;
       lnz = out_l;
-      // "Has non-zero coefficients" drives the inner loop-filter flag
-      // (libwebp: skip = ParseResiduals(...) return value).
-      const int16_t* cc = &coeffs[(size_t)mb * 24 * 16];
-      for (int k = 0; k < 24 * 16; ++k)
-        if (cc[k]) { has_nz[mb] = 1; break; }
       if (br.eof) return -2;  // premature end of token partition
     }
   }
 
+  auto t1 = tick();
   // ---- Pass 2: reconstruction (raster wavefront on the planes).
   static const int bx_off[16] = {0, 4, 8, 12, 0, 4, 8, 12,
                                  0, 4, 8, 12, 0, 4, 8, 12};
@@ -772,15 +795,23 @@ int vp8_decode(const uint8_t* data, long n,
           }
           uint8_t* o = d.Y + sy * ys + sx;
           Pred4(o, ys, d.imodes[(size_t)mb * 16 + nsub], t, l, tl, tr);
-          IDCTAdd(cf + nsub * 16, o, ys);
+          const int bn = bnz[(size_t)mb * 24 + nsub];
+          if (bn > 1)
+            IDCTAdd(cf + nsub * 16, o, ys);
+          else if (bn == 1)
+            IDCTAddDC(cf[nsub * 16], o, ys);
         }
       } else {
         Ctx c;
         GatherCtx(d.Y, ys, x0, y0, 16, mbx, mby, d.mb_w, false, c);
         PredBlock(d.Y + y0 * ys + x0, ys, c, 16, d.imodes[(size_t)mb * 16]);
-        for (int nsub = 0; nsub < 16; ++nsub)
-          IDCTAdd(cf + nsub * 16,
-                  d.Y + (y0 + by_off[nsub]) * ys + x0 + bx_off[nsub], ys);
+        for (int nsub = 0; nsub < 16; ++nsub) {
+          uint8_t* o = d.Y + (y0 + by_off[nsub]) * ys + x0 + bx_off[nsub];
+          if (bnz[(size_t)mb * 24 + nsub] > 1)
+            IDCTAdd(cf + nsub * 16, o, ys);
+          else if (cf[nsub * 16])
+            IDCTAddDC(cf[nsub * 16], o, ys);
+        }
       }
       // Chroma.
       int cx0 = mbx * 8, cy0 = mby * 8;
@@ -791,12 +822,19 @@ int vp8_decode(const uint8_t* data, long n,
       PredBlock(d.V + cy0 * uvs + cx0, uvs, cv, 8, d.uvmode[mb]);
       for (int bi = 0; bi < 4; ++bi) {
         int ox = (bi & 1) * 4, oy = (bi >> 1) * 4;
-        IDCTAdd(cf + (16 + bi) * 16, d.U + (cy0 + oy) * uvs + cx0 + ox, uvs);
-        IDCTAdd(cf + (20 + bi) * 16, d.V + (cy0 + oy) * uvs + cx0 + ox, uvs);
+        uint8_t* ou = d.U + (cy0 + oy) * uvs + cx0 + ox;
+        uint8_t* ov = d.V + (cy0 + oy) * uvs + cx0 + ox;
+        const int nu = bnz[(size_t)mb * 24 + 16 + bi];
+        const int nv = bnz[(size_t)mb * 24 + 20 + bi];
+        if (nu > 1) IDCTAdd(cf + (16 + bi) * 16, ou, uvs);
+        else if (nu == 1) IDCTAddDC(cf[(16 + bi) * 16], ou, uvs);
+        if (nv > 1) IDCTAdd(cf + (20 + bi) * 16, ov, uvs);
+        else if (nv == 1) IDCTAddDC(cf[(20 + bi) * 16], ov, uvs);
       }
     }
   }
 
+  auto t2 = tick();
   // ---- Pass 3: loop filter (exact raster order).
   if (d.filter_type > 0) {
     // Precompute per-segment strengths.
@@ -877,6 +915,11 @@ int vp8_decode(const uint8_t* data, long n,
         }
       }
     }
+  }
+  if (prof) {
+    auto t3 = tick();
+    fprintf(stderr, "[vp8dec] tokens=%.2fms recon=%.2fms filter=%.2fms\\n",
+            ms(t0, t1), ms(t1, t2), ms(t2, t3));
   }
   return 0;
 }
