@@ -73,3 +73,19 @@ def test_truncated_tokens_rejected(test_png):
     fr = Parser(data).frames()[0]
     with pytest.raises((VP8Error, Exception)):
         decode_vp8_rgba(fr.bitstream[: len(fr.bitstream) // 3])
+
+
+def test_loop_filter_simd_selftest():
+    """The AVX2 loop-filter edges must be bit-exact with the scalar
+    reference filters across (thresh, ithresh, hev, inner) shapes
+    (vp8_dec.cc vp8_filter_selftest; trivially 0 on non-AVX2 builds)."""
+    import ctypes, os
+    import webp_tpu
+    so = os.path.join(os.path.dirname(webp_tpu.__file__),
+                      "native", "libwebptpu.so")
+    if not os.path.exists(so):
+        pytest.skip("native library not built")
+    lib = ctypes.CDLL(so)
+    lib.vp8_filter_selftest.restype = ctypes.c_int
+    for seed in range(6):
+        assert lib.vp8_filter_selftest(seed) == 0

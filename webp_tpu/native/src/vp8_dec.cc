@@ -633,6 +633,284 @@ static void SimpleFilter(uint8_t* base, int hstride, int vstride, int size,
   }
 }
 
+// --- SIMD normal loop filter (AVX2) -----------------------------------------
+//
+// The normal filter applies identical branchy per-pixel math across 16
+// (luma) or 8+8 (U+V) lanes; lanes are independent, so the whole edge is
+// one 16-lane int16 computation with per-lane mask blends. Horizontal
+// edges read contiguous rows; vertical edges go through an 8x16 byte
+// transpose. Bit-exact with the scalar filters above (asserted by
+// vp8_filter_selftest), which remain the portable fallback.
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+namespace lf {
+
+static inline __m256i C16(__m128i b) { return _mm256_cvtepu8_epi16(b); }
+static inline __m128i P16(__m256i v) {
+  return _mm256_castsi256_si128(
+      _mm256_packus_epi16(v, _mm256_permute2x128_si256(v, v, 0x01)));
+}
+static inline __m256i Clamp(__m256i x, int lo, int hi) {
+  return _mm256_max_epi16(_mm256_set1_epi16((short)lo),
+                          _mm256_min_epi16(_mm256_set1_epi16((short)hi), x));
+}
+
+struct Edge {  // int16 lanes across the edge
+  __m256i p3, p2, p1, p0, q0, q1, q2, q3;
+};
+
+static inline bool Core(Edge& e, int thresh, int ithresh, int hev_t,
+                        bool inner) {
+  const __m256i t2 = _mm256_set1_epi16((short)(2 * thresh + 1));
+  const __m256i it = _mm256_set1_epi16((short)ithresh);
+  const __m256i ht = _mm256_set1_epi16((short)hev_t);
+  const __m256i dp1p0 = _mm256_abs_epi16(_mm256_sub_epi16(e.p1, e.p0));
+  const __m256i dq1q0 = _mm256_abs_epi16(_mm256_sub_epi16(e.q1, e.q0));
+  // NeedsFilter: 4*|p0-q0| + |p1-q1| <= 2*thresh+1.
+  __m256i lhs = _mm256_add_epi16(
+      _mm256_slli_epi16(_mm256_abs_epi16(_mm256_sub_epi16(e.p0, e.q0)), 2),
+      _mm256_abs_epi16(_mm256_sub_epi16(e.p1, e.q1)));
+  __m256i bad = _mm256_cmpgt_epi16(lhs, t2);
+  // Interior smoothness: every neighbor delta <= ithresh.
+  __m256i m = _mm256_max_epi16(
+      _mm256_abs_epi16(_mm256_sub_epi16(e.p3, e.p2)),
+      _mm256_abs_epi16(_mm256_sub_epi16(e.p2, e.p1)));
+  m = _mm256_max_epi16(m, dp1p0);
+  m = _mm256_max_epi16(m, _mm256_abs_epi16(_mm256_sub_epi16(e.q3, e.q2)));
+  m = _mm256_max_epi16(m, _mm256_abs_epi16(_mm256_sub_epi16(e.q2, e.q1)));
+  m = _mm256_max_epi16(m, dq1q0);
+  bad = _mm256_or_si256(bad, _mm256_cmpgt_epi16(m, it));
+  const __m256i apply = _mm256_xor_si256(bad, _mm256_set1_epi16(-1));
+  if (_mm256_testz_si256(apply, apply)) return false;  // nothing to filter
+  const __m256i hev = _mm256_or_si256(_mm256_cmpgt_epi16(dp1p0, ht),
+                                      _mm256_cmpgt_epi16(dq1q0, ht));
+
+  const __m256i base_a = _mm256_mullo_epi16(_mm256_sub_epi16(e.q0, e.p0),
+                                            _mm256_set1_epi16(3));
+  const __m256i sc1 = Clamp(_mm256_sub_epi16(e.p1, e.q1), -128, 127);
+  const __m256i a_h = _mm256_add_epi16(base_a, sc1);
+
+  auto shr3 = [](__m256i x, int add) {
+    return _mm256_srai_epi16(_mm256_add_epi16(x, _mm256_set1_epi16((short)add)), 3);
+  };
+  // DoFilter2 (hev lanes): adjust p0/q0 with a = 3*(q0-p0)+sclip1(p1-q1).
+  const __m256i f2a1 = Clamp(shr3(a_h, 4), -16, 15);
+  const __m256i f2a2 = Clamp(shr3(a_h, 3), -16, 15);
+  const __m256i f2p0 = _mm256_add_epi16(e.p0, f2a2);
+  const __m256i f2q0 = _mm256_sub_epi16(e.q0, f2a1);
+
+  const __m256i sel_hev = _mm256_and_si256(apply, hev);
+  const __m256i sel_soft = _mm256_andnot_si256(hev, apply);
+  if (inner) {
+    // DoFilter4 (non-hev lanes): a = 3*(q0-p0); touches p1..q1.
+    const __m256i a1 = Clamp(shr3(base_a, 4), -16, 15);
+    const __m256i a2 = Clamp(shr3(base_a, 3), -16, 15);
+    const __m256i a3 = _mm256_srai_epi16(
+        _mm256_add_epi16(a1, _mm256_set1_epi16(1)), 1);
+    e.p1 = _mm256_blendv_epi8(e.p1, _mm256_add_epi16(e.p1, a3), sel_soft);
+    e.q1 = _mm256_blendv_epi8(e.q1, _mm256_sub_epi16(e.q1, a3), sel_soft);
+    e.p0 = _mm256_blendv_epi8(
+        _mm256_blendv_epi8(e.p0, _mm256_add_epi16(e.p0, a2), sel_soft),
+        f2p0, sel_hev);
+    e.q0 = _mm256_blendv_epi8(
+        _mm256_blendv_epi8(e.q0, _mm256_sub_epi16(e.q0, a1), sel_soft),
+        f2q0, sel_hev);
+  } else {
+    // DoFilter6 (non-hev lanes): a = sclip1(a_h); touches p2..q2.
+    const __m256i a6 = Clamp(a_h, -128, 127);
+    auto w = [&](int k) {
+      return _mm256_srai_epi16(
+          _mm256_add_epi16(_mm256_mullo_epi16(a6, _mm256_set1_epi16((short)k)),
+                           _mm256_set1_epi16(63)),
+          7);
+    };
+    const __m256i a1 = w(27), a2 = w(18), a3 = w(9);
+    e.p2 = _mm256_blendv_epi8(e.p2, _mm256_add_epi16(e.p2, a3), sel_soft);
+    e.q2 = _mm256_blendv_epi8(e.q2, _mm256_sub_epi16(e.q2, a3), sel_soft);
+    e.p1 = _mm256_blendv_epi8(e.p1, _mm256_add_epi16(e.p1, a2), sel_soft);
+    e.q1 = _mm256_blendv_epi8(e.q1, _mm256_sub_epi16(e.q1, a2), sel_soft);
+    e.p0 = _mm256_blendv_epi8(
+        _mm256_blendv_epi8(e.p0, _mm256_add_epi16(e.p0, a1), sel_soft),
+        f2p0, sel_hev);
+    e.q0 = _mm256_blendv_epi8(
+        _mm256_blendv_epi8(e.q0, _mm256_sub_epi16(e.q0, a1), sel_soft),
+        f2q0, sel_hev);
+  }
+  return true;
+}
+
+// Horizontal edge, 16 contiguous lanes (luma).
+static void VEdge16(uint8_t* p, int stride, int t, int it, int ht,
+                    bool inner) {
+  Edge e;
+  e.p3 = C16(_mm_loadu_si128((const __m128i*)(p - 4 * stride)));
+  e.p2 = C16(_mm_loadu_si128((const __m128i*)(p - 3 * stride)));
+  e.p1 = C16(_mm_loadu_si128((const __m128i*)(p - 2 * stride)));
+  e.p0 = C16(_mm_loadu_si128((const __m128i*)(p - stride)));
+  e.q0 = C16(_mm_loadu_si128((const __m128i*)(p)));
+  e.q1 = C16(_mm_loadu_si128((const __m128i*)(p + stride)));
+  e.q2 = C16(_mm_loadu_si128((const __m128i*)(p + 2 * stride)));
+  e.q3 = C16(_mm_loadu_si128((const __m128i*)(p + 3 * stride)));
+  if (!Core(e, t, it, ht, inner)) return;
+  _mm_storeu_si128((__m128i*)(p - 3 * stride), P16(e.p2));
+  _mm_storeu_si128((__m128i*)(p - 2 * stride), P16(e.p1));
+  _mm_storeu_si128((__m128i*)(p - stride), P16(e.p0));
+  _mm_storeu_si128((__m128i*)(p), P16(e.q0));
+  _mm_storeu_si128((__m128i*)(p + stride), P16(e.q1));
+  _mm_storeu_si128((__m128i*)(p + 2 * stride), P16(e.q2));
+}
+
+// Horizontal edge on the chroma pair: 8 U lanes + 8 V lanes.
+static void VEdge8UV(uint8_t* u, uint8_t* v, int stride, int t, int it,
+                     int ht, bool inner) {
+  auto ld = [&](int off) {
+    return C16(_mm_unpacklo_epi64(
+        _mm_loadl_epi64((const __m128i*)(u + off)),
+        _mm_loadl_epi64((const __m128i*)(v + off))));
+  };
+  Edge e;
+  e.p3 = ld(-4 * stride);
+  e.p2 = ld(-3 * stride);
+  e.p1 = ld(-2 * stride);
+  e.p0 = ld(-stride);
+  e.q0 = ld(0);
+  e.q1 = ld(stride);
+  e.q2 = ld(2 * stride);
+  e.q3 = ld(3 * stride);
+  if (!Core(e, t, it, ht, inner)) return;
+  auto st = [&](int off, __m256i x) {
+    const __m128i b = P16(x);
+    _mm_storel_epi64((__m128i*)(u + off), b);
+    _mm_storel_epi64((__m128i*)(v + off), _mm_unpackhi_epi64(b, b));
+  };
+  st(-3 * stride, e.p2);
+  st(-2 * stride, e.p1);
+  st(-stride, e.p0);
+  st(0, e.q0);
+  st(stride, e.q1);
+  st(2 * stride, e.q2);
+}
+
+// Transposes 16 rows x 8 cols of bytes (rows given as 8-byte loads) into
+// 8 column vectors of 16 bytes each.
+static inline void Tr16x8(const __m128i r[16], __m128i c[8]) {
+  __m128i a[8], b[8], d[8];
+  for (int i = 0; i < 8; ++i) a[i] = _mm_unpacklo_epi8(r[2 * i], r[2 * i + 1]);
+  for (int i = 0; i < 4; ++i) {
+    b[2 * i] = _mm_unpacklo_epi16(a[2 * i], a[2 * i + 1]);
+    b[2 * i + 1] = _mm_unpackhi_epi16(a[2 * i], a[2 * i + 1]);
+  }
+  // b[2k] holds cols 0..3, b[2k+1] cols 4..7 of rows 4k..4k+3.
+  for (int i = 0; i < 2; ++i) {
+    d[4 * i + 0] = _mm_unpacklo_epi32(b[4 * i + 0], b[4 * i + 2]);  // c0,c1
+    d[4 * i + 1] = _mm_unpackhi_epi32(b[4 * i + 0], b[4 * i + 2]);  // c2,c3
+    d[4 * i + 2] = _mm_unpacklo_epi32(b[4 * i + 1], b[4 * i + 3]);  // c4,c5
+    d[4 * i + 3] = _mm_unpackhi_epi32(b[4 * i + 1], b[4 * i + 3]);  // c6,c7
+  }
+  // d[j] (rows 0..7), d[4+j] (rows 8..15) each hold two columns.
+  for (int j = 0; j < 4; ++j) {
+    c[2 * j] = _mm_unpacklo_epi64(d[j], d[4 + j]);
+    c[2 * j + 1] = _mm_unpackhi_epi64(d[j], d[4 + j]);
+  }
+}
+
+// Transposes 8 column vectors of 16 bytes back into 16 rows of 8 bytes.
+static inline void Tr8x16(const __m128i c[8], __m128i r2[8]) {
+  __m128i a[8], b[8];
+  for (int i = 0; i < 4; ++i) a[i] = _mm_unpacklo_epi8(c[2 * i], c[2 * i + 1]);
+  for (int i = 0; i < 4; ++i)
+    a[4 + i] = _mm_unpackhi_epi8(c[2 * i], c[2 * i + 1]);
+  // a[i] = col pairs interleaved over rows 0..7 (i<4) / 8..15 (i>=4).
+  for (int h = 0; h < 2; ++h) {
+    const __m128i* s = a + 4 * h;
+    b[4 * h + 0] = _mm_unpacklo_epi16(s[0], s[1]);  // cols 0-3, 4 rows
+    b[4 * h + 1] = _mm_unpackhi_epi16(s[0], s[1]);
+    b[4 * h + 2] = _mm_unpacklo_epi16(s[2], s[3]);  // cols 4-7
+    b[4 * h + 3] = _mm_unpackhi_epi16(s[2], s[3]);
+  }
+  for (int h = 0; h < 2; ++h) {
+    r2[4 * h + 0] = _mm_unpacklo_epi32(b[4 * h + 0], b[4 * h + 2]);
+    r2[4 * h + 1] = _mm_unpackhi_epi32(b[4 * h + 0], b[4 * h + 2]);
+    r2[4 * h + 2] = _mm_unpacklo_epi32(b[4 * h + 1], b[4 * h + 3]);
+    r2[4 * h + 3] = _mm_unpackhi_epi32(b[4 * h + 1], b[4 * h + 3]);
+  }
+  // r2[k] now holds rows 2k and 2k+1 (8 bytes each).
+}
+
+// Vertical edge through 16 rows (luma): p points at the edge column.
+static void HEdge16(uint8_t* p, int stride, int t, int it, int ht,
+                    bool inner) {
+  __m128i rows[16], cols[8], back[8];
+  for (int i = 0; i < 16; ++i)
+    rows[i] = _mm_loadl_epi64((const __m128i*)(p + i * stride - 4));
+  Tr16x8(rows, cols);
+  Edge e;
+  e.p3 = C16(cols[0]);
+  e.p2 = C16(cols[1]);
+  e.p1 = C16(cols[2]);
+  e.p0 = C16(cols[3]);
+  e.q0 = C16(cols[4]);
+  e.q1 = C16(cols[5]);
+  e.q2 = C16(cols[6]);
+  e.q3 = C16(cols[7]);
+  if (!Core(e, t, it, ht, inner)) return;
+  cols[1] = P16(e.p2);
+  cols[2] = P16(e.p1);
+  cols[3] = P16(e.p0);
+  cols[4] = P16(e.q0);
+  cols[5] = P16(e.q1);
+  cols[6] = P16(e.q2);
+  Tr8x16(cols, back);
+  for (int k = 0; k < 8; ++k) {
+    _mm_storel_epi64((__m128i*)(p + (2 * k) * stride - 4), back[k]);
+    _mm_storel_epi64((__m128i*)(p + (2 * k + 1) * stride - 4),
+                     _mm_unpackhi_epi64(back[k], back[k]));
+  }
+}
+
+// Vertical edge through 8+8 chroma rows (U stacked over V in the lanes).
+static void HEdge8UV(uint8_t* u, uint8_t* v, int stride, int t, int it,
+                     int ht, bool inner) {
+  __m128i rows[16], cols[8], back[8];
+  for (int i = 0; i < 8; ++i)
+    rows[i] = _mm_loadl_epi64((const __m128i*)(u + i * stride - 4));
+  for (int i = 0; i < 8; ++i)
+    rows[8 + i] = _mm_loadl_epi64((const __m128i*)(v + i * stride - 4));
+  Tr16x8(rows, cols);
+  Edge e;
+  e.p3 = C16(cols[0]);
+  e.p2 = C16(cols[1]);
+  e.p1 = C16(cols[2]);
+  e.p0 = C16(cols[3]);
+  e.q0 = C16(cols[4]);
+  e.q1 = C16(cols[5]);
+  e.q2 = C16(cols[6]);
+  e.q3 = C16(cols[7]);
+  if (!Core(e, t, it, ht, inner)) return;
+  cols[1] = P16(e.p2);
+  cols[2] = P16(e.p1);
+  cols[3] = P16(e.p0);
+  cols[4] = P16(e.q0);
+  cols[5] = P16(e.q1);
+  cols[6] = P16(e.q2);
+  Tr8x16(cols, back);
+  for (int k = 0; k < 4; ++k) {
+    _mm_storel_epi64((__m128i*)(u + (2 * k) * stride - 4), back[k]);
+    _mm_storel_epi64((__m128i*)(u + (2 * k + 1) * stride - 4),
+                     _mm_unpackhi_epi64(back[k], back[k]));
+  }
+  for (int k = 0; k < 4; ++k) {
+    _mm_storel_epi64((__m128i*)(v + (2 * k) * stride - 4), back[4 + k]);
+    _mm_storel_epi64((__m128i*)(v + (2 * k + 1) * stride - 4),
+                     _mm_unpackhi_epi64(back[4 + k], back[4 + k]));
+  }
+}
+
+}  // namespace lf
+#define WEBPTPU_LF_SIMD 1
+#endif  // __AVX2__
+
 }  // namespace webptpu
 
 using namespace webptpu;
@@ -836,6 +1114,8 @@ int vp8_decode(const uint8_t* data, long n,
 
   auto t2 = tick();
   // ---- Pass 3: loop filter (exact raster order).
+  if (prof) fprintf(stderr, "[vp8dec] filter_type=%d level=%d sharp=%d\n",
+                    d.filter_type, d.filter_level, d.filter_sharpness);
   if (d.filter_type > 0) {
     // Precompute per-segment strengths.
     FilterInfo fstr[4][2];
@@ -918,10 +1198,57 @@ int vp8_decode(const uint8_t* data, long n,
   }
   if (prof) {
     auto t3 = tick();
-    fprintf(stderr, "[vp8dec] tokens=%.2fms recon=%.2fms filter=%.2fms\\n",
+    fprintf(stderr, "[vp8dec] tokens=%.2fms recon=%.2fms filter=%.2fms\n",
             ms(t0, t1), ms(t1, t2), ms(t2, t3));
   }
   return 0;
+}
+
+// Loop-filter self-test: runs the SIMD edge filters against the scalar
+// reference on pseudo-random planes for every (thresh, ithresh, hev, inner)
+// shape. Returns 0 when bit-exact, else the 1-based case number.
+int vp8_filter_selftest(int seed) {
+#ifdef WEBPTPU_LF_SIMD
+  uint32_t st = (uint32_t)seed * 2654435761u + 12345u;
+  auto rnd = [&]() {
+    st = st * 1664525u + 1013904223u;
+    return (uint8_t)(st >> 24);
+  };
+  const int W = 64, H = 32;
+  std::vector<uint8_t> a((size_t)W * H), b;
+  int cse = 0;
+  for (int t = 0; t < 64; t += 9) {
+    for (int it = 1; it < 10; it += 4) {
+      for (int hev = 0; hev <= 2; ++hev) {
+        for (int inner = 0; inner <= 1; ++inner) {
+          ++cse;
+          for (auto& x : a) {
+            // Mix smooth and random areas so masks take both branches.
+            x = (rnd() & 64) ? rnd() : (uint8_t)(128 + (rnd() & 7));
+          }
+          b = a;
+          // Luma-style 16-row edges.
+          FilterLoop(&a[8 * W + 8], 1, W, 16, t, it, hev, inner);
+          lf::HEdge16(&b[8 * W + 8], W, t, it, hev, inner);
+          FilterLoop(&a[8 * W + 24], W, 1, 16, t, it, hev, inner);
+          lf::VEdge16(&b[8 * W + 24], W, t, it, hev, inner);
+          // Chroma-style paired 8-row edges (two disjoint regions).
+          FilterLoop(&a[4 * W + 44], 1, W, 8, t, it, hev, inner);
+          FilterLoop(&a[20 * W + 44], 1, W, 8, t, it, hev, inner);
+          lf::HEdge8UV(&b[4 * W + 44], &b[20 * W + 44], W, t, it, hev, inner);
+          FilterLoop(&a[18 * W + 52], W, 1, 8, t, it, hev, inner);
+          FilterLoop(&a[18 * W + 4], W, 1, 8, t, it, hev, inner);
+          lf::VEdge8UV(&b[18 * W + 52], &b[18 * W + 4], W, t, it, hev, inner);
+          if (a != b) return cse;
+        }
+      }
+    }
+  }
+  return 0;
+#else
+  (void)seed;
+  return 0;
+#endif
 }
 
 }  // extern "C"
