@@ -165,7 +165,7 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
                        filter_strength: int = 60, num_threads: int = 8,
                        true_width: int = None, true_height: int = None,
                        device_out=None, segments: int = 4,
-                       sns_strength: int = 50):
+                       sns_strength: int = 50, sharp_yuv: bool = False):
     """Batched device encode: one vmapped two-phase launch over a stack of
     same-sized images, then parallel host entropy coding (the native C++
     calls release the GIL). This is the TPU batching superpower the
@@ -179,7 +179,8 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
 
     B, H, W, _ = rgbs.shape
     mb_w, mb_h = W // 16, H // 16
-    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength)
+    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength,
+                        sharp_yuv=sharp_yuv)
     out = device_out if device_out is not None else fn.rgb(rgbs)
 
     tw = true_width or W
@@ -206,7 +207,8 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
 def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
                         partitions: int = 0, filter_strength: int = 60,
                         num_threads: int = 12, host_yuv: bool = None,
-                        segments: int = 4, sns_strength: int = 50):
+                        segments: int = 4, sns_strength: int = 50,
+                        sharp_yuv: bool = False):
     """Pipelined high-throughput encode of a stream of same-sized images.
 
     Three overlapped stages, mirroring the reference's Phase A/B overlap
@@ -229,7 +231,9 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
 
     if not images:
         return []
-    if host_yuv is None:
+    if sharp_yuv:
+        host_yuv = False  # refinement runs on device from RGB
+    elif host_yuv is None:
         from ..native import api as native_api
 
         host_yuv = (native_api.get() is not None
@@ -237,7 +241,8 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
     h, w = images[0].shape[:2]
     H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
     mb_w, mb_h = W // 16, H // 16
-    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength)
+    fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength,
+                        sharp_yuv=sharp_yuv)
     cfg = LossyConfig(quality=quality, partitions=partitions,
                       filter_strength=filter_strength, segments=segments,
                       sns_strength=sns_strength)

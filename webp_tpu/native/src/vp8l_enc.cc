@@ -923,6 +923,125 @@ void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
   }
 }
 
+// LZ77-Box (reference encode_backward.go:193-373): matches restricted to
+// the window of the 32 smallest plane-code offsets, so every copy gets a
+// cheap distance code. Run-length counts make the per-offset match-length
+// computation O(runs) instead of O(pixels).
+void FillBoxMatchTable(const uint32_t* a, long n, int xsize,
+                       const PlaneMap& pm,
+                       const std::vector<uint32_t>& best_ol,
+                       std::vector<uint32_t>* out) {
+  out->assign((size_t)n, 0);
+  if (n < 2) return;
+  std::vector<uint16_t> counts((size_t)n);
+  counts[(size_t)n - 1] = 1;
+  for (long i = n - 2; i >= 0; --i)
+    counts[(size_t)i] =
+        a[i] == a[i + 1]
+            ? (uint16_t)std::min<long>(counts[(size_t)i + 1] + 1, kMaxLength)
+            : (uint16_t)1;
+
+  // Window offsets indexed by plane code (spiral order), deduped, plus the
+  // subset not reachable as (previous offset + 1).
+  int win[32] = {0}, win_new[32];
+  int nwin = 0, nnew = 0;
+  for (int y = 0; y <= 6; ++y)
+    for (int x = -6; x <= 6; ++x) {
+      long off = (long)y * xsize + x;
+      if (off <= 0 || off >= n) continue;
+      int pc = (int)pm.Code((uint32_t)off) - 1;
+      if (pc >= 0 && pc < 32 && win[pc] == 0) win[pc] = (int)off;
+    }
+  for (int i = 0; i < 32; ++i)
+    if (win[i]) win[nwin++] = win[i];
+  for (int i = 0; i < nwin; ++i) {
+    bool reach = false;
+    for (int j = 0; j < nwin && !reach; ++j) reach = win[i] == win[j] + 1;
+    if (!reach) win_new[nnew++] = win[i];
+  }
+
+  long best_off_prev = -1, best_len_prev = -1;
+  for (long i = 1; i < n; ++i) {
+    long best_len = (long)(best_ol[(size_t)i] & 0xFFF);
+    long best_off = 0;
+    bool compute = true;
+    if (best_len >= kMaxLength) {
+      best_off = best_ol[(size_t)i] >> 12;
+      for (int k = 0; k < nwin; ++k)
+        if (best_off == win[k]) {
+          compute = false;
+          break;
+        }
+    }
+    if (compute) {
+      const bool use_prev = best_len_prev > 1 && best_len_prev < kMaxLength;
+      const int num = use_prev ? nnew : nwin;
+      const int* offs = use_prev ? win_new : win;
+      if (use_prev) {
+        best_len = best_len_prev - 1;
+        best_off = best_off_prev;
+      } else {
+        best_len = 0;
+        best_off = 0;
+      }
+      for (int k = 0; k < num; ++k) {
+        long joff = i - offs[k];
+        if (joff < 0 || a[joff] != a[i]) continue;
+        long cur = 0, j = i;
+        for (;;) {
+          const long cj = counts[(size_t)j], cjo = counts[(size_t)joff];
+          if (cjo != cj) {
+            cur += std::min(cj, cjo);
+            break;
+          }
+          cur += cjo;
+          joff += cjo;
+          j += cjo;
+          if (cur > kMaxLength || j >= n || joff >= n || a[joff] != a[j])
+            break;
+        }
+        if (best_len < cur) {
+          best_off = offs[k];
+          if (cur >= kMaxLength) {
+            best_len = kMaxLength;
+            break;
+          }
+          best_len = cur;
+        }
+      }
+    }
+    if (best_len <= 4) {  // minLength (hashchain.go:33)
+      (*out)[(size_t)i] = 0;
+      best_off_prev = 0;
+      best_len_prev = 0;
+    } else {
+      (*out)[(size_t)i] = ((uint32_t)best_off << 12) | (uint32_t)best_len;
+      best_off_prev = best_off;
+      best_len_prev = best_len;
+    }
+  }
+}
+
+// Greedy token emission from a per-position match table.
+void TokensFromTable(const uint32_t* a, long n,
+                     const std::vector<uint32_t>& ol,
+                     std::vector<Token>* out) {
+  out->clear();
+  out->reserve((size_t)n / 2);
+  long i = 0;
+  while (i < n) {
+    const long len = ol[(size_t)i] & 0xFFF;
+    const long off = ol[(size_t)i] >> 12;
+    if (len >= 4 && off > 0) {
+      out->push_back({1, (uint32_t)len, (uint32_t)off});
+      i += len;
+    } else {
+      out->push_back({0, a[i], 0});
+      ++i;
+    }
+  }
+}
+
 // Entropy estimates (bits per symbol) from a seed token stream:
 // cost[s] = log2(total) - log2(count[s]) (encode_backward.go:885-911).
 struct TraceModel {
@@ -980,10 +1099,9 @@ struct TraceModel {
 // cache_bits applied. Returns false when the parse is degenerate.
 bool TraceParse(const uint32_t* a, long n, int xsize, int quality,
                 int cache_bits, const PlaneMap& pm,
+                const std::vector<uint32_t>& ol,
                 const std::vector<Token>& seed, std::vector<Token>* out) {
   if (n < 2) return false;
-  std::vector<uint32_t> ol;
-  FillMatchTable(a, n, xsize, quality, &ol);
 
   TraceModel cm;
   cm.Build(seed, pm, cache_bits);
@@ -1145,6 +1263,25 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   Histos hs;
   BuildHistogram(base, pm, 0, &hs);
   double best_cost = HistoCostBits(hs);
+
+  // LZ77-Box candidate at quality >= 90 (reference encode.go:547-550):
+  // cheap-distance matching wins on palette-heavy content.
+  if (quality >= 90 && n >= 64) {
+    std::vector<uint32_t> std_mt, box_mt;
+    FillMatchTable(argb, n, xsize, quality, &std_mt);
+    FillBoxMatchTable(argb, n, xsize, pm, std_mt, &box_mt);
+    std::vector<Token> box;
+    TokensFromTable(argb, n, box_mt, &box);
+    Histos bh;
+    BuildHistogram(box, pm, 0, &bh);
+    const double bc = HistoCostBits(bh);
+    if (bc < best_cost) {
+      best_cost = bc;
+      base.swap(box);
+      hs = std::move(bh);
+    }
+  }
+
   int best_cb = 0;
   if (is_level0 && n >= 512 && quality >= 25) {
     constexpr int kNumCbs = 6;
@@ -1212,10 +1349,13 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   // the large-image throughput path keeps its speed (the reference gates on
   // quality alone, encode_backward.go:773-795).
   static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
-  if (!kNoTrace && quality >= 50 && n >= 64 &&
-      (quality >= 90 || n <= (1L << 18))) {
+  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64 &&
+                          (quality >= 90 || n <= (1L << 18));
+  if (want_trace) {
+    std::vector<uint32_t> mt;
+    FillMatchTable(argb, n, xsize, quality, &mt);
     std::vector<Token> traced;
-    if (TraceParse(argb, n, xsize, quality, best_cb, pm, best_toks,
+    if (TraceParse(argb, n, xsize, quality, best_cb, pm, mt, best_toks,
                    &traced)) {
       Histos ths;
       BuildHistogram(traced, pm, best_cb, &ths);

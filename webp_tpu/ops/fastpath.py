@@ -793,7 +793,8 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
 
 @functools.lru_cache(maxsize=8)
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
-                   sns_strength: int = 0, i4_blocks: bool = True):
+                   sns_strength: int = 0, i4_blocks: bool = True,
+                   sharp_yuv: bool = False):
     """Batched two-phase device encoder.
 
     Returns fn with:
@@ -802,6 +803,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
               seg_map, seg_q, seg_beta)
     With segments > 1 the device also runs the analysis pass (alphas ->
     k-means -> SNS quant modulation) and quantizes per MB segment.
+    With sharp_yuv the RGB entry point runs the device SharpYUV refinement
+    (ops/sharpyuv.py) instead of the plain 4:2:0 import.
     """
     qp, lambdas = rd_params(quality)
     lambdas = {k: jnp.float32(v) for k, v in lambdas.items()}
@@ -857,9 +860,14 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     yuv_b = jax.jit(jax.vmap(encode_one))
 
     def rgb_one(rgb):
-        from . import yuv as devyuv
+        if sharp_yuv:
+            from . import sharpyuv as devsharp
 
-        Y, U, V = devyuv.rgb_to_yuv420(rgb)
+            Y, U, V = devsharp.sharp_yuv420(rgb)
+        else:
+            from . import yuv as devyuv
+
+            Y, U, V = devyuv.rgb_to_yuv420(rgb)
         return encode_one(Y, U, V)
 
     rgb_b = jax.jit(jax.vmap(rgb_one))
