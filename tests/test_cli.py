@@ -129,3 +129,31 @@ def test_sharpyuv_transfer_functions():
     for name in ("bt709", "iec61966", "smpte2084"):
         Y, U, V = sharp_rgb_to_yuv420_planes(img, transfer=name)
         assert Y.shape == (24, 26)
+
+
+def test_enc_extended_flags(tmp_path):
+    """Reference gwebp flag surface: preset, rate targets, filter and alpha
+    controls all parse and produce decodable output
+    (cmd/gwebp/main.go:83-104)."""
+    from PIL import Image
+
+    src = tmp_path / "in.png"
+    Image.open("/root/reference/testdata/test.png").convert("RGB").resize(
+        (64, 48)).save(src)
+    out = tmp_path / "out.webp"
+    rc = main(["enc", "-preset", "photo", "-sns", "30", "-sharpness",
+                   "2", "-pass", "2", "-near_lossless", "100", "-q", "60",
+                   str(src), str(out)])
+    assert rc == 0
+    img = Image.open(out)
+    assert img.size == (64, 48)
+
+    out2 = tmp_path / "sized.webp"
+    rc = main(["enc", "-size", "900", str(src), str(out2)])
+    assert rc == 0
+    assert out2.stat().st_size <= 1100  # rate control honors the target
+
+    jpg = tmp_path / "out.jpg"
+    rc = main(["dec", str(out), str(jpg)])
+    assert rc == 0
+    assert Image.open(jpg).format == "JPEG"

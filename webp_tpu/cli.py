@@ -59,12 +59,35 @@ def cmd_enc(args) -> int:
         return 0
 
     arr = np.array(im.convert("RGBA" if "A" in im.getbands() else "RGB"))
-    data = webp_tpu.encode(
-        arr, lossless=args.lossless, quality=args.q, method=args.m,
-        use_sharp_yuv=args.sharp_yuv, exact=args.exact,
-        filter_strength=args.f, segments=args.segments,
-        alpha_quality=args.alpha_q, partitions=args.partitions,
-    )
+    # Preset defaults first, explicit flags override (cwebp semantics;
+    # reference cmd/gwebp/main.go:115-140).
+    from .encoder import PRESETS, WebPError
+
+    if args.preset not in PRESETS:
+        print(f"enc: unknown preset {args.preset!r}", file=sys.stderr)
+        return 2
+    kw = dict(PRESETS[args.preset])
+    kw.update(lossless=args.lossless, quality=args.q, method=args.m,
+              use_sharp_yuv=args.sharp_yuv, exact=args.exact,
+              alpha_quality=args.alpha_q, partitions=args.partitions,
+              target_size=args.size, target_psnr=args.psnr,
+              filter_sharpness=args.sharpness, preprocessing=args.pre,
+              near_lossless=args.near_lossless,
+              alpha_compression=args.alpha_method)
+    if args.f >= 0:
+        kw["filter_strength"] = args.f
+    if args.sns >= 0:
+        kw["sns_strength"] = args.sns
+    if args.segments >= 0:
+        kw["segments"] = args.segments
+    if args.passes >= 0:
+        kw["pass_count"] = args.passes
+    if args.alpha_filter:
+        kw["alpha_filtering"] = {"none": 0, "fast": 1,
+                                 "best": 2}[args.alpha_filter]
+    if args.nostrong:
+        kw["filter_type"] = 0
+    data = webp_tpu.encode(arr, **kw)
     _write(args.output, data)
     return 0
 
@@ -94,9 +117,13 @@ def cmd_dec(args) -> int:
         _write(args.output, buf.getvalue())
         return 0
 
-    img = webp_tpu.decode(data)
+    fmt = (args.fmt or "").lower() or (
+        "jpeg" if args.output.lower().endswith((".jpg", ".jpeg")) else "png")
+    img = (webp_tpu.decode(data) if fmt == "jpeg"
+           else webp_tpu.decode_rgba(data) if f.has_alpha
+           else webp_tpu.decode(data))
     buf = io.BytesIO()
-    Image.fromarray(img).save(buf, format="PNG")
+    Image.fromarray(img).save(buf, format=fmt.upper())
     _write(args.output, buf.getvalue())
     return 0
 
@@ -134,17 +161,45 @@ def main(argv=None) -> int:
     enc.add_argument("-q", type=float, default=75, help="quality 0-100")
     enc.add_argument("-m", type=int, default=4, help="method 0-6")
     enc.add_argument("-lossless", action="store_true")
+    enc.add_argument("-preset", default="default",
+                     help="default/picture/photo/drawing/icon/text")
     enc.add_argument("-sharp_yuv", action="store_true")
     enc.add_argument("-exact", action="store_true")
-    enc.add_argument("-f", type=int, default=60, help="filter strength")
-    enc.add_argument("-segments", type=int, default=4)
+    enc.add_argument("-size", type=int, default=0,
+                     help="target size in bytes (0=use quality)")
+    enc.add_argument("-psnr", type=float, default=0.0,
+                     help="target PSNR in dB (0=use quality)")
+    enc.add_argument("-sns", type=int, default=-1,
+                     help="spatial noise shaping 0-100 (-1=preset)")
+    enc.add_argument("-f", type=int, default=-1,
+                     help="filter strength 0-100 (-1=preset)")
+    enc.add_argument("-sharpness", type=int, default=0,
+                     help="filter sharpness 0-7")
+    enc.add_argument("-strong", action="store_true",
+                     help="strong filter (default)")
+    enc.add_argument("-nostrong", action="store_true",
+                     help="simple filter instead of strong")
+    enc.add_argument("-segments", type=int, default=-1,
+                     help="segments 1-4 (-1=preset)")
+    enc.add_argument("-pass", dest="passes", type=int, default=-1,
+                     help="analysis passes 1-10 (-1=default)")
     enc.add_argument("-alpha_q", type=int, default=100)
+    enc.add_argument("-alpha_method", type=int, default=1,
+                     help="alpha compression 0-1")
+    enc.add_argument("-alpha_filter", default="",
+                     help="alpha filter: none/fast/best")
+    enc.add_argument("-pre", type=int, default=0,
+                     help="pre-processing filter 0-3")
+    enc.add_argument("-near_lossless", type=int, default=100,
+                     help="near-lossless strength 0-100")
     enc.add_argument("-partitions", type=int, default=0)
     enc.add_argument("input")
     enc.add_argument("output")
     enc.set_defaults(fn=cmd_enc)
 
     dec = sub.add_parser("dec", help="decode WebP to PNG (or GIF if animated)")
+    dec.add_argument("-fmt", default="",
+                     help="output format: png/jpeg (default: by extension)")
     dec.add_argument("input")
     dec.add_argument("output")
     dec.set_defaults(fn=cmd_dec)
