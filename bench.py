@@ -76,18 +76,22 @@ def main() -> None:
             + [np.roll(v, 7, axis=1) for v in variants]) * 4  # 32 distinct-ish
 
     # Device-compute-only throughput first (input resident, scalar
-    # readback), before any bulk transfers congest the tunnel.
+    # readback), before any bulk transfers congest the tunnel. Batch 16:
+    # the closed-loop wavefront is latency-bound over its scan steps, so
+    # throughput scales with batch until HBM pressure (measured knee at
+    # B=16: 54/92/105/80 Mpx/s for B=4/8/16/24).
+    DB = 16
     H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
     fn = fast_encode_fn(W // 16, H // 16, 75, 4, 50, True)
-    pad = np.zeros((8, H, W, 3), np.uint8)
-    pad[:, :h, :w] = np.stack(imgs[:8])
+    pad = np.zeros((DB, H, W, 3), np.uint8)
+    pad[:, :h, :w] = np.stack(imgs[:DB])
     dev_in = jax.device_put(pad)
     _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])  # sync + compile
     dev_mpx_s = 0.0
     for _ in range(5):
         t0 = time.perf_counter()
         _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])
-        dev_mpx_s = max(dev_mpx_s, 8 * mpx / (time.perf_counter() - t0))
+        dev_mpx_s = max(dev_mpx_s, DB * mpx / (time.perf_counter() - t0))
 
     # Warmup / compile.
     out = encode_lossy_stream(imgs[:16], quality=75, batch=16)

@@ -102,3 +102,24 @@ def test_sharded_matches_single_device_quality(mesh22):
     data = r.assemble_riff([r.Chunk(r.VP8, enc._finish_bitstream())])
     p_shard = _psnr(img, pil_decode_rgba(data)[..., :3])
     assert p_shard > p_single - 0.5, f"{p_shard:.2f} vs {p_single:.2f}"
+
+
+def test_sharded_sharp_yuv_compiles_and_runs():
+    """The sharded step with band-local SharpYUV compiles and executes on
+    the virtual mesh and produces usable levels (band-boundary chroma is a
+    clamp approximation; see mesh.py docstring)."""
+    import numpy as np
+
+    from webp_tpu.parallel.mesh import make_mesh, make_sharded_encode_fn
+
+    mesh = make_mesh(8)
+    step = make_sharded_encode_fn(mesh, quality=75, sharp_yuv=True)
+    sp = mesh.shape["sp"]
+    dp = mesh.shape["dp"]
+    rng = np.random.default_rng(1)
+    B, H, W = max(2 * dp, dp), 32 * sp, 32
+    rgb = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    out = step(rgb)
+    packed, hist = np.asarray(out[0]), np.asarray(out[-1])
+    assert packed.shape[0] == B
+    assert hist.sum() > 0

@@ -46,7 +46,7 @@ def make_mesh(n_devices: int = None, dp: int = None) -> Mesh:
 
 def make_sharded_encode_fn(mesh: Mesh, quality: int = 75,
                            segments: int = 4, sns_strength: int = 50,
-                           i4_blocks: bool = True):
+                           i4_blocks: bool = True, sharp_yuv: bool = False):
     """Returns a jitted multi-chip encode step over rgb [B, H, W, 3] uint8.
 
     B must divide by mesh 'dp', H by 16 * mesh 'sp'. Runs the full flagship
@@ -54,15 +54,26 @@ def make_sharded_encode_fn(mesh: Mesh, quality: int = 75,
     'sp' so every band derives the identical global plan), I16+I4 search,
     closed-loop wavefront. Output levels stay sharded (batch over dp, MB
     rows over sp); the level histogram is replicated.
+
+    sharp_yuv runs the SharpYUV refinement band-locally: each band refines
+    its own rows with clamp semantics at the band boundary (the same
+    approximation class as the 1-row reconstruction halo — a few boundary
+    pixels of chroma differ from the single-chip result, conformance is
+    unaffected).
     """
     rt = fastpath.RateTables(np.asarray(fastpath.T.COEFFS_PROBA0))
     sp_size = mesh.shape["sp"]
 
     def band_fn(rgb_band):
         # rgb_band: [b_local, H_band, W, 3] on each device.
-        from ..ops import yuv as devyuv
+        if sharp_yuv:
+            from ..ops import sharpyuv as devsharp
 
-        Y, U, V = jax.vmap(devyuv.rgb_to_yuv420)(rgb_band)
+            Y, U, V = jax.vmap(devsharp.sharp_yuv420)(rgb_band)
+        else:
+            from ..ops import yuv as devyuv
+
+            Y, U, V = jax.vmap(devyuv.rgb_to_yuv420)(rgb_band)
         b, Hb, W = Y.shape
         mb_w, mb_h = W // 16, Hb // 16
 
