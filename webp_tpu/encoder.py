@@ -303,11 +303,15 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
 
     h, w = a.shape[:2]
     rgb = a[..., :3]
-    if opts.use_sharp_yuv:
+    use_device = opts.backend == "device" or (opts.backend == "auto"
+                                              and _device_ok())
+    if opts.use_sharp_yuv and not use_device:
         from .sharpyuv.convert import sharp_rgb_to_yuv420
 
         Y, U, V = sharp_rgb_to_yuv420(rgb)
     else:
+        # Device sharp runs on-chip from rgb_input; these planes only feed
+        # the filter-strength plan and the pathological-content fallback.
         Y, U, V = rgb_to_yuv420(rgb, dithering=opts.dithering)
     cfg = LossyConfig(
         quality=int(opts.quality),
@@ -318,22 +322,22 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         filter_type=opts.filter_type,
         partitions=opts.partitions,
         sns_strength=opts.sns_strength,
+        sharp_yuv=opts.use_sharp_yuv,
     )
-    if opts.backend == "device" or (opts.backend == "auto" and _device_ok()):
-        # TPU wavefront path (I16+UV RD on device, host entropy coding).
+    if use_device:
+        # TPU wavefront path: RGB import (plain or SharpYUV) fused on
+        # device, host entropy coding.
         from .lossy.device_encode import DeviceVP8Encoder
 
         enc = DeviceVP8Encoder(Y, U, V, w, h, cfg)
-        if not opts.use_sharp_yuv:
-            # Fused device path: RGB import happens on-device too.
-            mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
-            pad = np.zeros((mbh * 16, mbw * 16, 3), dtype=np.uint8)
-            pad[:h, :w] = rgb
-            if w < pad.shape[1]:
-                pad[:h, w:] = rgb[:, w - 1 :]
-            if h < pad.shape[0]:
-                pad[h:] = pad[h - 1 : h]
-            enc.rgb_input = pad
+        mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+        pad = np.zeros((mbh * 16, mbw * 16, 3), dtype=np.uint8)
+        pad[:h, :w] = rgb
+        if w < pad.shape[1]:
+            pad[:h, w:] = rgb[:, w - 1 :]
+        if h < pad.shape[0]:
+            pad[h:] = pad[h - 1 : h]
+        enc.rgb_input = pad
     else:
         enc = VP8Encoder(Y, U, V, w, h, cfg)
     vp8 = enc.encode()

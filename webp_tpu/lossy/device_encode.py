@@ -106,8 +106,11 @@ class DeviceVP8Encoder(VP8Encoder):
         from ..ops.fastpath import fast_encode_fn, unpack_levels
 
         use_i4 = bool(self.cfg.i4_blocks) and self.cfg.method >= 3
+        sharp = bool(getattr(self.cfg, "sharp_yuv", False)) and \
+            self.rgb_input is not None
         fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
-                            self.dev_segments, self.dev_sns, use_i4)
+                            self.dev_segments, self.dev_sns, use_i4,
+                            sharp_yuv=sharp)
         if self.rgb_input is not None:
             out = fn.rgb(self.rgb_input[None])
         else:

@@ -35,6 +35,7 @@ class LossyConfig:
     partitions: int = 0         # log2(token partitions)
     sns_strength: int = 50
     i4_blocks: bool = True      # allow I4 mode decision
+    sharp_yuv: bool = False     # device path: on-chip SharpYUV from RGB
 
 
 # Fixed mode costs in bits<<8 for I16/UV mode signalling (libwebp cost_enc.c
