@@ -199,7 +199,7 @@ def lam_i4_flat(lam):
 
 
 def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
-                   qp_y1):
+                   qp_y1, rd_drop: float = 0.0):
     """Fully closed-loop I4 reconstruction for one wavefront step.
 
     16 serial substeps over the MB's subblocks; every context pixel is
@@ -250,7 +250,8 @@ def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
         for m in range(1, 10):
             pred = jnp.where(mode == m, preds[m], pred)
         co = dct.fdct4x4(src_b[:, n], pred).reshape(L, 16)
-        lv, dq = quantize(co, *q, ZIGZAG)
+        # TLambdaI4 = 3.5x TLambdaI16 (lossy/encode.py:411).
+        lv, dq = quantize(co, *q, ZIGZAG, rd_drop=rd_drop * 3.5)
         rec = jnp.clip(pred + dct.idct4x4(dq.reshape(L, 4, 4)), 0, 255)
         lvs.append(lv)
         work = jax.lax.dynamic_update_slice(work, rec, (0, r * 4, c * 4))
