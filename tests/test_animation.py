@@ -187,3 +187,48 @@ def test_mixed_codec_animation():
     assert kinds[1], "flat frame should choose lossless"
     im = Image.open(io.BytesIO(data))
     assert im.n_frames == 2
+
+
+def test_transparent_blend_subframes():
+    """Moving-sprite animations use the alpha-blend sub-frame candidate
+    (unchanged pixels transparent; reference increaseTransparency,
+    animation.go:787): output shrinks vs full overwrite sub-rects and
+    still composites exactly (checked against both our decoder and
+    Pillow)."""
+    import io
+
+    from PIL import Image
+
+    from webp_tpu.animation.animation import (AnimDecoder, AnimEncodeOptions,
+                                              AnimEncoder, decode_animation)
+
+    rng = np.random.default_rng(11)
+    bg = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    frames = []
+    # Two sprites at opposite edges: the changed-rect bounding box spans
+    # the whole width but most interior pixels are unchanged, which is
+    # exactly where the transparent-blend candidate wins.
+    for i in range(5):
+        f = np.dstack([bg, np.full((96, 128), 255, np.uint8)]).copy()
+        f[10 + 8 * i:22 + 8 * i, 2:14, :3] = (255, 0, 0)
+        f[10 + 8 * i:22 + 8 * i, 114:126, :3] = (0, 255, 0)
+        frames.append(f)
+
+    def run(lossless):
+        enc = AnimEncoder(128, 96, AnimEncodeOptions(lossless=lossless))
+        for f in frames:
+            enc.add_frame(f, 50)
+        return enc.assemble()
+
+    data = run(True)
+    anim = decode_animation(data)
+    assert any(fr.blend.name == "ALPHA" for fr in anim.frames), \
+        "blend candidate never chosen"
+    for (canvas, _), src in zip(AnimDecoder(anim), frames):
+        assert np.array_equal(canvas, src)
+    # Pillow composites to the same frames.
+    im = Image.open(io.BytesIO(data))
+    for i, src in enumerate(frames):
+        im.seek(i)
+        got = np.array(im.convert("RGBA"))
+        assert np.array_equal(got, src), f"frame {i} differs in Pillow"

@@ -282,9 +282,28 @@ class AnimEncoder:
 
         sub = canvas[y0:y1, x0:x1]
         mf = self._encode_rect(sub)
+        mf.blend = BlendMethod.NONE  # sub-rect overwrites the canvas
+        # Transparent-blend candidate (reference increaseTransparency,
+        # animation.go:787): unchanged pixels become transparent and the
+        # frame alpha-blends over the previous canvas — long transparent
+        # runs compress far better in VP8L. Valid only when every changed
+        # pixel is fully opaque (alpha blending must reduce to overwrite).
+        if (not keyframe and (self.opts.lossless or self.opts.allow_mixed)):
+            prev_sub = self._prev_canvas[y0:y1, x0:x1]
+            changed = (sub != prev_sub).any(axis=-1)
+            if changed.any() and bool((sub[..., 3][changed] == 255).all()):
+                from ..lossless.encode import encode_vp8l
+
+                trans = sub.copy()
+                trans[~changed] = 0
+                bs = encode_vp8l(trans, quality=int(self.opts.quality),
+                                 method=self.opts.method)
+                cur = len(mf.bitstream) + len(mf.alpha or b"")
+                if len(bs) < cur:
+                    mf = MuxFrame(bitstream=bs, is_lossless=True)
+                    mf.blend = BlendMethod.ALPHA
         mf.x_offset, mf.y_offset = x0, y0
         mf.duration_ms = duration_ms
-        mf.blend = BlendMethod.NONE  # sub-rect overwrites the canvas
         mf.dispose = DisposeMethod.NONE
         self.mux.add_frame(mf)
         self._prev_canvas = canvas.copy()
