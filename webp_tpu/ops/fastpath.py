@@ -664,7 +664,8 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                rU[:, 7, :], Bu1, rU[:, :, 7], rU[:, 7, 7], Cu1, Cu2,
                rV[:, 7, :], Bv1, rV[:, :, 7], rV[:, 7, 7], Cv1, Cv2)
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=1).astype(jnp.int16)
-        return new, (lv24, y2lv.astype(jnp.int16), rY[:, 15, :], rY[:, :, 15])
+        return new, (lv24, y2lv.astype(jnp.int16), rY[:, 15, :], rY[:, :, 15],
+                     rU[:, 7, :], rV[:, 7, :])
 
     # Derive the zero carry from the input so its mesh-varying type matches
     # the step outputs under shard_map (scan requires equal carry types).
@@ -675,7 +676,8 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     carry0 = (zero16, zero16, zero16, zero1, zero1, zero1,
               zero8, zero8, zero8, zero1, zero1, zero1,
               zero8, zero8, zero8, zero1, zero1, zero1)
-    _, (lv_sk, y2_sk, bot_sk, rgt_sk) = jax.lax.scan(step, carry0, xs)
+    _, (lv_sk, y2_sk, bot_sk, rgt_sk, botu_sk, botv_sk) = jax.lax.scan(
+        step, carry0, xs)
 
     # Unskew: out[y * mbW + x] = skewed[x + sk*y, y].
     yo = np.repeat(np.arange(mb_h), mb_w)
@@ -685,7 +687,9 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     y2 = y2_sk.reshape(n_steps * mb_h, 16)[flat_idx]
     bottom = bot_sk.reshape(n_steps * mb_h, 16)[flat_idx]
     right = rgt_sk.reshape(n_steps * mb_h, 16)[flat_idx]
-    return lv24, y2, bottom, right
+    bottom_u = botu_sk.reshape(n_steps * mb_h, 8)[flat_idx]
+    bottom_v = botv_sk.reshape(n_steps * mb_h, 8)[flat_idx]
+    return lv24, y2, bottom, right, bottom_u, bottom_v
 
 
 # ---------------------------------------------------------------------------
@@ -774,9 +778,9 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
         is_i4 = jnp.zeros((n_mb,), bool)
         i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
         i4_ctx = None
-    lv24, y2, _, _ = _phase2(Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h,
-                             rd_drop=rd_drop, halos=halos,
-                             has_above=has_above, seg=seg, i4=i4_ctx)
+    lv24, y2, _, _, _, _ = _phase2(Y, U, V, modes, uvmodes, qp_i, mb_w,
+                                   mb_h, rd_drop=rd_drop, halos=halos,
+                                   has_above=has_above, seg=seg, i4=i4_ctx)
     packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
     skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
     imodes = jnp.where(is_i4[:, None], i4_modes,
@@ -848,9 +852,9 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             is_i4 = jnp.zeros((n_mb,), bool)
             i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
             i4_ctx = None
-        lv24, y2, bottom, right = _phase2(Y, U, V, modes, uvmodes, qp_i,
-                                          mb_w, mb_h, rd_drop=rd_drop,
-                                          seg=seg, i4=i4_ctx)
+        lv24, y2, bottom, right, _, _ = _phase2(
+            Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h, rd_drop=rd_drop,
+            seg=seg, i4=i4_ctx)
         packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
         skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
         imodes = jnp.where(is_i4[:, None], i4_modes,
