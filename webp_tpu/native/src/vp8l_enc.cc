@@ -343,19 +343,37 @@ void BuildHistogram(const std::vector<Token>& toks, const PlaneMap& pm,
 }
 
 double HistoCostBits(const Histos& hs) {
+  // Shannon entropy per population, refined the way libwebp's
+  // BitsEntropyRefine does (losslessi_dec cost model): skewed histograms
+  // cost at least their dominant-symbol lower bound, so merging two
+  // differently-skewed histograms looks as expensive as it really is
+  // under integer-length Huffman codes.
   double total = 0;
   for (int i = 0; i < 5; ++i) {
-    int64_t n = 0;
-    for (int64_t c : hs.h[i]) n += c;
+    int64_t n = 0, max_val = 0;
+    long nnz = 0;
+    for (int64_t c : hs.h[i]) {
+      n += c;
+      if (c > max_val) max_val = c;
+      nnz += c > 0;
+    }
     if (!n) continue;
     const double log2n = std::log2((double)n);
-    long nnz = 0;
+    double ent = 0;
     for (int64_t c : hs.h[i])
-      if (c > 0) {
-        total += (double)c * (log2n - std::log2((double)c));
-        ++nnz;
-      }
-    total += 40 + 5.0 * nnz;
+      if (c > 0) ent += (double)c * (log2n - std::log2((double)c));
+    double refined;
+    if (nnz <= 1) {
+      refined = 0;
+    } else if (nnz == 2) {
+      refined = 0.99 * (double)n + 0.01 * ent;
+    } else {
+      const double mix = nnz == 3 ? 0.95 : (nnz == 4 ? 0.7 : 0.627);
+      double min_limit = 2.0 * (double)n - (double)max_val;
+      min_limit = mix * min_limit + (1.0 - mix) * ent;
+      refined = ent < min_limit ? min_limit : ent;
+    }
+    total += refined + 40 + 5.0 * nnz;
   }
   return total;
 }
@@ -673,7 +691,228 @@ struct MetaPlan {
   double cost = 0;                    // token+tree bits estimate
 };
 
-bool BuildMetaPlan(const std::vector<Token>& toks, const PlaneMap& pm,
+bool BuildMetaPlanMerge(const std::vector<Token>& toks,
+                        const PlaneMap& pm, long n, int xsize,
+                        int cache_bits, MetaPlan* plan,
+                        std::vector<std::vector<uint16_t>>* snapshots) {
+  const long ysize = n / xsize;
+  int hb = 3;
+  while (hb < 9 &&
+         (((xsize + (1L << hb) - 1) >> hb) *
+          ((ysize + (1L << hb) - 1) >> hb)) > 2048)
+    ++hb;
+  const long tx = (xsize + (1L << hb) - 1) >> hb;
+  const long ty = (ysize + (1L << hb) - 1) >> hb;
+  const long T = tx * ty;
+  if (T < 4) return false;
+
+  std::vector<Histos> th((size_t)T);
+  for (auto& h : th) h.Init(cache_bits);
+  long pos = 0;
+  for (const Token& t : toks) {
+    const long y = pos / xsize, x = pos % xsize;
+    AddToken(&th[(size_t)((y >> hb) * tx + (x >> hb))], t, pm);
+    pos += (t.kind == 1) ? (long)t.v : 1;
+  }
+
+  // 1) Entropy-bin seed (reference histogramCombineEntropyBin): tiles
+  // bucketed by (bits/symbol, literal fraction) merge within their bin,
+  // collapsing up to 2048 tiles into <= 64 starter clusters without any
+  // pairwise work.
+  std::vector<int> bin_of((size_t)T);
+  std::vector<int> bin_cluster(64, -1);
+  std::vector<Histos> cl;
+  std::vector<uint16_t> assign((size_t)T, 0);
+  for (long t = 0; t < T; ++t) {
+    const Histos& h = th[(size_t)t];
+    int64_t tot = 0, lit = 0;
+    for (size_t j = 0; j < h.h[0].size(); ++j) {
+      tot += h.h[0][j];
+      if (j < (size_t)kNumLiteral) lit += h.h[0][j];
+    }
+    const double n0 = tot > 0 ? (double)tot : 1.0;
+    const double cps = HistoCostBits(h) / n0;           // bits per symbol
+    const int q1 = std::min(7, (int)(cps * 0.5));
+    const int q2 = std::min(7, (int)((double)lit / n0 * 8.0));
+    bin_of[(size_t)t] = q1 * 8 + q2;
+  }
+  for (long t = 0; t < T; ++t) {
+    int& c = bin_cluster[(size_t)bin_of[(size_t)t]];
+    if (c < 0) {
+      c = (int)cl.size();
+      cl.emplace_back();
+      cl.back().Init(cache_bits);
+    }
+    AddHistos(&cl[(size_t)c], th[(size_t)t]);
+    assign[(size_t)t] = (uint16_t)c;
+  }
+
+  // 2) Greedy pair merging with exact cost deltas: merge (a, b) while the
+  // combined histogram + one fewer tree is cheaper than keeping them
+  // apart (reference histogramCombineStochastic, done exhaustively since
+  // K <= 64). Delta rows are recomputed only for the merged cluster.
+  int K = (int)cl.size();
+  std::vector<double> ccost((size_t)K);
+  for (int k = 0; k < K; ++k)
+    ccost[(size_t)k] = HistoCostBits(cl[(size_t)k]) +
+                       TreeCostEstimate(cl[(size_t)k]);
+  std::vector<char> alive((size_t)K, 1);
+  auto pair_delta = [&](int a, int b) {
+    Histos m = cl[(size_t)a];
+    AddHistos(&m, cl[(size_t)b]);
+    return HistoCostBits(m) + TreeCostEstimate(m) - ccost[(size_t)a] -
+           ccost[(size_t)b];
+  };
+  std::vector<int> parent((size_t)K);
+  for (int k = 0; k < K; ++k) parent[(size_t)k] = k;
+  int n_alive = K;
+  auto root = [&](int k) {
+    while (parent[(size_t)k] != k) k = parent[(size_t)k];
+    return k;
+  };
+  // Snapshots at fixed group counts: the bit-cost estimate cannot always
+  // see when a split pays off under real integer-length codes (libwebp
+  // finds profitable 2-group plans the entropy model scores as losses),
+  // so the caller emits each snapshot and compares actual sizes.
+  auto snap_now = [&](std::vector<std::vector<uint16_t>>* snaps) {
+    std::vector<uint16_t> a2((size_t)T);
+    for (long t = 0; t < T; ++t)
+      a2[(size_t)t] = (uint16_t)root(assign[(size_t)t]);
+    snaps->push_back(std::move(a2));
+  };
+  std::vector<std::vector<uint16_t>> snaps;
+  const bool want_snaps = snapshots != nullptr;
+  for (;;) {
+    double best = -1e-9;
+    int ba = -1, bb = -1;
+    for (int a = 0; a < K; ++a) {
+      if (!alive[(size_t)a]) continue;
+      for (int b = a + 1; b < K; ++b) {
+        if (!alive[(size_t)b]) continue;
+        const double d = pair_delta(a, b);
+        if (d < best) {
+          best = d;
+          ba = a;
+          bb = b;
+        }
+      }
+    }
+    if (ba < 0 && !(want_snaps && n_alive > 2)) break;
+    if (ba < 0) {
+      // Estimate says stop, but keep merging toward the snapshot counts
+      // with the least-bad pair so small group counts get considered.
+      double least = 1e99;
+      for (int a = 0; a < K; ++a) {
+        if (!alive[(size_t)a]) continue;
+        for (int b = a + 1; b < K; ++b) {
+          if (!alive[(size_t)b]) continue;
+          const double d = pair_delta(a, b);
+          if (d < least) {
+            least = d;
+            ba = a;
+            bb = b;
+          }
+        }
+      }
+      if (ba < 0) break;
+      if (snaps.empty()) snap_now(&snaps);  // the natural stopping point
+    }
+    AddHistos(&cl[(size_t)ba], cl[(size_t)bb]);
+    ccost[(size_t)ba] = HistoCostBits(cl[(size_t)ba]) +
+                        TreeCostEstimate(cl[(size_t)ba]);
+    alive[(size_t)bb] = 0;
+    parent[(size_t)bb] = ba;
+    --n_alive;
+    if (want_snaps && (n_alive == 8 || n_alive == 4 || n_alive == 2))
+      snap_now(&snaps);
+  }
+  if (want_snaps) {
+    if (snaps.empty()) snap_now(&snaps);
+    *snapshots = snaps;
+  }
+  for (long t = 0; t < T; ++t)
+    assign[(size_t)t] = (uint16_t)root(assign[(size_t)t]);
+
+  // 3) Remap each tile to the cluster whose CODES encode it cheapest
+  // (reference histogramRemap) — per-symbol code lengths, not marginal
+  // add-cost, so large clusters get no unfair advantage.
+  std::vector<SparseTile> sp((size_t)T);
+  for (long t = 0; t < T; ++t) sp[(size_t)t].From(th[(size_t)t]);
+  std::vector<int> live;
+  for (int k = 0; k < K; ++k)
+    if (alive[(size_t)k]) live.push_back(k);
+  if (live.size() > 1) {
+    std::vector<std::array<double, 5>> logtot(cl.size());
+    for (int k : live) {
+      int64_t tot[5] = {0, 0, 0, 0, 0};
+      for (int i = 0; i < 5; ++i)
+        for (int64_t v : cl[(size_t)k].h[i]) tot[i] += v;
+      for (int i = 0; i < 5; ++i)
+        logtot[(size_t)k][i] = std::log2((double)std::max<int64_t>(tot[i], 1));
+    }
+    std::vector<uint16_t> next = assign;
+    for (long t = 0; t < T; ++t) {
+      double bc = 1e99;
+      int bk = assign[(size_t)t];
+      for (int k : live) {
+        double c = 0;
+        for (const auto& e : sp[(size_t)t].entries) {
+          const int i = (int)(e.first >> 16);
+          const int64_t cnt = cl[(size_t)k].h[i][e.first & 0xFFFF];
+          const double len =
+              cnt > 0 ? logtot[(size_t)k][i] - std::log2((double)cnt)
+                      : logtot[(size_t)k][i] + 2.0;  // unseen symbol
+          c += (double)e.second * len;
+          if (c >= bc) break;
+        }
+        if (c < bc) {
+          bc = c;
+          bk = k;
+        }
+      }
+      next[(size_t)t] = (uint16_t)bk;
+    }
+    assign.swap(next);
+    // Rebuild clusters from the final assignment.
+    for (int k : live) cl[(size_t)k].Init(cache_bits);
+    for (long t = 0; t < T; ++t)
+      AddHistos(&cl[(size_t)assign[(size_t)t]], th[(size_t)t]);
+  }
+  // Compact away empty clusters.
+  {
+    std::vector<int> remap2(cl.size(), -1);
+    std::vector<Histos> used;
+    for (long t = 0; t < T; ++t) {
+      const int c = assign[(size_t)t];
+      if (remap2[(size_t)c] < 0) {
+        remap2[(size_t)c] = (int)used.size();
+        used.push_back(cl[(size_t)c]);
+      }
+      assign[(size_t)t] = (uint16_t)remap2[(size_t)c];
+    }
+    cl.swap(used);
+  }
+
+  double total = 0;
+  for (const auto& c : cl) total += HistoCostBits(c) + TreeCostEstimate(c);
+  // Entropy-image side channel: ~log2(K) bits per tile + its trees.
+  total += T * (cl.size() > 1 ? std::log2((double)cl.size()) : 0.0) + 200.0;
+
+  plan->hb = hb;
+  plan->tx = tx;
+  plan->ty = ty;
+  plan->tile_group.swap(assign);
+  plan->num_groups = (int)cl.size();
+  plan->cost = total;
+  return plan->num_groups > 1;
+}
+
+// Previous-generation clusterer kept as a second candidate: k-means on
+// per-tile features + marginal-add-cost remap. On some images it finds
+// finer group structure than the merge-based clusterer (and vice versa);
+// EncodeStream emits both plans and keeps the smaller stream.
+bool BuildMetaPlanKMeans(const std::vector<Token>& toks,
+                         const PlaneMap& pm,
                    long n, int xsize, int cache_bits, MetaPlan* plan) {
   const long ysize = n / xsize;
   int hb = 3;
@@ -1370,59 +1609,112 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     }
   }
 
-  // Meta-Huffman clustering decision (level-0 streams only).
-  MetaPlan mp;
-  bool use_meta = false;
+  // Meta-Huffman clustering (level-0 streams only). The plan's value is
+  // decided by EXACT emitted size — both variants are cheap to emit
+  // relative to the parse, and estimates were measurably wrong in both
+  // directions on real images.
+  MetaPlan mp_merge, mp_km;
+  bool have_merge = false, have_km = false;
+  std::vector<std::vector<uint16_t>> snaps;
   if (is_level0 && quality >= 25 && n >= 4096 && (n % xsize) == 0) {
-    if (BuildMetaPlan(best_toks, pm, n, xsize, best_cb, &mp)) {
-      const double single = HistoCostBits(hs) + TreeCostEstimate(hs);
-      use_meta = mp.cost < single;
+    // Snapshot plans (fixed group counts) only where the emission cost is
+    // negligible; large images keep the two main clusterings.
+    have_merge = BuildMetaPlanMerge(best_toks, pm, n, xsize, best_cb,
+                                    &mp_merge,
+                                    n <= (1L << 18) ? &snaps : nullptr);
+    have_km = BuildMetaPlanKMeans(best_toks, pm, n, xsize, best_cb, &mp_km);
+  }
+  std::vector<MetaPlan> cands;
+  if (have_merge) cands.push_back(mp_merge);
+  if (have_km) cands.push_back(mp_km);
+  for (auto& a : snaps) {
+    MetaPlan p;
+    p.hb = mp_merge.hb;
+    p.tx = mp_merge.tx;
+    p.ty = mp_merge.ty;
+    std::vector<int> remap2(256, -1);
+    p.tile_group = a;
+    int ng = 0;
+    for (auto& g : p.tile_group) {
+      if (remap2[(size_t)g] < 0) remap2[(size_t)g] = ng++;
+      g = (uint16_t)remap2[(size_t)g];
     }
+    p.num_groups = ng;
+    if (ng < 2) continue;
+    bool dup = false;
+    for (const auto& c : cands) dup |= c.num_groups == ng;
+    if (!dup) cands.push_back(std::move(p));
   }
 
-  if (best_cb) {
-    bw->Put(1, 1);
-    bw->Put((uint32_t)best_cb, 4);
-  } else {
-    bw->Put(0, 1);
-  }
-  if (is_level0) bw->Put(use_meta ? 1 : 0, 1);
+  MetaPlan mp;  // the plan emit_stream(meta=true) uses
+  auto emit_stream = [&](BitWriter* w, bool meta) {
+    if (best_cb) {
+      w->Put(1, 1);
+      w->Put((uint32_t)best_cb, 4);
+    } else {
+      w->Put(0, 1);
+    }
+    if (is_level0) w->Put(meta ? 1 : 0, 1);
 
-  if (!use_meta) {
-    HuffCode codes[5];
-    for (int i = 0; i < 5; ++i) codes[i].FromCounts(hs.h[i]);
-    for (int i = 0; i < 5; ++i) WriteHuffmanCode(bw, codes[i].desc);
-    EmitTokens(bw, best_toks, codes, pm);
+    if (!meta) {
+      HuffCode codes[5];
+      for (int i = 0; i < 5; ++i) codes[i].FromCounts(hs.h[i]);
+      for (int i = 0; i < 5; ++i) WriteHuffmanCode(w, codes[i].desc);
+      EmitTokens(w, best_toks, codes, pm);
+      return;
+    }
+
+    // Entropy image: tile -> group ids in the green channel, encoded
+    // recursively as its own entropy-coded stream.
+    w->Put((uint32_t)(mp.hb - 2), 3);
+    std::vector<uint32_t> meta_px((size_t)(mp.tx * mp.ty));
+    for (size_t i = 0; i < meta_px.size(); ++i)
+      meta_px[i] = 0xFF000000u | ((uint32_t)mp.tile_group[i] << 8);
+    EncodeStream(w, meta_px.data(), (long)meta_px.size(), (int)mp.tx,
+                 quality, /*is_level0=*/false);
+
+    // Per-group histograms + trees.
+    std::vector<Histos> gh((size_t)mp.num_groups);
+    for (auto& h : gh) h.Init(best_cb);
+    long pos = 0;
+    for (const Token& t : best_toks) {
+      const long y = pos / xsize, x = pos % xsize;
+      AddToken(
+          &gh[mp.tile_group[(size_t)((y >> mp.hb) * mp.tx + (x >> mp.hb))]],
+          t, pm);
+      pos += (t.kind == 1) ? (long)t.v : 1;
+    }
+    std::vector<std::array<HuffCode, 5>> codes((size_t)mp.num_groups);
+    for (int gidx = 0; gidx < mp.num_groups; ++gidx)
+      for (int i = 0; i < 5; ++i)
+        codes[(size_t)gidx][(size_t)i].FromCounts(gh[(size_t)gidx].h[i]);
+    for (int gidx = 0; gidx < mp.num_groups; ++gidx)
+      for (int i = 0; i < 5; ++i)
+        WriteHuffmanCode(w, codes[(size_t)gidx][(size_t)i].desc);
+    EmitTokensMeta(w, best_toks, codes, pm, xsize, mp);
+  };
+
+  if (cands.empty()) {
+    emit_stream(bw, false);
     return;
   }
-
-  // Entropy image: tile -> group ids in the green(+red) channel, encoded
-  // recursively as its own entropy-coded stream.
-  bw->Put((uint32_t)(mp.hb - 2), 3);
-  std::vector<uint32_t> meta((size_t)(mp.tx * mp.ty));
-  for (size_t i = 0; i < meta.size(); ++i)
-    meta[i] = 0xFF000000u | ((uint32_t)mp.tile_group[i] << 8);
-  EncodeStream(bw, meta.data(), (long)meta.size(), (int)mp.tx, quality,
-               /*is_level0=*/false);
-
-  // Per-group histograms + trees.
-  std::vector<Histos> gh((size_t)mp.num_groups);
-  for (auto& h : gh) h.Init(best_cb);
-  long pos = 0;
-  for (const Token& t : best_toks) {
-    const long y = pos / xsize, x = pos % xsize;
-    AddToken(&gh[mp.tile_group[(size_t)((y >> mp.hb) * mp.tx + (x >> mp.hb))]],
-             t, pm);
-    pos += (t.kind == 1) ? (long)t.v : 1;
+  std::vector<BitWriter> ws(cands.size() + 1);
+  emit_stream(&ws[0], false);
+  size_t win = 0;
+  for (size_t c = 0; c < cands.size(); ++c) {
+    mp = cands[c];
+    emit_stream(&ws[c + 1], true);
+    if (ws[c + 1].BitPos() < ws[win].BitPos()) win = c + 1;
   }
-  std::vector<std::array<HuffCode, 5>> codes((size_t)mp.num_groups);
-  for (int gidx = 0; gidx < mp.num_groups; ++gidx)
-    for (int i = 0; i < 5; ++i)
-      codes[(size_t)gidx][(size_t)i].FromCounts(gh[(size_t)gidx].h[i]);
-  for (int gidx = 0; gidx < mp.num_groups; ++gidx)
-    for (int i = 0; i < 5; ++i)
-      WriteHuffmanCode(bw, codes[(size_t)gidx][(size_t)i].desc);
-  EmitTokensMeta(bw, best_toks, codes, pm, xsize, mp);
+  if (std::getenv("WEBPTPU_META_DEBUG")) {
+    fprintf(stderr, "[meta] n=%ld single=%ld", n, ws[0].BitPos());
+    for (size_t c = 0; c < cands.size(); ++c)
+      fprintf(stderr, " g%d=%ld", cands[c].num_groups, ws[c + 1].BitPos());
+    fprintf(stderr, " -> %zu\n", win);
+  }
+  const BitWriter& w = ws[win];
+  for (uint8_t byte : w.buf) bw->Put(byte, 8);
+  if (w.used) bw->Put((uint32_t)(w.acc & ((1u << w.used) - 1)), w.used);
 }
 
 }  // namespace
