@@ -342,6 +342,20 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         enc = VP8Encoder(Y, U, V, w, h, cfg)
     vp8 = enc.encode()
 
+    # Per-encode statistics (reference EncStats, lossy/encode.go:1614-1626):
+    # PSNR from the encoder's own reconstruction when it exists on host.
+    global LAST_STATS
+    psnr = 0.0
+    rec = getattr(enc, "recY", None)
+    if rec is not None and getattr(enc, "srcY", None) is not None \
+            and np.any(rec):
+        se = float(((rec.astype(np.int64) - enc.srcY.astype(np.int64)) ** 2
+                    ).sum())
+        npx = rec.size
+        psnr = 99.0 if se == 0 else 10.0 * np.log10(255.0 ** 2 * npx / se)
+    LAST_STATS = EncStats(psnr=psnr, size=len(vp8), quality=opts.quality,
+                          passes=1)
+
     alpha_payload = b""
     if _has_alpha(a):
         from .lossy.alpha_enc import encode_alpha
