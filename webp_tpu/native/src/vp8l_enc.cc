@@ -720,21 +720,23 @@ bool BuildMetaPlanMerge(const std::vector<Token>& toks,
   // collapsing up to 2048 tiles into <= 64 starter clusters without any
   // pairwise work.
   std::vector<int> bin_of((size_t)T);
-  std::vector<int> bin_cluster(64, -1);
+  std::vector<int> bin_cluster(128, -1);
   std::vector<Histos> cl;
   std::vector<uint16_t> assign((size_t)T, 0);
   for (long t = 0; t < T; ++t) {
     const Histos& h = th[(size_t)t];
-    int64_t tot = 0, lit = 0;
+    int64_t tot = 0, lit = 0, cop = 0;
     for (size_t j = 0; j < h.h[0].size(); ++j) {
       tot += h.h[0][j];
       if (j < (size_t)kNumLiteral) lit += h.h[0][j];
+      else if (j < (size_t)(kNumLiteral + kNumLength)) cop += h.h[0][j];
     }
     const double n0 = tot > 0 ? (double)tot : 1.0;
     const double cps = HistoCostBits(h) / n0;           // bits per symbol
     const int q1 = std::min(7, (int)(cps * 0.5));
-    const int q2 = std::min(7, (int)((double)lit / n0 * 8.0));
-    bin_of[(size_t)t] = q1 * 8 + q2;
+    const int q2 = std::min(3, (int)((double)lit / n0 * 4.0));
+    const int q3 = std::min(3, (int)((double)cop / n0 * 8.0));
+    bin_of[(size_t)t] = (q1 * 4 + q2) * 4 + q3;
   }
   for (long t = 0; t < T; ++t) {
     int& c = bin_cluster[(size_t)bin_of[(size_t)t]];
