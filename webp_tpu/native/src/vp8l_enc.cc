@@ -134,8 +134,12 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
   out->clear();
   if (end <= start) return;
   out->reserve((size_t)(end - start) / 2);
-  const int max_chain = quality < 25 ? 8 : (quality < 50 ? 32
-                                            : (quality < 75 ? 64 : 32));
+  // Chain budget: deeper searches pay off most below the parallel-chunk
+  // scale; large images keep the cheaper budget for throughput.
+  const long span = end - start;
+  const int max_chain = quality < 25 ? 8
+                        : quality < 50 ? 32
+                        : (span <= (1L << 18) ? 96 : 32);
   std::vector<int64_t> head((size_t)kHashSize, -1);
   std::vector<int64_t> prev((size_t)n, -1);
   for (long p = seed_start; p < start && p + 1 < n; ++p) {
