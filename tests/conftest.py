@@ -23,6 +23,16 @@ from PIL import Image
 
 TESTDATA = "/root/reference/testdata"
 
+# Slow tier: device/multichip tests jit shard_map programs that take minutes
+# to compile on this 1-core host. Fast tier: `pytest -m "not slow"` (<2 min).
+_SLOW_MODULES = {"test_multichip", "test_exact_pipeline", "test_sharpyuv_device"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def testdata_dir():

@@ -108,6 +108,17 @@ def test_segments_4(photo):
     assert dec.seg_hdr.use_segment
 
 
+@pytest.mark.parametrize("segments", [2, 3])
+def test_device_backend_segments_lt4(photo, segments):
+    """Device path with segments<4 (e.g. the 'text' preset uses 2): the
+    4-wide quant expansion must pad, not crash (round-1 advisor finding)."""
+    data = webp_tpu.encode(photo, quality=60, segments=segments,
+                           backend="device")
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)
+    assert _psnr(photo, ref) > 25
+
+
 def test_q75_m4_sharpyuv_beats_libwebp(photo):
     """Driver config 3: Q75 method-4 sharp-YUV must match or beat libwebp
     in rate-distortion terms: using the ~0.05 dB-per-1%-rate exchange rate

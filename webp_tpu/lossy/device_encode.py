@@ -118,7 +118,14 @@ class DeviceVP8Encoder(VP8Encoder):
         host = _fetch(out)
         cnt = int(host["esc_cnt"][0])
         if cnt > fn.esc_cap:  # pathological content: exact host fallback
-            return VP8Encoder(self.srcY, self.srcU, self.srcV, self.width,
+            srcY, srcU, srcV = self.srcY, self.srcU, self.srcV
+            if sharp:
+                # self.src* came from plain rgb_to_yuv420 (sharp runs
+                # on-chip); recompute with the host sharp converter so the
+                # fallback honours use_sharp_yuv.
+                from ..sharpyuv.convert import sharp_rgb_to_yuv420
+                srcY, srcU, srcV = sharp_rgb_to_yuv420(self.rgb_input)
+            return VP8Encoder(srcY, srcU, srcV, self.width,
                               self.height, self.cfg).encode()
         n_mb = self.mb_h * self.mb_w
         lv24 = unpack_levels(host["packed"][0], host["esc_idx"][0],
@@ -164,6 +171,19 @@ class DeviceVP8Encoder(VP8Encoder):
         return bytes(out)
 
 
+def _fallback_planes(rgb, fn):
+    """YUV planes for the exact-host escape-overflow fallback, honouring
+    the device fn's sharp_yuv setting (the device computes sharp on-chip,
+    so the host copy must re-derive it)."""
+    if getattr(fn, "sharp_yuv", False):
+        from ..sharpyuv.convert import sharp_rgb_to_yuv420
+
+        return sharp_rgb_to_yuv420(rgb)
+    from ..encoder import rgb_to_yuv420
+
+    return rgb_to_yuv420(rgb)
+
+
 def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
                        filter_strength: int = 60, num_threads: int = 8,
                        true_width: int = None, true_height: int = None,
@@ -197,9 +217,7 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
 
         def emit(i):
             if int(host["esc_cnt"][i]) > fn.esc_cap:
-                from ..encoder import rgb_to_yuv420
-
-                Y, U, V = rgb_to_yuv420(np.asarray(rgbs[i]))
+                Y, U, V = _fallback_planes(np.asarray(rgbs[i]), fn)
                 return VP8Encoder(Y, U, V, tw, th, cfg).encode()
             return _finish_one({k: v[i] for k, v in host.items()},
                                mb_w, mb_h, tw, th, cfg)
@@ -312,9 +330,7 @@ def _drain(inflight, fn, mb_w, mb_h, w, h, cfg, ex):
 
     def emit(i):
         if int(host["esc_cnt"][i]) > fn.esc_cap:
-            from ..encoder import rgb_to_yuv420
-
-            Y, U, V = rgb_to_yuv420(np.asarray(chunk[i])[..., :3])
+            Y, U, V = _fallback_planes(np.asarray(chunk[i])[..., :3], fn)
             return VP8Encoder(Y, U, V, w, h, cfg).encode()
         return _finish_one({k: v[i] for k, v in host.items()},
                            mb_w, mb_h, w, h, cfg)

@@ -1170,6 +1170,32 @@ int vp8_decode(const uint8_t* data, long n,
               SimpleFilter(d.Y + (y0 + k) * ys + x0, ys, 1, 16, fi.limit);
         } else {
           int il = fi.ilevel, hev = fi.hev;
+#ifdef WEBPTPU_LF_SIMD
+          // Bit-exactness of the lf:: kernels vs FilterLoop is asserted by
+          // vp8_filter_selftest (same argument mapping as below).
+          if (mbx > 0) {
+            lf::HEdge16(d.Y + y0 * ys + x0, ys, fi.limit + 4, il, hev, false);
+            lf::HEdge8UV(d.U + cy0 * uvs + cx0, d.V + cy0 * uvs + cx0, uvs,
+                         fi.limit + 4, il, hev, false);
+          }
+          if (inner) {
+            for (int k = 4; k <= 12; k += 4)
+              lf::HEdge16(d.Y + y0 * ys + x0 + k, ys, fi.limit, il, hev, true);
+            lf::HEdge8UV(d.U + cy0 * uvs + cx0 + 4, d.V + cy0 * uvs + cx0 + 4,
+                         uvs, fi.limit, il, hev, true);
+          }
+          if (mby > 0) {
+            lf::VEdge16(d.Y + y0 * ys + x0, ys, fi.limit + 4, il, hev, false);
+            lf::VEdge8UV(d.U + cy0 * uvs + cx0, d.V + cy0 * uvs + cx0, uvs,
+                         fi.limit + 4, il, hev, false);
+          }
+          if (inner) {
+            for (int k = 4; k <= 12; k += 4)
+              lf::VEdge16(d.Y + (y0 + k) * ys + x0, ys, fi.limit, il, hev, true);
+            lf::VEdge8UV(d.U + (cy0 + 4) * uvs + cx0, d.V + (cy0 + 4) * uvs + cx0,
+                         uvs, fi.limit, il, hev, true);
+          }
+#else
           if (mbx > 0) {
             FilterLoop(d.Y + y0 * ys + x0, 1, ys, 16, fi.limit + 4, il, hev, false);
             FilterLoop(d.U + cy0 * uvs + cx0, 1, uvs, 8, fi.limit + 4, il, hev, false);
@@ -1192,6 +1218,7 @@ int vp8_decode(const uint8_t* data, long n,
             FilterLoop(d.U + (cy0 + 4) * uvs + cx0, uvs, 1, 8, fi.limit, il, hev, true);
             FilterLoop(d.V + (cy0 + 4) * uvs + cx0, uvs, 1, 8, fi.limit, il, hev, true);
           }
+#endif
         }
       }
     }

@@ -32,7 +32,7 @@ constexpr int kNumDistance = 40;
 constexpr int kCodeLengthCodes = 19;
 constexpr int kMaxCodeLength = 15;
 constexpr long kWindowSize = (1 << 20) - 120;
-constexpr long kMaxLength = 4096;
+constexpr long kMaxLength = 4095;  // must fit the 12-bit packed length field
 constexpr int kHashBits = 18;
 constexpr long kHashSize = 1L << kHashBits;
 const uint8_t kClcOrder[kCodeLengthCodes] = {17, 18, 0, 1, 2,  3,  4,  5, 16,

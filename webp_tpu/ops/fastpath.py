@@ -363,7 +363,15 @@ def _plan_from_histo(histo, alphas, quality, sns_strength, num_segs=4):
     expn = 1.0 - amp * alpha_n.astype(jnp.float32)
     c = jnp.power(jnp.float32(c_base), expn)
     q_idx = jnp.clip((127.0 * (1.0 - c)).astype(jnp.int32), 0, 127)
-    return seg_map, q_idx, beta_n.astype(jnp.int32)
+    beta = beta_n.astype(jnp.int32)
+    if num_segs < 4:
+        # _mb_quant / finalize_device_plan expect 4 segment rows; pad by
+        # repeating the last segment (equivalent segments are merged away
+        # again in finalize_device_plan's simplifySegments pass).
+        pad = 4 - num_segs
+        q_idx = jnp.concatenate([q_idx, jnp.repeat(q_idx[-1:], pad)])
+        beta = jnp.concatenate([beta, jnp.repeat(beta[-1:], pad)])
+    return seg_map, q_idx, beta
 
 
 def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
@@ -886,4 +894,5 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     yuv_b.rgb = rgb_b
     yuv_b.n_mb = n_mb
     yuv_b.esc_cap = esc_cap
+    yuv_b.sharp_yuv = bool(sharp_yuv)
     return yuv_b

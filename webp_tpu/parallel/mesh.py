@@ -162,6 +162,16 @@ def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
         lv = np.empty((n_mb, 24, 16), np.int16)
         for s in range(sp):
             sl = slice(s * n_loc, (s + 1) * n_loc)
+            cnt = int(esc_cnt[b, s])
+            if cnt > cap:
+                # A band overflowed its escape budget: unpack_levels would
+                # silently decode the unrecovered blocks as all-zero levels
+                # (corrupt image). Mirror the single-chip paths, which
+                # detect cnt > esc_cap and fall back to the exact host
+                # encoder (lossy/device_encode.py).
+                raise OverflowError(
+                    f"escape-block overflow in band {s} of image {b}: "
+                    f"{cnt} > capacity {cap}; re-encode on the host path")
             lv[sl] = unpack_levels(
                 packed[b, sl], esc_idx[b, s * cap:(s + 1) * cap],
                 esc_val[b, s * cap:(s + 1) * cap], esc_cnt[b, s], n_loc)
