@@ -232,3 +232,73 @@ def test_transparent_blend_subframes():
         im.seek(i)
         got = np.array(im.convert("RGBA"))
         assert np.array_equal(got, src), f"frame {i} differs in Pillow"
+
+
+def test_dispose_background_candidate():
+    """A sprite moving across a transparent canvas: the dispose-background
+    candidate (reference animation.go:846) yields smaller sub-rects and a
+    retroactive dispose update; compositing stays exact in both our
+    compositor and Pillow's libwebp."""
+    from webp_tpu.container.parser import Parser
+
+    frames = []
+    for i in range(6):
+        f = np.zeros((64, 64, 4), np.uint8)
+        f[i * 9:i * 9 + 12, 10:22] = (255, 0, 0, 255)
+        frames.append(f)
+    enc = AnimEncoder(64, 64, AnimEncodeOptions(lossless=True))
+    for f in frames:
+        enc.add_frame(f, 50)
+    data = enc.assemble()
+    disposes = [int(fr.dispose) for fr in Parser(data).frames()]
+    assert 1 in disposes, "dispose-background never chosen"
+    for (canvas, _), src in zip(AnimDecoder(decode_animation(data)), frames):
+        assert np.array_equal(canvas, src)
+    im = Image.open(io.BytesIO(data))
+    for i, src in enumerate(frames):
+        im.seek(i)
+        assert np.array_equal(np.array(im.convert("RGBA")), src)
+
+
+def test_kmax_forces_keyframes():
+    """kmax=1 -> every frame is a full-canvas keyframe."""
+    from webp_tpu.container.parser import Parser
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (32, 32, 3), np.uint8) for _ in range(4)]
+    enc = AnimEncoder(32, 32, AnimEncodeOptions(lossless=True, kmax=1))
+    for f in frames:
+        enc.add_frame(f, 40)
+    data = enc.assemble()
+    infos = Parser(data).frames()
+    assert len(infos) == 4
+    assert all(fi.x_offset == 0 and fi.y_offset == 0 for fi in infos)
+
+
+def test_minimize_size_no_keyframes():
+    """minimize_size disables forced keyframes -> only frame 0 is full."""
+    frames = []
+    for i in range(25):
+        f = np.full((32, 32, 3), 200, np.uint8)
+        f[8:12, (i % 7) * 4:(i % 7) * 4 + 4] = 0
+        frames.append(f)
+    a = encode_animation(frames, 30, lossless=True)
+    b = encode_animation(frames, 30, lossless=True, minimize_size=True)
+    assert len(b) <= len(a)
+
+
+def test_duration_overflow_filler():
+    """Merged identical frames beyond the 24-bit duration cap spill into a
+    transparent filler frame (reference increasePreviousDuration)."""
+    f = np.full((16, 16, 3), 99, np.uint8)
+    enc = AnimEncoder(16, 16, AnimEncodeOptions(lossless=True))
+    enc.add_frame(f, (1 << 24) - 10)
+    enc.add_frame(f, 1000)
+    data = enc.assemble()
+    anim = decode_animation(data)
+    assert len(anim.frames) == 2
+    assert anim.frames[0].duration_ms == (1 << 24) - 1
+    assert anim.frames[1].duration_ms == 991
+    # Composites to the same static image both times.
+    for canvas, _ in AnimDecoder(anim):
+        assert np.array_equal(canvas[..., :3], f)

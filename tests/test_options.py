@@ -1,0 +1,140 @@
+"""Every accepted encoder option must change output bytes (no silent
+no-ops; VERDICT round-1 item 6). Reference provenance per test."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import webp_tpu
+from tests.conftest import pil_decode_rgba
+
+
+@pytest.fixture(scope="module")
+def photo():
+    im = Image.open("/root/reference/testdata/test.png").convert("RGB")
+    return np.array(im.resize((128, 96)))
+
+
+@pytest.fixture(scope="module")
+def photo_alpha(photo):
+    rng = np.random.default_rng(7)
+    a = (np.linspace(0, 255, photo.shape[0] * photo.shape[1])
+         .reshape(photo.shape[:2])
+         + rng.integers(0, 30, photo.shape[:2])).clip(0, 255).astype(np.uint8)
+    return np.dstack([photo, a])
+
+
+def test_alpha_quality_quantizes_levels(photo_alpha):
+    """alpha_quality < 100 runs level quantization (alpha.go:591)."""
+    full = webp_tpu.encode(photo_alpha, quality=75, alpha_quality=100)
+    q50 = webp_tpu.encode(photo_alpha, quality=75, alpha_quality=50)
+    q10 = webp_tpu.encode(photo_alpha, quality=75, alpha_quality=10)
+    assert len(q10) < len(q50) < len(full)
+    d50 = pil_decode_rgba(q50)
+    # Quality 50 -> 2 + 50/5 = 12 levels.
+    assert len(np.unique(d50[..., 3])) <= 12
+    err = np.abs(d50[..., 3].astype(int)
+                 - photo_alpha[..., 3].astype(int)).mean()
+    assert err < 16
+    assert len(np.unique(pil_decode_rgba(q10)[..., 3])) <= 4
+    assert np.array_equal(webp_tpu.decode(q50), d50)
+
+
+def test_quantize_levels_unit():
+    from webp_tpu.lossy.alpha_enc import quantize_levels
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    q = quantize_levels(a, 8)
+    assert len(np.unique(q)) <= 8
+    assert np.abs(q.astype(int) - a.astype(int)).mean() < 10
+    # Fewer distinct input values than levels: unchanged.
+    b = (a & 0xC0)
+    assert np.array_equal(quantize_levels(b, 8), b)
+
+
+def test_transparent_cleanup_lossy(photo):
+    """cleanupTransparentAreaLossy (encode.go:788): invisible noise costs
+    nothing unless exact=True."""
+    rng = np.random.default_rng(3)
+    a = np.zeros(photo.shape[:2], np.uint8)
+    a[30:60, 40:90] = 255
+    noisy = rng.integers(0, 256, photo.shape, dtype=np.uint8)
+    noisy[30:60, 40:90] = photo[30:60, 40:90]
+    rgba = np.dstack([noisy, a])
+    clean = webp_tpu.encode(rgba, quality=75)
+    exact = webp_tpu.encode(rgba, quality=75, exact=True)
+    assert len(clean) < len(exact) * 0.8
+    d = pil_decode_rgba(clean)
+    vis = a == 255
+    mse = np.mean((d[..., :3][vis].astype(float)
+                   - rgba[..., :3][vis].astype(float)) ** 2)
+    assert mse < 150
+
+
+def test_transparent_cleanup_lossless(photo):
+    """cleanupTransparentAreaLossless (encode.go:944): RGB under alpha=0
+    becomes 0 unless exact=True; visible pixels still round-trip."""
+    rng = np.random.default_rng(3)
+    a = np.zeros(photo.shape[:2], np.uint8)
+    a[30:60, 40:90] = 255
+    noisy = rng.integers(0, 256, photo.shape, dtype=np.uint8)
+    rgba = np.dstack([noisy, a])
+    clean = webp_tpu.encode(rgba, lossless=True)
+    exact = webp_tpu.encode(rgba, lossless=True, exact=True)
+    assert len(clean) < len(exact) * 0.6
+    assert np.array_equal(pil_decode_rgba(exact), rgba)
+    d = pil_decode_rgba(clean)
+    vis = a == 255
+    assert np.array_equal(d[..., 3], a)
+    assert np.array_equal(d[..., :3][vis], rgba[..., :3][vis])
+    assert np.array_equal(webp_tpu.decode(clean), d)
+
+
+def test_autofilter_changes_output(photo):
+    """autofilter searches the loop-filter strength (libwebp -af)."""
+    base = webp_tpu.encode(photo, quality=40)
+    af = webp_tpu.encode(photo, quality=40, autofilter=True)
+    assert af != base
+    ref = pil_decode_rgba(af)[..., :3]
+    assert np.array_equal(webp_tpu.decode(af), ref)
+    mse_af = np.mean((ref.astype(float) - photo.astype(float)) ** 2)
+    mse_b = np.mean((pil_decode_rgba(base)[..., :3].astype(float)
+                     - photo.astype(float)) ** 2)
+    # The searched strength must not lose meaningful quality.
+    assert mse_af <= mse_b * 1.03
+
+
+def test_partition_limit(photo):
+    """partition_limit=100 disables I4 headers entirely (libwebp
+    max_i4_header_bits formula); bytes must change and stay decodable."""
+    base = webp_tpu.encode(photo, quality=75)
+    pl = webp_tpu.encode(photo, quality=75, partition_limit=100)
+    assert pl != base
+    assert np.array_equal(webp_tpu.decode(pl), pil_decode_rgba(pl)[..., :3])
+
+
+def test_preprocessing_dither_and_smooth(photo):
+    """preprocessing bit 1 = quality-scaled dithering (encode.go:517),
+    bit 0 = segment-map smoothing (encode_analysis.go:821)."""
+    base = webp_tpu.encode(photo, quality=75)
+    pp2 = webp_tpu.encode(photo, quality=75, preprocessing=2)
+    assert pp2 != base
+    # Smoothing needs a noisy segment map.
+    rng = np.random.default_rng(0)
+    img = np.zeros((160, 160, 3), np.uint8)
+    for by in range(0, 160, 16):
+        for bx in range(0, 160, 16):
+            if rng.random() < 0.5:
+                img[by:by + 16, bx:bx + 16] = rng.integers(
+                    0, 256, (16, 16, 3))
+            else:
+                img[by:by + 16, bx:bx + 16] = 128
+    s4 = webp_tpu.encode(img, quality=75, segments=4)
+    pp1 = webp_tpu.encode(img, quality=75, segments=4, preprocessing=1)
+    assert pp1 != s4
+    for blob in (pp2, pp1):
+        assert np.array_equal(webp_tpu.decode(blob),
+                              pil_decode_rgba(blob)[..., :3])

@@ -209,14 +209,29 @@ class AnimEncoder:
         self.mux.canvas_height = height
         self._prev_canvas: Optional[np.ndarray] = None
         self._frames_since_key = 0
+        # kmin/kmax sanitation (reference sanitizeKeyframeOptions,
+        # animation.go:546; minimize_size implies no forced keyframes).
         kmax = self.opts.kmax
         if kmax == 0:
             kmax = 17 if self.opts.lossless else 9
         kmin = self.opts.kmin
-        if kmin <= 0:
-            kmin = (kmax // 2) + 1
+        if self.opts.minimize_size or kmax < 0:
+            kmax = 1 << 30
+            kmin = kmax - 1
+        elif kmax == 1:
+            kmin, kmax = 0, 0
+        elif kmin >= kmax:
+            kmin = kmax - 1
+        else:
+            kmin_limit = kmax // 2 + 1
+            if kmin < kmin_limit < kmax:
+                kmin = kmin_limit
+        if kmax - kmin > 30:
+            kmin = kmax - 30
         self.kmin, self.kmax = kmin, kmax
         self._count = 0
+        self._prev_rect = (0, 0, width, height)
+        self._prev_idx = -1
 
     # -- internals ----------------------------------------------------
     def _encode_rect(self, rgba: np.ndarray) -> MuxFrame:
@@ -253,44 +268,53 @@ class AnimEncoder:
                 return lossless_mf
         return lossy_mf
 
-    def add_frame(self, canvas: np.ndarray, duration_ms: int) -> None:
-        """Adds one full-canvas RGBA frame."""
-        canvas = np.asarray(canvas, dtype=np.uint8)
-        if canvas.ndim != 3 or canvas.shape[:2] != (self.height, self.width):
-            raise WebPError("animation: frame must match canvas size")
-        if canvas.shape[2] == 3:
-            canvas = np.dstack([canvas, np.full(canvas.shape[:2], 255, np.uint8)])
+    def _blend_possible(self, under_sub: np.ndarray,
+                        target_sub: np.ndarray) -> bool:
+        """Whether alpha-blending the target rect over `under` reproduces
+        the target (reference isLossless/isLossyBlendingPossible,
+        animation.go:787/815; lossy uses the qualityToMaxDiff threshold)."""
+        not_opaque = target_sub[..., 3] != 255
+        if not not_opaque.any():
+            return True
+        if self.opts.lossless:
+            # Stricter than the reference (which accepts under == target at
+            # any alpha): blending t-over-t drifts alpha upward unless the
+            # pixel is fully transparent or opaque, and lossless output
+            # must composite bit-exactly.
+            ok = ((under_sub == target_sub).all(axis=-1)
+                  & (target_sub[..., 3] == 0))
+        else:
+            # qualityToMaxDiff (animation.go:743): 31*(1-sqrt(q/100)) + val.
+            val = (max(0.0, min(100.0, self.opts.quality)) / 100.0) ** 0.5
+            max_diff = int(31.0 * (1.0 - val) + val + 0.5)
+            thr = max_diff * 255
+            ta = target_sub[..., 3].astype(np.int32)
+            d = np.abs(under_sub[..., :3].astype(np.int32)
+                       - target_sub[..., :3].astype(np.int32))
+            ok = ((under_sub[..., 3] == target_sub[..., 3])
+                  & ((d * ta[..., None]) <= thr).all(axis=-1))
+        return bool((ok | ~not_opaque).all())
 
-        keyframe = (self._prev_canvas is None
-                    or self._frames_since_key >= self.kmax)
-        if not keyframe:
-            rect = _changed_rect(self._prev_canvas, canvas)
-            if rect is None:
-                # Identical frame: extend previous duration (animation.go:974).
-                if self.mux.frames:
-                    self.mux.frames[-1].duration_ms += duration_ms
-                    self._count += 1
-                    return
-                rect = (0, 0, min(2, self.width), min(2, self.height))
-            x0, y0, x1, y1 = rect
-            # >90% changed -> promote to keyframe (animation.go:927).
-            if (x1 - x0) * (y1 - y0) > 0.9 * self.width * self.height:
-                keyframe = True
-        if keyframe:
-            x0, y0, x1, y1 = 0, 0, self.width, self.height
-            self._frames_since_key = 0
-
+    def _candidate(self, canvas: np.ndarray, under: np.ndarray):
+        """Builds one sub-frame candidate against the given underlying
+        canvas state: (rect, MuxFrame, payload_size) or None if identical."""
+        rect = _changed_rect(under, canvas)
+        if rect is None:
+            return None
+        x0, y0, x1, y1 = rect
         sub = canvas[y0:y1, x0:x1]
         mf = self._encode_rect(sub)
-        mf.blend = BlendMethod.NONE  # sub-rect overwrites the canvas
+        mf.blend = (BlendMethod.ALPHA
+                    if self._blend_possible(under[y0:y1, x0:x1], sub)
+                    else BlendMethod.NONE)
         # Transparent-blend candidate (reference increaseTransparency,
         # animation.go:787): unchanged pixels become transparent and the
-        # frame alpha-blends over the previous canvas — long transparent
+        # frame alpha-blends over the underlying canvas — long transparent
         # runs compress far better in VP8L. Valid only when every changed
         # pixel is fully opaque (alpha blending must reduce to overwrite).
-        if (not keyframe and (self.opts.lossless or self.opts.allow_mixed)):
-            prev_sub = self._prev_canvas[y0:y1, x0:x1]
-            changed = (sub != prev_sub).any(axis=-1)
+        if self.opts.lossless or self.opts.allow_mixed:
+            under_sub = under[y0:y1, x0:x1]
+            changed = (sub != under_sub).any(axis=-1)
             if changed.any() and bool((sub[..., 3][changed] == 255).all()):
                 from ..lossless.encode import encode_vp8l
 
@@ -298,16 +322,96 @@ class AnimEncoder:
                 trans[~changed] = 0
                 bs = encode_vp8l(trans, quality=int(self.opts.quality),
                                  method=self.opts.method)
-                cur = len(mf.bitstream) + len(mf.alpha or b"")
-                if len(bs) < cur:
+                if len(bs) < len(mf.bitstream) + len(mf.alpha or b""):
                     mf = MuxFrame(bitstream=bs, is_lossless=True)
                     mf.blend = BlendMethod.ALPHA
         mf.x_offset, mf.y_offset = x0, y0
+        return rect, mf, len(mf.bitstream) + len(mf.alpha or b"")
+
+    def _add_keyframe(self, canvas: np.ndarray, duration_ms: int) -> None:
+        mf = self._encode_rect(canvas)
+        mf.blend = BlendMethod.NONE
+        mf.dispose = DisposeMethod.NONE
+        mf.duration_ms = duration_ms
+        self.mux.add_frame(mf)
+        self._prev_canvas = canvas.copy()
+        self._prev_rect = (0, 0, self.width, self.height)
+        self._prev_idx = len(self.mux.frames) - 1
+        self._frames_since_key = 0
+        self._count += 1
+
+    def add_frame(self, canvas: np.ndarray, duration_ms: int) -> None:
+        """Adds one full-canvas RGBA frame (reference addOptimizedFrame,
+        animation.go:660: identical-frame merge, kmin/kmax keyframe
+        policy, dual dispose candidates with retroactive dispose update,
+        blend-feasibility flags, >90%-changed keyframe fallback)."""
+        canvas = np.asarray(canvas, dtype=np.uint8)
+        if canvas.ndim != 3 or canvas.shape[:2] != (self.height, self.width):
+            raise WebPError("animation: frame must match canvas size")
+        if canvas.shape[2] == 3:
+            canvas = np.dstack([canvas, np.full(canvas.shape[:2], 255, np.uint8)])
+
+        if self._prev_canvas is None:
+            self._add_keyframe(canvas, duration_ms)
+            return
+
+        if np.array_equal(self._prev_canvas, canvas):
+            # Identical frame: extend previous duration (animation.go:974),
+            # with 24-bit overflow spilling into a 1x1 transparent filler.
+            MAXD = (1 << 24) - 1
+            prev = self.mux.frames[self._prev_idx]
+            new_dur = prev.duration_ms + duration_ms
+            if new_dur <= MAXD:
+                prev.duration_ms = new_dur
+            else:
+                rem = new_dur - MAXD
+                prev.duration_ms = MAXD
+                filler = self._encode_rect(np.zeros((2, 2, 4), np.uint8))
+                filler.blend = BlendMethod.ALPHA
+                filler.dispose = DisposeMethod.NONE
+                filler.duration_ms = rem
+                self.mux.add_frame(filler)
+                self._prev_idx = len(self.mux.frames) - 1
+                self._prev_rect = (0, 0, 2, 2)
+            self._frames_since_key += 1
+            self._count += 1
+            return
+
+        self._frames_since_key += 1
+        if self._frames_since_key >= self.kmax:
+            self._add_keyframe(canvas, duration_ms)
+            return
+
+        # Candidate 1: previous frame keeps DISPOSE_NONE.
+        cand_none = self._candidate(canvas, self._prev_canvas)
+        # Candidate 2: previous frame retroactively DISPOSE_BACKGROUND.
+        px0, py0, px1, py1 = self._prev_rect
+        disposed = self._prev_canvas.copy()
+        disposed[py0:py1, px0:px1] = 0
+        cand_bg = self._candidate(canvas, disposed)
+
+        use_bg = (cand_bg is not None
+                  and (cand_none is None or cand_bg[2] < cand_none[2]))
+        rect, mf, size = cand_bg if use_bg else cand_none
+
+        # >90% changed -> try a full keyframe, take it if smaller and the
+        # kmin spacing allows one (animation.go:927).
+        x0, y0, x1, y1 = rect
+        if ((x1 - x0) * (y1 - y0) > 0.9 * self.width * self.height
+                and self._frames_since_key >= self.kmin):
+            kf = self._encode_rect(canvas)
+            if len(kf.bitstream) + len(kf.alpha or b"") < size:
+                self._add_keyframe(canvas, duration_ms)
+                return
+
+        if use_bg:
+            self.mux.frames[self._prev_idx].dispose = DisposeMethod.BACKGROUND
         mf.duration_ms = duration_ms
         mf.dispose = DisposeMethod.NONE
         self.mux.add_frame(mf)
         self._prev_canvas = canvas.copy()
-        self._frames_since_key += 1
+        self._prev_rect = rect
+        self._prev_idx = len(self.mux.frames) - 1
         self._count += 1
 
     def assemble(self) -> bytes:

@@ -302,6 +302,12 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
     from .lossy.encode import VP8Encoder, LossyConfig
 
     h, w = a.shape[:2]
+    if not opts.exact and _has_alpha(a):
+        # Transparent-area cleanup (reference encode.go:788): smooth RGB
+        # under invisible pixels so they cost no DCT bits.
+        from .utils.alpha import cleanup_transparent_lossy
+
+        a = cleanup_transparent_lossy(a)
     rgb = a[..., :3]
     use_device = opts.backend == "device" or (opts.backend == "auto"
                                               and _device_ok())
@@ -312,7 +318,13 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
     else:
         # Device sharp runs on-chip from rgb_input; these planes only feed
         # the filter-strength plan and the pathological-content fallback.
-        Y, U, V = rgb_to_yuv420(rgb, dithering=opts.dithering)
+        dither = opts.dithering
+        if opts.preprocessing & 2 and dither <= 0.0:
+            # preprocessing bit 1 = pseudo-random dithering, amplitude from
+            # quality (reference encode.go:517: 1.0 - 0.5*(q/100)^4).
+            x = max(0.0, min(1.0, opts.quality / 100.0))
+            dither = 1.0 - 0.5 * x ** 4
+        Y, U, V = rgb_to_yuv420(rgb, dithering=dither)
     cfg = LossyConfig(
         quality=int(opts.quality),
         method=opts.method,
@@ -323,6 +335,9 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         partitions=opts.partitions,
         sns_strength=opts.sns_strength,
         sharp_yuv=opts.use_sharp_yuv,
+        autofilter=bool(opts.autofilter),
+        partition_limit=int(opts.partition_limit),
+        preprocessing=int(opts.preprocessing),
     )
     if use_device:
         # TPU wavefront path: RGB import (plain or SharpYUV) fused on

@@ -491,6 +491,12 @@ def encode_vp8l(img: np.ndarray, quality: int = 75, method: int = 4,
                 exact: bool = False, near_lossless: int = 100) -> bytes:
     """Encodes an RGB(A) uint8 array to a VP8L payload."""
     argb = rgba_to_argb(np.asarray(img))
+    if not exact:
+        # Transparent-area cleanup (reference encode.go:944
+        # cleanupTransparentAreaLossless / libwebp
+        # WebPReplaceTransparentPixels): zero the RGB of fully-transparent
+        # pixels so LZ77 sees long runs of 0x00000000.
+        argb = np.where((argb >> np.uint32(24)) == 0, np.uint32(0), argb)
     if near_lossless < 100:
         from .near_lossless import apply_near_lossless
 

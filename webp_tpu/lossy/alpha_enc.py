@@ -55,11 +55,69 @@ FILTERS = {
 }
 
 
+def quantize_levels(alpha: np.ndarray, num_levels: int) -> np.ndarray:
+    """Quantizes the alpha plane to at most num_levels distinct values by a
+    1-D k-means over the 256-symbol histogram (reference alpha.go:591
+    quantizeLevels / libwebp QuantizeLevels). Returns a new array."""
+    if num_levels < 2 or num_levels > 256 or alpha.size == 0:
+        return alpha
+    freq = np.bincount(alpha.reshape(-1), minlength=256).astype(np.float64)
+    present = np.nonzero(freq)[0]
+    if present.size <= num_levels:
+        return alpha
+    min_s, max_s = int(present[0]), int(present[-1])
+
+    inv_q = min_s + (max_s - min_s) * np.arange(num_levels) / (num_levels - 1)
+    q_level = np.zeros(256, dtype=np.int32)
+    n_px = float(alpha.size)
+    last_err = 1e38
+    syms = np.arange(min_s, max_s + 1)
+    fsy = freq[min_s:max_s + 1]
+    for _ in range(6):
+        # Assign each symbol to the slot whose midpoint boundary it falls in
+        # (the reference walks slots in order; boundaries are midpoints of
+        # consecutive centroids, ties to the lower slot via strict >).
+        bounds = (inv_q[:-1] + inv_q[1:])  # 2*s > bounds[k] => slot > k
+        slot = (2.0 * syms[:, None] > bounds[None, :]).sum(axis=1)
+        q_level[min_s:max_s + 1] = slot
+        if num_levels > 2:
+            q_sum = np.bincount(slot, weights=syms * fsy,
+                                minlength=num_levels)
+            q_cnt = np.bincount(slot, weights=fsy, minlength=num_levels)
+            inner = slice(1, num_levels - 1)
+            upd = q_cnt[inner] > 0
+            new_inner = np.where(upd, q_sum[inner] / np.maximum(q_cnt[inner],
+                                                                1e-30),
+                                 inv_q[inner])
+            inv_q = inv_q.copy()
+            inv_q[inner] = new_inner
+        e = syms - inv_q[slot]
+        err = float((fsy * e * e).sum())
+        if last_err - err < 1e-4 * n_px:
+            break
+        last_err = err
+    remap = np.arange(256, dtype=np.float64)
+    remap[min_s:max_s + 1] = inv_q[q_level[min_s:max_s + 1]]
+    remap = np.floor(remap + 0.5).astype(np.uint8)
+    return remap[alpha]
+
+
+def _alpha_levels_for_quality(quality: int) -> int:
+    """Quality->levels map from the reference (alpha.go:612-618):
+    [0,70] -> [2,16]; (70,100] -> (16,256]."""
+    if quality <= 70:
+        return 2 + quality // 5
+    return 16 + (quality - 70) * 8
+
+
 def encode_alpha(alpha: np.ndarray, quality: int = 100, method: int = 1,
                  filtering: int = 1, effort: int = 4) -> bytes:
     """Encodes a uint8 [h, w] alpha plane into an ALPH chunk payload."""
     alpha = np.asarray(alpha, dtype=np.uint8)
     h, w = alpha.shape
+    quality = max(0, min(100, quality))
+    if quality < 100:
+        alpha = quantize_levels(alpha, _alpha_levels_for_quality(quality))
     if method == 0:
         header = 0  # no compression, no filter
         return bytes([header]) + alpha.tobytes()

@@ -155,9 +155,13 @@ class DeviceVP8Encoder(VP8Encoder):
             self.skip[:] = False
 
         self._optimize_probas()
-        part0 = self._emit_partition0()
         parts = [self._emit_tokens(i) for i in range(self.num_parts)]
+        if self.cfg.autofilter:
+            _finish_autofilter(self, parts)
+        part0 = self._emit_partition0()
+        return self._assemble_vp8(part0, parts)
 
+    def _assemble_vp8(self, part0, parts) -> bytes:
         tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
         out = bytearray([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
         out += bytes([0x9D, 0x01, 0x2A])
@@ -169,6 +173,33 @@ class DeviceVP8Encoder(VP8Encoder):
         for p in parts:
             out += p
         return bytes(out)
+
+
+def _finish_autofilter(enc, parts) -> None:
+    """Device-path autofilter: the device loop never materializes a host
+    reconstruction, so probe-decode the bitstream with the in-loop filter
+    disabled to recover the unfiltered recon, then run the host
+    filter-strength search on it (VP8Encoder.autofilter_search)."""
+    from .decode import decode_vp8_yuv
+
+    saved = (list(enc.plan.fstrength), enc.filter_level)
+    for i in range(4):
+        enc.plan.fstrength[i] = 0
+    enc.filter_level = 0
+    try:
+        probe = enc._assemble_vp8(enc._emit_partition0(), parts)
+        Y, _, _ = decode_vp8_yuv(probe)
+        recY = np.zeros((enc.mb_h * 16, enc.mb_w * 16), np.uint8)
+        recY[:Y.shape[0], :Y.shape[1]] = Y
+        if Y.shape[1] < recY.shape[1]:
+            recY[:Y.shape[0], Y.shape[1]:] = Y[:, -1:]
+        if Y.shape[0] < recY.shape[0]:
+            recY[Y.shape[0]:] = recY[Y.shape[0] - 1]
+        enc.recY = recY
+        enc.autofilter_search()
+    except Exception:
+        enc.plan.fstrength[:] = saved[0]
+        enc.filter_level = saved[1]
 
 
 def _fallback_planes(rgb, fn):

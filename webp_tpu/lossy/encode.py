@@ -36,6 +36,10 @@ class LossyConfig:
     sns_strength: int = 50
     i4_blocks: bool = True      # allow I4 mode decision
     sharp_yuv: bool = False     # device path: on-chip SharpYUV from RGB
+    autofilter: bool = False    # search the loop-filter strength (-af)
+    partition_limit: int = 0    # 0-100: degrade I4 headers to fit part0
+    preprocessing: int = 0      # bit 0: smooth segment map (bit 1 = dither
+                                # amplitude, resolved by the caller)
 
 
 # Fixed mode costs in bits<<8 for I16/UV mode signalling (libwebp cost_enc.c
@@ -95,7 +99,8 @@ class VP8Encoder:
 
         self.plan = plan_segments(
             y, u, v, self.mb_w, self.mb_h, cfg.quality, num_segs,
-            cfg.sns_strength, cfg.filter_strength, cfg.filter_sharpness)
+            cfg.sns_strength, cfg.filter_strength, cfg.filter_sharpness,
+            preprocessing=getattr(cfg, "preprocessing", 0))
         self.num_segments = self.plan.num_segments
         self.segment_map = self.plan.segment_map.reshape(self.mb_h, self.mb_w)
         self.base_q = self.plan.quant[0]
@@ -138,6 +143,14 @@ class VP8Encoder:
         self.filter_level = self.plan.fstrength[0] if cfg.filter_strength > 0 else 0
 
         self.num_parts = 1 << max(0, min(3, cfg.partitions))
+
+        # I4 header-bit budget per MB (libwebp mb_header_limit_ analog,
+        # webp_enc.c InitVP8Encoder): partition_limit [0..100] scales the
+        # quadratic (100-limit)^2/100^2 factor; at 100 I4 is disabled.
+        pl = max(0, min(100, getattr(cfg, "partition_limit", 0)))
+        mbs_total = max(1, self.mb_w * self.mb_h)
+        self.i4_header_cap = (256 * 510 * 8 * 1024 // mbs_total) \
+            * (100 - pl) ** 2 // 10000
 
         mbs = self.mb_h * self.mb_w
         self.is_i4 = np.zeros((self.mb_h, self.mb_w), dtype=bool)
@@ -378,6 +391,10 @@ class VP8Encoder:
         lnz = lnz_in & 0x0F
         total_rate = 211  # i4 signalling overhead (libwebp's constant)
         total_disto = 0
+        total_header = 0
+        cap = self.i4_header_cap
+        if cap <= 0:
+            return None
         lam_i4 = lam["i4"]
         for n in range(16):
             r, c = n >> 2, n & 3
@@ -423,6 +440,9 @@ class VP8Encoder:
             lnz = (lnz & ~(1 << r)) | (nz << r)
             top_modes[c] = mode
             left_modes[r] = mode
+            total_header += int(C.FIXED_COSTS_I4[tmode, lmode, mode])
+            if total_header > cap:
+                return None
             if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
                 return None
         if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
@@ -592,6 +612,115 @@ class VP8Encoder:
             out_tnz |= (tnz << 4) << ch
             out_lnz |= (lnz & 0xF0) << ch
         return out_tnz, out_lnz, tdc, ldc
+
+    # ------------------------------------------------------------------
+    # Autofilter: in-loop filter strength search (libwebp -af analog).
+    # ------------------------------------------------------------------
+    def _seg_filter_levels(self, fs: int) -> list:
+        """Per-segment filter levels for config strength fs (the same
+        formula plan_segments/finalize_device_plan use)."""
+        level0 = 5 * max(0, min(100, fs))
+        sharp = self.filter_sharpness
+        out = []
+        for i in range(4):
+            q = max(0, min(127, self.plan.quant[i]))
+            qstep = int(T.AC_TABLE[q]) >> 2
+            base = _filter_strength_from_delta(sharp, qstep)
+            f = base * level0 // (256 + self.plan.beta[i])
+            out.append(0 if f < 2 else min(f, 63))
+        return out
+
+    def _filter_score(self, levels4, coords, inner_map) -> float:
+        """Luma SSE vs source of the sampled MB cores after filtering a
+        recon copy at the given per-segment levels."""
+        sharp = self.filter_sharpness
+        infos = []
+        for lv in levels4:
+            lv = max(0, min(63, lv))
+            if lv == 0:
+                infos.append(None)
+                continue
+            il = lv
+            if sharp > 0:
+                il >>= 2 if sharp > 4 else 1
+                il = min(il, 9 - sharp)
+            il = max(1, il)
+            hev = 2 if lv >= 40 else (1 if lv >= 15 else 0)
+            infos.append((2 * lv + il, il, hev))
+        Y = self.recY.copy()
+        for (mb_y, mb_x) in coords:
+            fi = infos[int(self.segment_map[mb_y, mb_x]) & 3]
+            if fi is None:
+                continue
+            limit, il, hev = fi
+            inner = inner_map[mb_y, mb_x]
+            x0, y0 = mb_x * 16, mb_y * 16
+            if self.filter_simple:
+                if mb_x > 0:
+                    dsp.filter_edge_simple(Y, False, x0, y0, 16, limit + 4)
+                if inner:
+                    for k in (4, 8, 12):
+                        dsp.filter_edge_simple(Y, False, x0 + k, y0, 16, limit)
+                if mb_y > 0:
+                    dsp.filter_edge_simple(Y, True, y0, x0, 16, limit + 4)
+                if inner:
+                    for k in (4, 8, 12):
+                        dsp.filter_edge_simple(Y, True, y0 + k, x0, 16, limit)
+            else:
+                if mb_x > 0:
+                    dsp.filter_edge_complex(Y, False, x0, y0, 16, limit + 4,
+                                            il, hev, False)
+                if inner:
+                    for k in (4, 8, 12):
+                        dsp.filter_edge_complex(Y, False, x0 + k, y0, 16,
+                                                limit, il, hev, True)
+                if mb_y > 0:
+                    dsp.filter_edge_complex(Y, True, y0, x0, 16, limit + 4,
+                                            il, hev, False)
+                if inner:
+                    for k in (4, 8, 12):
+                        dsp.filter_edge_complex(Y, True, y0 + k, x0, 16,
+                                                limit, il, hev, True)
+        sse = 0.0
+        for (mb_y, mb_x) in coords:
+            y0, x0 = mb_y * 16, mb_x * 16
+            d = (Y[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
+                 - self.srcY[y0:y0 + 16, x0:x0 + 16].astype(np.int64))
+            sse += float((d * d).sum())
+        return sse
+
+    def autofilter_search(self) -> None:
+        """Searches the filter_strength knob for the setting whose in-loop
+        filtered reconstruction is closest to the source (sampled MBs,
+        luma), then rewrites the per-segment strengths and header level.
+        Stands in for libwebp's autofilter (VP8StoreFilterStats +
+        VP8AdjustFilterStrength); the reference Go encoder has no analog,
+        so the criterion here is the sampled-core SSE."""
+        # Sample at most ~256 MBs on a uniform grid (the reference-style
+        # every-other-MB sampling, thinned further for big images).
+        step = 1
+        while (self.mb_h // step + 1) * (self.mb_w // step + 1) > 256:
+            step += 1
+        coords = [(y, x) for y in range(0, self.mb_h, step)
+                  for x in range(0, self.mb_w, step)]
+        inner_map = self.is_i4 | ~self.skip
+        cache = {}
+
+        def score_fs(fs):
+            lv = tuple(self._seg_filter_levels(fs))
+            if lv not in cache:
+                cache[lv] = self._filter_score(lv, coords, inner_map)
+            return cache[lv]
+
+        coarse = [0, 10, 25, 40, 60, 80, 100]
+        best_fs = min(coarse, key=score_fs)
+        for fs in range(max(0, best_fs - 8), min(100, best_fs + 8) + 1, 4):
+            if score_fs(fs) < score_fs(best_fs):
+                best_fs = fs
+        new_lv = self._seg_filter_levels(best_fs)
+        for i in range(4):
+            self.plan.fstrength[i] = new_lv[i]
+        self.filter_level = new_lv[0]
 
     # ------------------------------------------------------------------
     # Syntax: partition 0.
@@ -960,9 +1089,20 @@ class VP8Encoder:
         if not self.use_skip:
             self.skip[:] = False
 
+        if self.cfg.autofilter:
+            self.autofilter_search()
+
         self._optimize_probas()
 
         part0 = self._emit_partition0()
+        if len(part0) >= (1 << 19):
+            # Partition 0 must fit its 19-bit size field. Halve the I4
+            # header budget and redo the mode decision (libwebp
+            # VP8EncTokenLoop's overflow recovery).
+            if self.i4_header_cap > 0:
+                self.i4_header_cap >>= 1
+                return self.encode()
+            raise WebPError("partition 0 overflow")
         parts = [self._emit_tokens(i) for i in range(self.num_parts)]
 
         # Frame tag + picture header.

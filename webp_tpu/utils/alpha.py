@@ -58,3 +58,74 @@ def extract_green(argb: np.ndarray) -> np.ndarray:
     """Packed uint32 ARGB -> green-channel plane u8 — ExtractGreen (the
     alpha codec stores the plane in VP8L's green channel)."""
     return ((argb >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+
+
+def _smooth_rect(out: np.ndarray, alpha: np.ndarray,
+                 y0: int, y1: int, x0: int, x1: int) -> None:
+    """Replaces RGB of transparent pixels in the rect with the average of
+    the rect's opaque pixels (smoothenBlock, reference encode.go:896)."""
+    op = alpha[y0:y1, x0:x1] != 0
+    n = int(op.sum())
+    if n == 0 or n == op.size:
+        return
+    rgb = out[y0:y1, x0:x1, :3].astype(np.int32)
+    avg = (rgb * op[..., None]).sum(axis=(0, 1)) // n
+    out[y0:y1, x0:x1, :3] = np.where(op[..., None], rgb,
+                                     avg[None, None]).astype(np.uint8)
+
+
+def cleanup_transparent_lossy(rgba: np.ndarray) -> np.ndarray:
+    """8x8-block cleanup of RGB under zero alpha before lossy encode
+    (reference encode.go:788 cleanupTransparentAreaLossy): transparent
+    pixels in mixed blocks take the block's opaque average; fully
+    transparent blocks are flattened to a value carried across the run
+    (the run's first block's top-left pixel), killing DCT energy that the
+    eye can't see. Returns a new array; input must be uint8 [h, w, 4]."""
+    alpha = rgba[..., 3]
+    if not (alpha == 0).any():
+        return rgba
+    out = rgba.copy()
+    h, w = alpha.shape
+    B = 8
+    nby, nbx = h // B, w // B
+    if nby and nbx:
+        core = out[:nby * B, :nbx * B, :3].astype(np.int32)
+        rgb = core.reshape(nby, B, nbx, B, 3)
+        al = alpha[:nby * B, :nbx * B].reshape(nby, B, nbx, B)
+        op = al != 0
+        cnt = op.sum(axis=(1, 3))                              # [nby, nbx]
+        sums = (rgb * op[..., None]).sum(axis=(1, 3))          # [nby, nbx, 3]
+        avg = sums // np.maximum(cnt, 1)[..., None]
+        ft = cnt == 0
+        # Mixed blocks: transparent pixels -> block average.
+        mixed = (~op) & (~ft)[:, None, :, None]
+        rgb = np.where(mixed[..., None],
+                       np.broadcast_to(avg[:, None, :, None, :], rgb.shape),
+                       rgb)
+        if ft.any():
+            # Fully-transparent runs flatten to the run-start block's
+            # original top-left pixel (the "carry" in the reference).
+            idx = np.broadcast_to(np.arange(nbx)[None, :], ft.shape)
+            is_start = ft.copy()
+            is_start[:, 1:] &= ~ft[:, :-1]
+            run_start = np.maximum.accumulate(
+                np.where(is_start, idx, -1), axis=1)
+            tl = rgba[:nby * B:B, :nbx * B:B, :3]              # originals
+            carry = np.take_along_axis(
+                tl, np.maximum(run_start, 0)[..., None], axis=1)
+            rgb = np.where(ft[:, None, :, None, None],
+                           np.broadcast_to(carry[:, None, :, None, :],
+                                           rgb.shape), rgb)
+        out[:nby * B, :nbx * B, :3] = rgb.reshape(
+            nby * B, nbx * B, 3).astype(np.uint8)
+    # Edge remainders get smoothing only (no flatten/carry), as in the
+    # reference.
+    if w % B:
+        for by in range(nby):
+            _smooth_rect(out, alpha, by * B, (by + 1) * B, nbx * B, w)
+    if h % B:
+        for bx in range(nbx):
+            _smooth_rect(out, alpha, nby * B, h, bx * B, (bx + 1) * B)
+        if w % B:
+            _smooth_rect(out, alpha, nby * B, h, nbx * B, w)
+    return out
