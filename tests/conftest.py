@@ -25,7 +25,8 @@ TESTDATA = "/root/reference/testdata"
 
 # Slow tier: device/multichip tests jit shard_map programs that take minutes
 # to compile on this 1-core host. Fast tier: `pytest -m "not slow"` (<2 min).
-_SLOW_MODULES = {"test_multichip", "test_exact_pipeline", "test_sharpyuv_device"}
+_SLOW_MODULES = {"test_multichip", "test_exact_pipeline", "test_sharpyuv_device",
+                 "test_device_decode"}
 
 
 def pytest_collection_modifyitems(config, items):

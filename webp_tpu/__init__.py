@@ -37,8 +37,12 @@ __all__ = [
 ]
 
 
-def decode_rgba(data: bytes) -> np.ndarray:
-    """Decodes a WebP file to an RGBA uint8 array [h, w, 4]."""
+def decode_rgba(data: bytes, backend: str = "host") -> np.ndarray:
+    """Decodes a WebP file to an RGBA uint8 array [h, w, 4].
+
+    backend="device" runs lossy reconstruction + loop filter + upsample on
+    the TPU (host does the token parse); output is bit-identical to the
+    host path."""
     p = Parser(data)
     frames = p.frames()
     if not frames:
@@ -49,14 +53,29 @@ def decode_rgba(data: bytes) -> np.ndarray:
 
         argb, _ = decode_vp8l(fr.bitstream)
         return argb_to_rgba(argb)
+    if backend == "device":
+        from .lossy.device_decode import decode_vp8_rgb_device
+
+        rgb = decode_vp8_rgb_device(fr.bitstream)
+        if rgb is not None:
+            h, w = rgb.shape[:2]
+            rgba = np.empty((h, w, 4), dtype=np.uint8)
+            rgba[..., :3] = rgb
+            if fr.has_alpha and fr.alpha:
+                from .lossy.alpha import decode_alpha
+
+                rgba[..., 3] = decode_alpha(fr.alpha, w, h)
+            else:
+                rgba[..., 3] = 255
+            return rgba
     from .lossy.decode import decode_vp8_rgba
 
     return decode_vp8_rgba(fr.bitstream, fr.alpha if fr.has_alpha else None)
 
 
-def decode(data: bytes) -> np.ndarray:
+def decode(data: bytes, backend: str = "host") -> np.ndarray:
     """Decodes a WebP file; returns RGBA if the image has alpha, else RGB."""
-    rgba = decode_rgba(data)
+    rgba = decode_rgba(data, backend=backend)
     f = get_features(data)
     if f.has_alpha or bool((rgba[..., 3] != 255).any()):
         return rgba

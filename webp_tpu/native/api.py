@@ -332,3 +332,52 @@ def vp8l_cross_color(img: np.ndarray, bits: int):
     tiles = np.empty((ty, tx), dtype=np.uint32)
     gain = lib.vp8l_cross_color(_ptr(img), h, w, bits, _ptr(out), _ptr(tiles))
     return out, tiles, float(gain)
+
+
+def vp8_parse(data: bytes):
+    """Parse-only native decode for the TPU reconstruction path: headers +
+    token pass, exporting dequantized coefficients and per-MB info.
+    Returns dict(coeffs i16 [n_mb,24,16], bnz u8 [n_mb,24],
+    is_i4/uvmode/segment/has_nz u8 [n_mb], imodes u8 [n_mb,16],
+    finfo i32 [1+32], dims (mb_w, mb_h, w, h)) or None when unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8_parse"):
+        return None
+    if not getattr(lib, "_parse_ready", False):
+        lib.vp8_parse.argtypes = [ct.c_void_p, ct.c_long] + \
+            [ct.c_void_p] * 6 + [ct.c_void_p] * 5 + [ct.c_void_p]
+        lib.vp8_parse.restype = ct.c_int
+        lib._parse_ready = True
+    from ..lossy import tables as T
+    from ..container.parser import parse_vp8_dimensions
+
+    w, h = parse_vp8_dimensions(data)
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    nmb = mbw * mbh
+    coeffs = np.zeros((nmb, 24, 16), dtype=np.int16)
+    bnz = np.zeros((nmb, 24), dtype=np.uint8)
+    info = np.zeros((nmb, 4), dtype=np.uint8)
+    imodes = np.zeros((nmb, 16), dtype=np.uint8)
+    finfo = np.zeros(1 + 4 * 2 * 4, dtype=np.int32)
+    dims = np.zeros(4, dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cp = np.ascontiguousarray(T.COEFFS_PROBA0, dtype=np.uint8)
+    up = np.ascontiguousarray(T.COEFFS_UPDATE_PROBA, dtype=np.uint8)
+    dc = np.ascontiguousarray(T.DC_TABLE, dtype=np.int32)
+    ac = np.ascontiguousarray(T.AC_TABLE, dtype=np.int32)
+    bm = np.ascontiguousarray(T.BMODE_PROBA, dtype=np.uint8)
+    tr = np.ascontiguousarray(T.YMODES_INTRA4_TREE, dtype=np.int8)
+    rc = lib.vp8_parse(_ptr(buf), len(data), _ptr(cp), _ptr(up), _ptr(dc),
+                       _ptr(ac), _ptr(bm), _ptr(tr), _ptr(coeffs),
+                       _ptr(bnz), _ptr(info), _ptr(imodes), _ptr(finfo),
+                       _ptr(dims))
+    if rc != 0:
+        from ..lossy.decode import VP8Error
+
+        raise VP8Error("vp8: native parse failed" if rc == -1
+                       else "vp8: premature EOF in tokens")
+    return {"coeffs": coeffs, "bnz": bnz, "is_i4": info[:, 0],
+            "uvmode": info[:, 1], "segment": info[:, 2],
+            "has_nz": info[:, 3], "imodes": imodes, "finfo": finfo,
+            "dims": (int(dims[0]), int(dims[1]), int(dims[2]),
+                     int(dims[3]))}

@@ -915,47 +915,14 @@ static void HEdge8UV(uint8_t* u, uint8_t* v, int stride, int t, int it,
 
 using namespace webptpu;
 
-extern "C" {
-
-// Decodes a VP8 keyframe. Planes y/u/v must be (mb_h*16 x mb_w*16) and
-// (mb_h*8 x mb_w*8), caller-allocated. Returns 0 on success.
-int vp8_decode(const uint8_t* data, long n,
-               const uint8_t* coeffs_proba0, const uint8_t* update_proba,
-               const int32_t* dc_table, const int32_t* ac_table,
-               const uint8_t* bmode_proba, const int8_t* ymodes_tree,
-               uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
-               int* dims /* [mb_w, mb_h, width, height] out */) {
-  Decoder d;
-  d.t = {coeffs_proba0, update_proba, dc_table, ac_table, bmode_proba,
-         ymodes_tree};
-  d.data = data;
-  d.n = (size_t)n;
-  if (!ParseHeaders(d)) return -1;
-  dims[0] = d.mb_w;
-  dims[1] = d.mb_h;
-  dims[2] = d.width;
-  dims[3] = d.height;
-  int ys = d.mb_w * 16, uvs = d.mb_w * 8;
-  d.Y = y_out;
-  d.U = u_out;
-  d.V = v_out;
-  d.ys = ys;
-  d.uvs = uvs;
-
-  const bool prof = std::getenv("WEBPTPU_VP8_PROF") != nullptr;
-  auto tick = [] { return std::chrono::steady_clock::now(); };
-  auto ms = [](auto a, auto b) {
-    return std::chrono::duration<double, std::milli>(b - a).count();
-  };
-  auto t0 = tick();
-  int nmb = d.mb_w * d.mb_h;
-  std::vector<int16_t> coeffs((size_t)nmb * 24 * 16, 0);
+// Token pass: decodes all residual coefficients for every MB
+// (dequantized, WHT already applied for I16 DC) plus per-block nz extents.
+// Shared by the full native decoder and the parse-only export that feeds
+// the TPU reconstruction path. Returns 0, or -2 on premature EOF.
+static int TokenPass(Decoder& d, std::vector<int16_t>& coeffs,
+                     std::vector<uint8_t>& bnz,
+                     std::vector<uint8_t>& has_nz) {
   std::vector<uint8_t> tnz(d.mb_w, 0), tdc(d.mb_w, 0);
-  std::vector<uint8_t> has_nz(nmb, 0);
-  // Per-block GetCoeffs return (position after the last nonzero) so the
-  // reconstruction pass can skip or DC-fast-path empty/DC-only blocks.
-  std::vector<uint8_t> bnz((size_t)nmb * 24, 0);
-
   // ---- Pass 1: token decode for all MBs.
   for (int mby = 0; mby < d.mb_h; ++mby) {
     BoolReader& br = d.parts[mby & (d.num_parts - 1)];
@@ -1033,6 +1000,134 @@ int vp8_decode(const uint8_t* data, long n,
     }
   }
 
+  return 0;
+}
+
+extern "C" {
+
+// Parse-only decode for the TPU reconstruction path: headers + token pass,
+// no reconstruction/filter. Exports per-MB dequantized coefficients
+// (natural block order, WHT already applied to the I16 DC plane), per-block
+// nz extents, per-MB info and the derived loop-filter parameters.
+//   out_coeffs : int16[n_mb * 24 * 16]
+//   out_bnz    : uint8[n_mb * 24]
+//   out_info   : uint8[n_mb * 4]   (is_i4, uvmode, segment, has_nz)
+//   out_imodes : uint8[n_mb * 16]
+//   out_finfo  : int32[1 + 4*2*4]  (filter_type, then per seg x is_i4:
+//                limit, ilevel, hev, inner)
+//   dims       : int32[4]          (mb_w, mb_h, width, height)
+// The caller must size the out buffers for the dimensions obtained from a
+// prior header parse. Returns 0, -1 on header error, -2 on token EOF.
+int vp8_parse(const uint8_t* data, long n,
+              const uint8_t* coeffs_proba0, const uint8_t* update_proba,
+              const int32_t* dc_table, const int32_t* ac_table,
+              const uint8_t* bmode_proba, const int8_t* ymodes_tree,
+              int16_t* out_coeffs, uint8_t* out_bnz, uint8_t* out_info,
+              uint8_t* out_imodes, int32_t* out_finfo, int* dims) {
+  Decoder d;
+  d.t = {coeffs_proba0, update_proba, dc_table, ac_table, bmode_proba,
+         ymodes_tree};
+  d.data = data;
+  d.n = (size_t)n;
+  if (!ParseHeaders(d)) return -1;
+  dims[0] = d.mb_w;
+  dims[1] = d.mb_h;
+  dims[2] = d.width;
+  dims[3] = d.height;
+  int nmb = d.mb_w * d.mb_h;
+  std::vector<int16_t> coeffs((size_t)nmb * 24 * 16, 0);
+  std::vector<uint8_t> has_nz(nmb, 0);
+  std::vector<uint8_t> bnz((size_t)nmb * 24, 0);
+  int rc = TokenPass(d, coeffs, bnz, has_nz);
+  if (rc != 0) return rc;
+  memcpy(out_coeffs, coeffs.data(), coeffs.size() * sizeof(int16_t));
+  memcpy(out_bnz, bnz.data(), bnz.size());
+  memcpy(out_imodes, d.imodes.data(), (size_t)nmb * 16);
+  for (int mb = 0; mb < nmb; ++mb) {
+    out_info[mb * 4 + 0] = d.is_i4[mb];
+    out_info[mb * 4 + 1] = d.uvmode[mb];
+    out_info[mb * 4 + 2] = d.segment[mb];
+    out_info[mb * 4 + 3] = has_nz[mb];
+  }
+  out_finfo[0] = d.filter_type;
+  for (int s = 0; s < 4; ++s) {
+    int base;
+    if (d.use_segment) {
+      base = d.seg_filter[s];
+      if (!d.absolute_delta) base += d.filter_level;
+    } else {
+      base = d.filter_level;
+    }
+    for (int i4 = 0; i4 <= 1; ++i4) {
+      int level = base;
+      if (d.use_lf_delta) {
+        level += d.ref_lf_delta[0];
+        if (i4) level += d.mode_lf_delta[0];
+      }
+      level = clampi(level, 0, 63);
+      int limit = 0, ilevel = 0, hev = 0;
+      if (level > 0) {
+        ilevel = level;
+        if (d.filter_sharpness > 0) {
+          ilevel >>= d.filter_sharpness > 4 ? 2 : 1;
+          if (ilevel > 9 - d.filter_sharpness) ilevel = 9 - d.filter_sharpness;
+        }
+        if (ilevel < 1) ilevel = 1;
+        limit = 2 * level + ilevel;
+        hev = level >= 40 ? 2 : level >= 15 ? 1 : 0;
+      }
+      int32_t* fo = out_finfo + 1 + (s * 2 + i4) * 4;
+      fo[0] = limit;
+      fo[1] = ilevel;
+      fo[2] = hev;
+      fo[3] = i4;
+    }
+  }
+  return 0;
+}
+
+// Decodes a VP8 keyframe. Planes y/u/v must be (mb_h*16 x mb_w*16) and
+// (mb_h*8 x mb_w*8), caller-allocated. Returns 0 on success.
+int vp8_decode(const uint8_t* data, long n,
+               const uint8_t* coeffs_proba0, const uint8_t* update_proba,
+               const int32_t* dc_table, const int32_t* ac_table,
+               const uint8_t* bmode_proba, const int8_t* ymodes_tree,
+               uint8_t* y_out, uint8_t* u_out, uint8_t* v_out,
+               int* dims /* [mb_w, mb_h, width, height] out */) {
+  Decoder d;
+  d.t = {coeffs_proba0, update_proba, dc_table, ac_table, bmode_proba,
+         ymodes_tree};
+  d.data = data;
+  d.n = (size_t)n;
+  if (!ParseHeaders(d)) return -1;
+  dims[0] = d.mb_w;
+  dims[1] = d.mb_h;
+  dims[2] = d.width;
+  dims[3] = d.height;
+  int ys = d.mb_w * 16, uvs = d.mb_w * 8;
+  d.Y = y_out;
+  d.U = u_out;
+  d.V = v_out;
+  d.ys = ys;
+  d.uvs = uvs;
+
+  const bool prof = std::getenv("WEBPTPU_VP8_PROF") != nullptr;
+  auto tick = [] { return std::chrono::steady_clock::now(); };
+  auto ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = tick();
+  int nmb = d.mb_w * d.mb_h;
+  std::vector<int16_t> coeffs((size_t)nmb * 24 * 16, 0);
+  std::vector<uint8_t> has_nz(nmb, 0);
+  // Per-block GetCoeffs return (position after the last nonzero) so the
+  // reconstruction pass can skip or DC-fast-path empty/DC-only blocks.
+  std::vector<uint8_t> bnz((size_t)nmb * 24, 0);
+
+  {
+    int rc = TokenPass(d, coeffs, bnz, has_nz);
+    if (rc != 0) return rc;
+  }
   auto t1 = tick();
   // ---- Pass 2: reconstruction (raster wavefront on the planes).
   static const int bx_off[16] = {0, 4, 8, 12, 0, 4, 8, 12,

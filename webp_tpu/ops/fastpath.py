@@ -529,11 +529,13 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     right [n_mb,16]) — the reconstructed MB borders feed the I4 phase 3.
     """
     n_mb = mb_w * mb_h
-    # I16 needs no top-right neighbor (skew 1); I4 does, so the scan runs
-    # at the reference's 2-column skew (rowSync.waitFor(y-1, x+2)) which
-    # makes the above-right MB's exact reconstruction available one step
-    # ahead of need.
-    sk = 2 if i4 is not None else 1
+    # The scan runs at skew 1 (t = x + y): I16 needs no top-right
+    # neighbor, and I4's only above-right consumer — the rightmost
+    # subblock column's strip — is closed off by forbidding the three
+    # strip-reading modes there (ops/i4.py TR_MODES), so no macroblock
+    # ever waits on its above-right. (The reference's wavefront pays the
+    # 2-column skew instead, encode_parallel.go:168.)
+    sk = 1
     n_steps = mb_w + sk * (mb_h - 1)
     above = jnp.asarray(has_above if halos is not None else False)
 
@@ -578,14 +580,6 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         xs["hy"], xs["hty"] = halo_seg(hy, 16), tlseg(hy, 16)
         xs["hu"], xs["htu"] = halo_seg(hu, 8), tlseg(hu, 8)
         xs["hv"], xs["htv"] = halo_seg(hv, 8), tlseg(hv, 8)
-        if i4 is not None:
-            # Above-right strip for the band's top MB row: the halo pixels
-            # over the NEXT MB (edge-replicated at the right border).
-            nxt = jnp.concatenate(
-                [hy.reshape(-1, 16)[1:, 0:4],
-                 jnp.broadcast_to(hy[-1], (1, 4))], axis=0)
-            pad4 = jnp.zeros((n_steps - nxt.shape[0], 4), jnp.int32)
-            xs["htr"] = jnp.concatenate([nxt, pad4], axis=0)
 
     lanes_y = jnp.arange(mb_h)
 
@@ -632,14 +626,12 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         if i4 is not None:
             from . import i4 as I4
 
-            # Above-right strip: the exact reconstructed bottom row of
-            # MB (x+1, y-1), computed at step t-1 (skew 2); at the right
-            # edge the spec replicates the last pixel of the row above.
-            trs = shift1(By1)[:, 0:4]
-            edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
-            trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
-            if halos is not None:
-                trs = trs.at[0].set(jnp.where(above, x["htr"], trs[0]))
+            # Above-right strip placeholder: at skew 1 the above-right
+            # MB's reconstruction is not yet available, and it is never
+            # needed — the rightmost subblock column cannot select a
+            # strip-reading mode (i4_search forbids TR_MODES there). The
+            # edge-replicated value keeps the computation deterministic.
+            trs = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
             lv_i4, work = I4.i4_reconstruct(
                 x["y"].astype(jnp.int32), x["i4m"], topY, leftY, tlY,
                 trs, has_top, has_left, qp_t["y1"], rd_drop=rd_drop)
