@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <array>
+#include <chrono>
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
@@ -150,6 +151,18 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
   long pos = start;
   const long n_cap = end;  // tokens must not spill into the next chunk
 
+  // O(1) row-above match lengths (the naive MatchLen rescans whole
+  // constant runs; see FillMatchTable).
+  std::vector<int32_t> upm;
+  if (xsize > 0 && n > xsize) {
+    upm.assign((size_t)n, 0);
+    for (long i = n - 1; i >= xsize; --i) {
+      if (a[i] != a[i - xsize]) continue;
+      const int32_t nxt = i + 1 < n ? upm[(size_t)i + 1] : 0;
+      upm[(size_t)i] = std::min(nxt + 1, (int32_t)kMaxLength);
+    }
+  }
+
   // Match finder at `pos` (hash chain + explicit row-above candidate).
   auto find_best = [&](long p, long* bl, long* bd) {
     *bl = 0;
@@ -172,7 +185,7 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
       ++chain;
     }
     if (p >= xsize) {
-      const long length = MatchLen(a + p - xsize, a + p, limit);
+      const long length = std::min((long)upm[(size_t)p], limit);
       // Prefer the row-above copy on length ties (encode.py:123-128).
       if (length >= 1 && (length > *bl || (length == *bl && xsize < *bd))) {
         *bl = length;
@@ -295,6 +308,7 @@ void ApplyColorCache(const std::vector<Token>& in, const uint32_t* a,
 
 struct Histos {
   std::vector<int64_t> h[5];  // green, red, blue, alpha, dist
+  int64_t extra = 0;          // raw extra bits of length/distance codes
   void Init(int cache_bits) {
     h[0].assign(kNumLiteral + kNumLength + (cache_bits ? 1L << cache_bits : 0),
                 0);
@@ -302,6 +316,7 @@ struct Histos {
     h[2].assign(256, 0);
     h[3].assign(256, 0);
     h[4].assign(kNumDistance, 0);
+    extra = 0;
   }
 };
 
@@ -338,12 +353,61 @@ void BuildHistogram(const std::vector<Token>& toks, const PlaneMap& pm,
     } else if (t.kind == 1) {
       PrefixEncode(t.v, &code, &nbits, &extra);
       hs->h[0][kNumLiteral + code]++;
+      hs->extra += nbits;
       PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
       hs->h[4][code]++;
+      hs->extra += nbits;
     } else {
       hs->h[0][kNumLiteral + kNumLength + t.v]++;
     }
   }
+}
+
+// c * log2(c) with a small-count LUT (counts in tile/cluster histograms are
+// overwhelmingly small); identical values to direct evaluation.
+struct SLog2LUT {
+  static const int kMax = 1 << 16;
+  std::vector<double> t;
+  SLog2LUT() : t((size_t)kMax) {
+    t[0] = 0.0;
+    for (int i = 1; i < kMax; ++i) t[(size_t)i] = i * std::log2((double)i);
+  }
+};
+inline double SLog2(int64_t c) {
+  static const SLog2LUT lut;
+  return c < SLog2LUT::kMax ? lut.t[(size_t)c] : c * std::log2((double)c);
+}
+
+// Per-population entropy+refine cost of (A.h[i] + B.h[i]) without
+// materializing the merged histogram (B == nullptr -> just A).
+double PopCombinedCost(const std::vector<int64_t>& a,
+                       const std::vector<int64_t>* b) {
+  int64_t n = 0, max_val = 0;
+  long nnz = 0;
+  double s = 0;
+  const size_t sz = a.size();
+  for (size_t j = 0; j < sz; ++j) {
+    const int64_t c = a[j] + (b ? (*b)[j] : 0);
+    if (!c) continue;
+    n += c;
+    if (c > max_val) max_val = c;
+    ++nnz;
+    s += SLog2(c);
+  }
+  if (!n) return 0.0;
+  const double ent = SLog2(n) - s;
+  double refined;
+  if (nnz <= 1) {
+    refined = 0;
+  } else if (nnz == 2) {
+    refined = 0.99 * (double)n + 0.01 * ent;
+  } else {
+    const double mix = nnz == 3 ? 0.95 : (nnz == 4 ? 0.7 : 0.627);
+    double min_limit = 2.0 * (double)n - (double)max_val;
+    min_limit = mix * min_limit + (1.0 - mix) * ent;
+    refined = ent < min_limit ? min_limit : ent;
+  }
+  return refined + 40 + 5.0 * nnz;
 }
 
 double HistoCostBits(const Histos& hs) {
@@ -380,6 +444,14 @@ double HistoCostBits(const Histos& hs) {
     total += refined + 40 + 5.0 * nnz;
   }
   return total;
+}
+
+// Entropy cost + the raw extra bits the stream pays for length/distance
+// codes. Comparisons across DIFFERENT token parses must use this (the
+// entropy alone is blind to far-distance extra bits, which is how a
+// cheaper parse can look more expensive).
+double HistoCostBitsFull(const Histos& hs) {
+  return HistoCostBits(hs) + (double)hs.extra;
 }
 
 // ---------------------------------------------------------------------------
@@ -667,6 +739,7 @@ double AddCostDelta(const Histos& c, const int64_t c_totals[5],
 void AddHistos(Histos* a, const Histos& b) {
   for (int i = 0; i < 5; ++i)
     for (size_t j = 0; j < a->h[i].size(); ++j) a->h[i][j] += b.h[i][j];
+  a->extra += b.extra;
 }
 
 void AddToken(Histos* hs, const Token& t, const PlaneMap& pm) {
@@ -680,8 +753,10 @@ void AddToken(Histos* hs, const Token& t, const PlaneMap& pm) {
   } else if (t.kind == 1) {
     PrefixEncode(t.v, &code, &nbits, &extra);
     hs->h[0][kNumLiteral + code]++;
+    hs->extra += nbits;
     PrefixEncode(pm.Code(t.d), &code, &nbits, &extra);
     hs->h[4][code]++;
+    hs->extra += nbits;
   } else {
     hs->h[0][kNumLiteral + kNumLength + t.v]++;
   }
@@ -753,21 +828,35 @@ bool BuildMetaPlanMerge(const std::vector<Token>& toks,
     assign[(size_t)t] = (uint16_t)c;
   }
 
-  // 2) Greedy pair merging with exact cost deltas: merge (a, b) while the
-  // combined histogram + one fewer tree is cheaper than keeping them
-  // apart (reference histogramCombineStochastic, done exhaustively since
-  // K <= 64). Delta rows are recomputed only for the merged cluster.
   int K = (int)cl.size();
+  std::vector<char> alive((size_t)K, 1);
+
   std::vector<double> ccost((size_t)K);
   for (int k = 0; k < K; ++k)
     ccost[(size_t)k] = HistoCostBits(cl[(size_t)k]) +
                        TreeCostEstimate(cl[(size_t)k]);
-  std::vector<char> alive((size_t)K, 1);
-  auto pair_delta = [&](int a, int b) {
-    Histos m = cl[(size_t)a];
-    AddHistos(&m, cl[(size_t)b]);
-    return HistoCostBits(m) + TreeCostEstimate(m) - ccost[(size_t)a] -
-           ccost[(size_t)b];
+  // Merged-pair cost without materializing the merged histogram, with
+  // early bail once the partial sum already exceeds `cap`.
+  auto pair_cost = [&](int a, int b, double cap) {
+    double total = 0;
+    for (int i = 0; i < 5; ++i) {
+      // HistoCostBits + TreeCostEstimate both charge 40 + 5*nnz, so the
+      // merged fixed term appears twice.
+      const double pc = PopCombinedCost(cl[(size_t)a].h[i],
+                                        &cl[(size_t)b].h[i]);
+      total += pc;
+      if (total >= cap) return total;
+    }
+    // Second copy of the per-population fixed tree term.
+    for (int i = 0; i < 5; ++i) {
+      long nnz = 0;
+      const auto& ha = cl[(size_t)a].h[i];
+      const auto& hb = cl[(size_t)b].h[i];
+      for (size_t j = 0; j < ha.size(); ++j) nnz += (ha[j] | hb[j]) > 0;
+      total += 40.0 + 5.0 * nnz;
+      if (total >= cap) return total;
+    }
+    return total;
   };
   std::vector<int> parent((size_t)K);
   for (int k = 0; k < K; ++k) parent[(size_t)k] = k;
@@ -795,7 +884,9 @@ bool BuildMetaPlanMerge(const std::vector<Token>& toks,
       if (!alive[(size_t)a]) continue;
       for (int b = a + 1; b < K; ++b) {
         if (!alive[(size_t)b]) continue;
-        const double d = pair_delta(a, b);
+        const double cap = ccost[(size_t)a] + ccost[(size_t)b] + best;
+        const double d =
+            pair_cost(a, b, cap) - ccost[(size_t)a] - ccost[(size_t)b];
         if (d < best) {
           best = d;
           ba = a;
@@ -812,7 +903,9 @@ bool BuildMetaPlanMerge(const std::vector<Token>& toks,
         if (!alive[(size_t)a]) continue;
         for (int b = a + 1; b < K; ++b) {
           if (!alive[(size_t)b]) continue;
-          const double d = pair_delta(a, b);
+          const double cap = ccost[(size_t)a] + ccost[(size_t)b] + least;
+          const double d =
+              pair_cost(a, b, cap) - ccost[(size_t)a] - ccost[(size_t)b];
           if (d < least) {
             least = d;
             ba = a;
@@ -1121,6 +1214,25 @@ void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
     head[(size_t)h] = (int32_t)i;
   }
 
+  // O(1) lookups for the two spatial heuristics (their naive MatchLen
+  // rescans whole constant runs, O(run^2) in total on smooth images):
+  // eqrun[j] = run of a[j]==a[j+1]; upm[i] = match length vs the row above.
+  std::vector<int32_t> eqrun((size_t)n, 0);
+  for (long j = n - 2; j >= 0; --j)
+    eqrun[(size_t)j] =
+        a[j] == a[j + 1]
+            ? std::min(eqrun[(size_t)j + 1] + 1, (int32_t)kMaxLength)
+            : 0;
+  std::vector<int32_t> upm;
+  if (xsize > 0 && n > xsize) {
+    upm.assign((size_t)n, 0);
+    for (long i = n - 1; i >= xsize; --i) {
+      if (a[i] != a[i - xsize]) continue;
+      const int32_t nxt = i + 1 < n ? upm[(size_t)i + 1] : 0;
+      upm[(size_t)i] = std::min(nxt + 1, (int32_t)kMaxLength);
+    }
+  }
+
   // Reverse fill: budgeted chain walk with the row-above / previous-pixel
   // spatial heuristics tried first.
   for (long i = n - 2; i >= 1; --i) {
@@ -1131,16 +1243,31 @@ void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
     const long min_pos = i > win ? i - win : 0;
     long best_len = 0, best_dist = 0;
     int iter = iter_max;
+    // Percolate the next position's match backward: a (dist, len) match at
+    // i+1 extends to (dist, len+1) at i whenever a[i] == a[i-dist]
+    // (reference hashchain.go's reverse-fill shortcut). Seeding best_len
+    // high makes the chain walk below skip almost everything via the
+    // probe check.
+    if (i + 1 < n) {
+      const uint32_t nx = (*out)[(size_t)(i + 1)];
+      if (nx) {
+        const long d = nx >> 12;
+        if (i >= d && a[i] == a[i - d]) {
+          best_len = std::min((long)(nx & 0xFFF) + 1, max_len);
+          best_dist = d;
+        }
+      }
+    }
     if (i >= xsize) {
-      const long l = MatchLen(a + i - xsize, a + i, max_len);
-      if (l > best_len) {
+      const long l = std::min((long)upm[(size_t)i], max_len);
+      if (l > best_len || (l == best_len && xsize < best_dist)) {
         best_len = l;
         best_dist = xsize;
       }
       --iter;
     }
-    {
-      const long l = MatchLen(a + i - 1, a + i, max_len);
+    if (best_len < max_len) {
+      const long l = std::min((long)eqrun[(size_t)(i - 1)], max_len);
       if (l > best_len) {
         best_len = l;
         best_dist = 1;
@@ -1148,7 +1275,7 @@ void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
       --iter;
     }
     const long len_stop = std::min(max_len, (long)256);
-    if (best_len < max_len) {
+    if (best_len < len_stop) {
       uint32_t probe = a[i + best_len];
       for (long pos = chain[(size_t)i]; pos >= min_pos && iter > 0;
            pos = chain[(size_t)pos]) {
@@ -1499,8 +1626,15 @@ bool TraceParse(const uint32_t* a, long n, int xsize, int quality,
 
 void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
                   int quality, bool is_level0) {
+  const bool prof2 = std::getenv("WEBPTPU_VP8L_PROF") != nullptr && n > 100000;
+  auto tk = [] { return std::chrono::steady_clock::now(); };
+  auto msd = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto s0 = tk();
   std::vector<Token> base;
   BackwardReferences(argb, n, xsize, quality, &base);
+  if (prof2) fprintf(stderr, "[vp8l] greedy=%.0fms\n", msd(s0, tk()));
 
   PlaneMap pm;
   pm.Init(xsize);
@@ -1588,27 +1722,37 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     best_toks.swap(base);
   }
   BuildHistogram(best_toks, pm, best_cb, &hs);
+  if (prof2) fprintf(stderr, "[vp8l] cache+hist=%.0fms\n", msd(s0, tk()));
 
   // Cost-model re-parse: always at quality >= 90; at default qualities only
   // where the greedy parse leaves the most on the table (small images) so
   // the large-image throughput path keeps its speed (the reference gates on
   // quality alone, encode_backward.go:773-795).
   static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
-  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64 &&
-                          (quality >= 90 || n <= (1L << 18));
+  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64;
   if (want_trace) {
+    const bool prof = std::getenv("WEBPTPU_VP8L_PROF") != nullptr;
+    auto tick = [] { return std::chrono::steady_clock::now(); };
+    auto t0 = tick();
     std::vector<uint32_t> mt;
     FillMatchTable(argb, n, xsize, quality, &mt);
+    auto t1 = tick();
     std::vector<Token> traced;
-    if (TraceParse(argb, n, xsize, quality, best_cb, pm, mt, best_toks,
-                   &traced)) {
+    const bool traced_ok =
+        TraceParse(argb, n, xsize, quality, best_cb, pm, mt, best_toks,
+                   &traced);
+    if (prof)
+      fprintf(stderr, "[vp8l] matchtable=%.0fms trace=%.0fms\n",
+              std::chrono::duration<double, std::milli>(t1 - t0).count(),
+              std::chrono::duration<double, std::milli>(tick() - t1).count());
+    if (traced_ok) {
       Histos ths;
       BuildHistogram(traced, pm, best_cb, &ths);
       if (std::getenv("WEBPTPU_TRACE_DEBUG"))
         fprintf(stderr, "[trace] n=%ld greedy=%.0f traced=%.0f toks %zu->%zu\n",
-                n, HistoCostBits(hs), HistoCostBits(ths), best_toks.size(),
-                traced.size());
-      if (HistoCostBits(ths) < HistoCostBits(hs)) {
+                n, HistoCostBitsFull(hs), HistoCostBitsFull(ths),
+                best_toks.size(), traced.size());
+      if (HistoCostBitsFull(ths) < HistoCostBitsFull(hs)) {
         best_toks.swap(traced);
         hs = std::move(ths);
       }
@@ -1619,6 +1763,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   // decided by EXACT emitted size — both variants are cheap to emit
   // relative to the parse, and estimates were measurably wrong in both
   // directions on real images.
+  if (prof2) fprintf(stderr, "[vp8l] pre-meta=%.0fms\n", msd(s0, tk()));
   MetaPlan mp_merge, mp_km;
   bool have_merge = false, have_km = false;
   std::vector<std::vector<uint16_t>> snaps;
@@ -1630,6 +1775,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
                                     n <= (1L << 18) ? &snaps : nullptr);
     have_km = BuildMetaPlanKMeans(best_toks, pm, n, xsize, best_cb, &mp_km);
   }
+  if (prof2) fprintf(stderr, "[vp8l] clustering=%.0fms\n", msd(s0, tk()));
   std::vector<MetaPlan> cands;
   if (have_merge) cands.push_back(mp_merge);
   if (have_km) cands.push_back(mp_km);
@@ -1638,7 +1784,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     p.hb = mp_merge.hb;
     p.tx = mp_merge.tx;
     p.ty = mp_merge.ty;
-    std::vector<int> remap2(256, -1);
+    std::vector<int> remap2(65536, -1);  // raw cluster ids, may exceed 256
     p.tile_group = a;
     int ng = 0;
     for (auto& g : p.tile_group) {
@@ -1718,6 +1864,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
       fprintf(stderr, " g%d=%ld", cands[c].num_groups, ws[c + 1].BitPos());
     fprintf(stderr, " -> %zu\n", win);
   }
+  if (prof2) fprintf(stderr, "[vp8l] emitted=%.0fms\n", msd(s0, tk()));
   const BitWriter& w = ws[win];
   for (uint8_t byte : w.buf) bw->Put(byte, 8);
   if (w.used) bw->Put((uint32_t)(w.acc & ((1u << w.used) - 1)), w.used);

