@@ -413,7 +413,46 @@ def _mb_quant(seg_map, q_idx, n_mb):
     lam16 = _seg_select(lam16_s, seg_map)
     lamuv = _seg_select(lamuv_s, seg_map)
     lami4 = _seg_select(lami4_s, seg_map)
-    return qp, {"i16": lam16, "uv": lamuv, "i4": lami4}, seg_rows
+    return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4, "i4_seg": lami4_s},
+            seg_rows)
+
+
+def _pallas_enabled() -> bool:
+    """The Pallas I4-search kernel runs on real TPU backends; the jnp
+    formulation remains the CPU/fallback path (bit-identical scores)."""
+    import os
+
+    if os.environ.get("WEBPTPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score):
+    """Routes the I4 search to the Pallas kernel (TPU) or the jnp path."""
+    from . import i4 as I4
+
+    if _pallas_enabled():
+        n_mb = mb_w * mb_h
+        if seg is not None:
+            seg_map, seg_rows = seg
+            qtab = seg_rows["y1"].reshape(16, 16).astype(jnp.int32)
+            lam4 = lam_i["i4_seg"]
+        else:
+            seg_map = jnp.zeros((n_mb,), jnp.int32)
+            one = jnp.stack([jnp.asarray(a, jnp.int32).reshape(16)
+                             for a in qp_i["y1"]])              # [4, 16]
+            qtab = jnp.tile(one, (4, 1))
+            lam4 = jnp.full((4,), lam_i["i4"], jnp.float32)
+        try:
+            return I4.i4_search_pallas(Y, src_b, seg_map, qtab, lam4, rt,
+                                       mb_w, mb_h, i16_score)
+        except Exception:
+            pass
+    return I4.i4_search(Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
+                        i16_score, approx_block_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -761,13 +800,10 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
     modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h,
                                         halos=halos, has_above=has_above)
     if i4_blocks:
-        from . import i4 as I4
-
         src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
                        .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
-        is_i4, i4_modes, _ = I4.i4_search(
-            Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
-            i16_score, approx_block_rate)
+        is_i4, i4_modes, _ = _i4_dispatch(
+            Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score)
         # The band's first MB row predicts from the *source* halo; I4's
         # 4x4 modes lean too hard on exact context there (multi-dB local
         # drift), so the boundary row stays I16 (one row per band).
@@ -840,13 +876,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
                                             mb_w, mb_h)
         if i4_blocks:
-            from . import i4 as I4
-
             src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
                            .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
-            is_i4, i4_modes, _ = I4.i4_search(
-                Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
-                i16_score, approx_block_rate)
+            is_i4, i4_modes, _ = _i4_dispatch(
+                Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score)
             i4_ctx = (is_i4, i4_modes)
         else:
             is_i4 = jnp.zeros((n_mb,), bool)

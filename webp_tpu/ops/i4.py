@@ -298,3 +298,84 @@ def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
             work = jax.lax.dynamic_update_slice(
                 work, rec[i * L:(i + 1) * L], (0, r * 4, c * 4))
     return jnp.stack(lv_by_n, axis=1), work
+
+
+def _planar_inputs(Y, seg_map, mb_w, mb_h):
+    """Builds the Pallas kernel's planar [16, n_sb] src/ctx arrays in
+    subblock GRID order (sb = sy * SBX + sx) — strided slices of one
+    padded plane instead of the mb-order gathers of _sb_contexts, which
+    cost more than the 10-mode search itself on a v5e."""
+    H, W = Y.shape
+    SBY, SBX = mb_h * 4, mb_w * 4
+    n_sb = SBY * SBX
+    # Pad: row -1 = 127, col -1 = 129, and 4 replicated columns on the
+    # right so the inner-tr slices stay in bounds (their values are
+    # overridden for the c == 3 subblocks anyway).
+    pad = jnp.full((H + 1, W + 5), 129, jnp.int32)
+    pad = pad.at[0, :].set(127)
+    pad = pad.at[1:, 1:W + 1].set(Y)
+    pad = pad.at[1:, W + 1:].set(Y[:, W - 1:W])
+    pad = pad.at[0, :].set(127)
+
+    src16 = (Y.reshape(SBY, 4, SBX, 4).transpose(1, 3, 0, 2)
+             .reshape(16, n_sb))
+    rows = []
+    for i in range(3, -1, -1):                      # l3, l2, l1, l0
+        rows.append(pad[1 + i::4, 0:W:4])
+    rows.append(pad[0:H:4, 0:W:4])                  # tl
+    for j in range(4):                              # t0..t3
+        rows.append(pad[0:H:4, 1 + j::4][:, :SBX])
+    # tr: inner strip (next subblock's top) overridden at c == 3 with the
+    # above-right MACROBLOCK strip (edge-replicated at the image border).
+    sx = jnp.arange(SBX)
+    is_c3 = (sx % 4) == 3
+    mb_tops = pad[0:H:16, 1:W + 5]                  # [mbH, W+4]
+    for j in range(4):
+        base = pad[0:H:4, 5 + j::4][:, :SBX]
+        strip = mb_tops[:, 16 + j::16][:, :mb_w]    # [mbH, mbW]
+        strip = jnp.repeat(jnp.repeat(strip, 4, axis=0), 4, axis=1)
+        rows.append(jnp.where(is_c3[None, :], strip, base))
+    rows.append(jnp.broadcast_to(is_c3[None, :].astype(jnp.int32),
+                                 (SBY, SBX)))
+    seg_grid = jnp.repeat(jnp.repeat(
+        seg_map.reshape(mb_h, mb_w).astype(jnp.int32), 4, axis=0),
+        4, axis=1)
+    rows.append(seg_grid)
+    rows.append(jnp.zeros((SBY, SBX), jnp.int32))
+    ctx = jnp.stack(rows, axis=0).reshape(16, n_sb)
+    return src16, ctx
+
+
+def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
+                     i16_score, interpret=False):
+    """Pallas-backed i4_search (ops/pallas_i4.py): same contexts, same
+    quantizer/rate math, the whole 10-mode scoring fused in VMEM.
+
+    seg_map: [n_mb] i32; qtab16: [16, 16] i32 ((seg*4+param) x zigzag);
+    lam4: [4] f32 per-segment I4 lambdas. Returns the i4_search triple.
+    (src_b is accepted for API parity but the kernel rebuilds the source
+    in its planar grid layout.)
+    """
+    from . import pallas_i4 as P
+
+    n_mb = mb_w * mb_h
+    n_sb = n_mb * 16
+    src16, ctx = _planar_inputs(Y.astype(jnp.int32), seg_map, mb_w, mb_h)
+    mode_g, score_g = P.i4_scores_planar(
+        src16, ctx, qtab16, lam4,
+        rt.lvl[3], rt.tail[3], rt.eob[3], I4_MODE_COST, TR_MODES,
+        interpret=interpret)
+    # Grid order -> mb order (small outputs).
+    SBX = mb_w * 4
+
+    def to_mb(a):
+        return (a.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
+                .reshape(n_mb, 16))
+
+    best_mode = to_mb(mode_g.reshape(mb_h * 4, SBX)).astype(jnp.uint8)
+    score = to_mb(score_g.reshape(mb_h * 4, SBX))
+    lam_mb = lam4[0] * jnp.ones((n_mb,), jnp.float32)
+    for s in range(1, 4):
+        lam_mb = jnp.where(seg_map == s, lam4[s], lam_mb)
+    i4_score = score.sum(axis=1) + I4_OVERHEAD * lam_mb
+    return i4_score < i16_score, best_mode, i4_score

@@ -1,0 +1,281 @@
+"""Pallas TPU kernel for the I4 (4x4 intra) mode search.
+
+The jnp formulation of the 10-mode search (ops/i4.py i4_search) is
+HBM-bound: ten fdct->quantize->rate pipelines each stream ~60 elementwise
+ops over [n_sb, 16] int32 intermediates, and XLA does not fuse across
+them (measured 73 ms of the 186 ms batch-16 encode on a v5e). This kernel
+keeps the whole search in VMEM: per grid step it loads a planar tile of
+subblocks (src coefficients + the 13-pixel prediction contour), evaluates
+all 10 predictors, the forward DCT, quantization, the approximate rate
+model and the RD score entirely on-chip, and writes only the winning mode
+and score.
+
+Layouts are planar [row, lane]: the subblock axis rides the 128-wide VPU
+lanes, rows are pixel/coefficient positions (the [..., 16]-last layouts
+the jnp path uses waste 7/8 of each lane group).
+
+Math is bit-identical to ops/i4.py + ops/dct.py + ops/quant.py (asserted
+by tests/test_pallas.py), so the kernel and the jnp fallback choose the
+same modes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lossy import tables as T
+
+ZIGZAG = np.asarray(T.ZIGZAG)
+INV_ZIGZAG = np.argsort(ZIGZAG)
+QFIX = 17
+MAX_LEVEL = 2047
+TILE = 512  # subblocks per grid step (4 VPU lane groups)
+
+
+def _a2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _a3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
+            lvl_cost, tail_cost, eob_cost, mode_cost, tr_modes):
+    """One tile: src [16, S] i32 raster pixels; ctx [16, S] i32 with rows
+    0-3 = l3..l0, 4 = tl, 5-8 = t0..t3, 9-12 = tr0..tr3, 13 = is_c3,
+    14 = segment id; qtab [16, 16]: (seg*4 + {q,iq,bias,sharpen}) x zigzag
+    position."""
+    src = src_ref[:, :].astype(jnp.int32)
+    l = [ctx_ref[3 - i, :] for i in range(4)]          # l0..l3
+    tl = ctx_ref[4, :]
+    t = [ctx_ref[5 + i, :] for i in range(4)]
+    tr = [ctx_ref[9 + i, :] for i in range(4)]
+    is_c3 = ctx_ref[13, :] != 0
+    seg = ctx_ref[14, :]
+
+    # Smoothed strips over the contour [l3 l2 l1 l0 tl t0..t3 tr0..tr3]
+    # (same construction as ops/i4.py pred4_all).
+    contour = [l[3], l[2], l[1], l[0], tl] + t + tr     # 13 rows
+    s3 = [_a3(contour[i], contour[i + 1], contour[i + 2])
+          for i in range(11)]
+    s2 = [_a2(contour[i], contour[i + 1]) for i in range(12)]
+    lr = [tl, l[0], l[1], l[2], l[3], l[3]]
+    s3h = [_a3(lr[i], lr[i + 1], lr[i + 2]) for i in range(4)]
+    s2h = [_a2(lr[i], lr[i + 1]) for i in range(5)]
+
+    dc = (t[0] + t[1] + t[2] + t[3] + l[0] + l[1] + l[2] + l[3] + 4) >> 3
+
+    def rows_of(mode):
+        """Returns pred[16] rows ([S] each, raster p = r*4 + c)."""
+        if mode == 0:
+            return [dc] * 16
+        if mode == 1:  # TM
+            return [jnp.clip(l[r] + t[c] - tl, 0, 255)
+                    for r in range(4) for c in range(4)]
+        if mode == 2:  # VE
+            row = [s3[4 + c] for c in range(4)]
+            return row * 4
+        if mode == 3:  # HE
+            return [s3h[r] for r in range(4) for _ in range(4)]
+        if mode == 4:  # RD: o[r, c] = s3[3 - r + c]
+            return [s3[3 - r + c] for r in range(4) for c in range(4)]
+        if mode == 5:  # VR
+            grid = [[s2[4 + c] for c in range(4)],
+                    [s3[3 + c] for c in range(4)],
+                    [s3[2], s2[4], s2[5], s2[6]],
+                    [s3[1], s3[3], s3[4], s3[5]]]
+            return [grid[r][c] for r in range(4) for c in range(4)]
+        if mode == 6:  # LD: f = s3[5..10] + tail
+            tail = _a3(tr[2], tr[3], tr[3])
+            f = s3[5:11] + [tail]
+            return [f[r + c] for r in range(4) for c in range(4)]
+        if mode == 7:  # VL
+            grid = [[s2[5 + c] for c in range(4)],
+                    [s3[5 + c] for c in range(4)],
+                    [s2[6], s2[7], s2[8], s3[9]],
+                    [s3[6], s3[7], s3[8], s3[10]]]
+            return [grid[r][c] for r in range(4) for c in range(4)]
+        if mode == 8:  # HD
+            hd0 = [s2h[0], s3[3], s3[4], s3[5]]
+            hd1 = [s2h[1], s3h[0], hd0[0], hd0[1]]
+            hd2 = [s2h[2], s3h[1], hd1[0], hd1[1]]
+            hd3 = [s2h[3], s3h[2], hd2[0], hd2[1]]
+            return hd0 + hd1 + hd2 + hd3
+        # HU
+        hu0 = [s2h[1], s3h[1], s2h[2], s3h[2]]
+        hu1 = [hu0[2], hu0[3], s2h[3], s3h[3]]
+        hu2 = [hu1[2], hu1[3], l[3], l[3]]
+        hu3 = [l[3]] * 4
+        return hu0 + hu1 + hu2 + hu3
+
+    # Per-subblock quant rows selected by segment (4-way select).
+    def qrow(param, zz):
+        v = qtab_ref[0 * 4 + param, zz]
+        for s in range(1, 4):
+            v = jnp.where(seg == s, qtab_ref[s * 4 + param, zz], v)
+        return v
+
+    best_score = jnp.full(src.shape[1:], jnp.inf, jnp.float32)
+    best_mode = jnp.zeros(src.shape[1:], jnp.int32)
+    lam = lam_ref[0, 0] * jnp.ones(src.shape[1:], jnp.float32)
+    for s in range(1, 4):
+        lam = jnp.where(seg == s, lam_ref[0, s], lam)
+
+    for m in range(10):
+        pred = rows_of(m)
+        d = [src[p, :] - pred[p] for p in range(16)]
+        # fdct4x4 (ops/dct.py), rows = d[r*4+c].
+        tmp = [None] * 16
+        for r in range(4):
+            d0, d1, d2, d3 = d[r * 4], d[r * 4 + 1], d[r * 4 + 2], d[r * 4 + 3]
+            a0, a1, a2i, a3 = d0 + d3, d1 + d2, d1 - d2, d0 - d3
+            tmp[r * 4 + 0] = (a0 + a1) * 8
+            tmp[r * 4 + 1] = (a2i * 2217 + a3 * 5352 + 1812) >> 9
+            tmp[r * 4 + 2] = (a0 - a1) * 8
+            tmp[r * 4 + 3] = (a3 * 2217 - a2i * 5352 + 937) >> 9
+        co = [None] * 16
+        for c in range(4):
+            m0, m1, m2, m3 = tmp[c], tmp[4 + c], tmp[8 + c], tmp[12 + c]
+            a0, a1, a2i, a3 = m0 + m3, m1 + m2, m1 - m2, m0 - m3
+            co[0 * 4 + c] = (a0 + a1 + 7) >> 4
+            co[2 * 4 + c] = (a0 - a1 + 7) >> 4
+            co[1 * 4 + c] = ((a2i * 2217 + a3 * 5352 + 12000) >> 16) \
+                + (a3 != 0).astype(jnp.int32)
+            co[3 * 4 + c] = (a3 * 2217 - a2i * 5352 + 51000) >> 16
+        # quantize (ops/quant.py) in zigzag order + disto + rate.
+        disto = jnp.zeros(src.shape[1:], jnp.int32)
+        rate = jnp.zeros(src.shape[1:], jnp.int32)
+        has_any = jnp.zeros(src.shape[1:], bool)
+        run_cost = jnp.zeros(src.shape[1:], jnp.int32)
+        for zz in range(16):
+            czz = co[int(ZIGZAG[zz])]
+            mag = jnp.abs(czz) + qrow(3, zz)
+            level = jnp.minimum((mag * qrow(1, zz) + qrow(2, zz)) >> QFIX,
+                                MAX_LEVEL)
+            dqz = level * qrow(0, zz)
+            e = jnp.abs(czz) - dqz
+            disto = disto + e * e
+            # approx_block_rate's per-level cost (fastpath.RateTables):
+            # clamped base cost plus the additive tail buckets.
+            v = level
+            vc = jnp.minimum(v, 7)
+            c = jnp.zeros(src.shape[1:], jnp.int32)
+            for k in range(8):
+                c = jnp.where(vc == k, int(lvl_cost[k]), c)
+            for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35),
+                                          (35, 1 << 30))):
+                c = c + jnp.where((v >= lo) & (v < hi), int(tail_cost[b]), 0)
+            nz = v != 0
+            # Sum of costs from position 0 through the LAST nonzero: add
+            # the pending run (zeros since the previous nonzero) plus this
+            # coefficient's cost whenever it is nonzero.
+            run_cost = run_cost + c
+            rate = jnp.where(nz, rate + run_cost, rate)
+            run_cost = jnp.where(nz, 0, run_cost)
+            has_any = has_any | nz
+        rate = jnp.where(has_any, rate + int(eob_cost), int(eob_cost))
+        score = (rate + int(mode_cost[m])).astype(jnp.float32) * lam \
+            + 64.0 * disto.astype(jnp.float32)
+        if m in tr_modes:
+            score = jnp.where(is_c3, jnp.float32(np.inf), score)
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mode = jnp.where(better, m, best_mode)
+
+    mode_ref[0, :] = best_mode
+    score_ref[0, :] = best_score
+
+
+@functools.lru_cache(maxsize=8)
+def _build_call(n_sb_padded, lvl_cost, tail_cost, eob_cost, mode_cost,
+                tr_modes, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(
+        _kernel, lvl_cost=lvl_cost, tail_cost=tail_cost, eob_cost=eob_cost,
+        mode_cost=mode_cost, tr_modes=tr_modes)
+    grid = n_sb_padded // TILE
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((16, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_sb_padded), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_sb_padded), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
+                     rt_lvl, rt_tail, rt_eob, mode_cost, tr_modes,
+                     interpret=False):
+    """Pallas-backed score/mode computation for every subblock.
+
+    src_b: [n_sb, 4, 4] i32; top/left/tr: [n_sb, 4]; tl: [n_sb];
+    seg: [n_sb] i32 (0..3); qtab: [16, 16] i32 ((seg*4+param) x zigzag);
+    lam4: [4] f32 array (traced). Returns (mode [n_sb], score [n_sb]).
+    """
+    n_sb = src_b.shape[0]
+    pad = (-n_sb) % TILE
+    src16 = src_b.reshape(n_sb, 16).T                  # [16, n_sb]
+    is_c3 = (jnp.arange(n_sb) % 4) == 3
+    ctx = jnp.concatenate([
+        left[:, ::-1], tl[:, None], top, tr,
+        is_c3[:, None].astype(jnp.int32), seg[:, None],
+        jnp.zeros((n_sb, 1), jnp.int32),
+    ], axis=1).T                                       # [16, n_sb]
+    if pad:
+        src16 = jnp.pad(src16, ((0, 0), (0, pad)))
+        ctx = jnp.pad(ctx, ((0, 0), (0, pad)))
+    call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
+                       tuple(int(v) for v in rt_tail), int(rt_eob),
+                       tuple(int(v) for v in mode_cost), tuple(tr_modes),
+                       interpret)
+    lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
+        jnp.asarray(lam4, jnp.float32))
+    mode, score = call(src16.astype(jnp.int32), ctx.astype(jnp.int32),
+                       qtab.astype(jnp.int32), lam_row)
+    return mode[0, :n_sb], score[0, :n_sb]
+
+
+def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
+                     mode_cost, tr_modes, interpret=False):
+    """Like i4_search_scores but on pre-built planar [16, n_sb] arrays
+    (any subblock ordering — the caller owns the layout)."""
+    n_sb = src16.shape[1]
+    pad = (-n_sb) % TILE
+    if pad:
+        src16 = jnp.pad(src16, ((0, 0), (0, pad)))
+        ctx = jnp.pad(ctx, ((0, 0), (0, pad)))
+    call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
+                       tuple(int(v) for v in rt_tail), int(rt_eob),
+                       tuple(int(v) for v in mode_cost), tuple(tr_modes),
+                       interpret)
+    lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
+        jnp.asarray(lam4, jnp.float32))
+    mode, score = call(src16.astype(jnp.int32), ctx.astype(jnp.int32),
+                       qtab.astype(jnp.int32), lam_row)
+    return mode[0, :n_sb], score[0, :n_sb]
