@@ -459,6 +459,29 @@ def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score):
 # Phase 1 — fully parallel mode search with source-pixel context.
 # ---------------------------------------------------------------------------
 
+def _mb_contexts(plane, s, halo, above):
+    """Source-pixel top/left/corner context per MB for an S-sized grid."""
+    gh, gw = plane.shape[0] // s, plane.shape[1] // s
+    g = plane.reshape(gh, s, gw, s)
+    bottom = g[:, s - 1]                                        # [gh,gw,s]
+    right = g[..., s - 1].transpose(0, 2, 1)                    # [gh,gw,s]
+    if halo is None:
+        row0 = jnp.zeros((1, gw, s), jnp.int32)
+        tl0 = jnp.zeros((1, gw), jnp.int32)
+    else:
+        row0 = jnp.where(above, halo, 0).reshape(1, gw, s)
+        # tl of MB (x, 0) = halo[x*s - 1].
+        tl0 = jnp.where(above, jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), halo[s - 1::s][:gw - 1]]), 0)[None]
+    top = jnp.concatenate([row0, bottom[:-1]], axis=0)
+    pad_c = jnp.zeros((gh, 1, s), jnp.int32)
+    left = jnp.concatenate([pad_c, right[:, :-1]], axis=1)
+    br = g[:, s - 1, :, s - 1]                                  # [gh,gw]
+    tl = jnp.concatenate(
+        [tl0, jnp.pad(br[:-1, :-1], ((0, 0), (1, 0)))], axis=0)
+    return (top.reshape(-1, s), left.reshape(-1, s), tl.reshape(-1))
+
+
 def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
             halos=None, has_above=False):
     """Y: [H, W] int32 etc. Returns (modes [n_mb] u8, uvmodes [n_mb] u8).
@@ -471,26 +494,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
     above = jnp.asarray(has_above if halos is not None else False)
 
     def contexts(plane, s, halo):
-        """Source-pixel top/left/corner context per MB for an S-sized grid."""
-        gh, gw = plane.shape[0] // s, plane.shape[1] // s
-        g = plane.reshape(gh, s, gw, s)
-        bottom = g[:, s - 1]                                        # [gh,gw,s]
-        right = g[..., s - 1].transpose(0, 2, 1)                    # [gh,gw,s]
-        if halo is None:
-            row0 = jnp.zeros((1, gw, s), jnp.int32)
-            tl0 = jnp.zeros((1, gw), jnp.int32)
-        else:
-            row0 = jnp.where(above, halo, 0).reshape(1, gw, s)
-            # tl of MB (x, 0) = halo[x*s - 1].
-            tl0 = jnp.where(above, jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), halo[s - 1::s][:gw - 1]]), 0)[None]
-        top = jnp.concatenate([row0, bottom[:-1]], axis=0)
-        pad_c = jnp.zeros((gh, 1, s), jnp.int32)
-        left = jnp.concatenate([pad_c, right[:, :-1]], axis=1)
-        br = g[:, s - 1, :, s - 1]                                  # [gh,gw]
-        tl = jnp.concatenate(
-            [tl0, jnp.pad(br[:-1, :-1], ((0, 0), (1, 0)))], axis=0)
-        return (top.reshape(-1, s), left.reshape(-1, s), tl.reshape(-1))
+        return _mb_contexts(plane, s, halo, above)
 
     ys = np.repeat(np.arange(mb_h), mb_w)
     xs = np.tile(np.arange(mb_w), mb_h)
