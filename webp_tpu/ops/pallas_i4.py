@@ -44,8 +44,34 @@ def _a3(a, b, c):
     return (a + 2 * b + c + 2) >> 2
 
 
+WEIGHT_Y_FLAT = (38, 32, 20, 9, 32, 28, 17, 7,
+                 20, 17, 10, 4, 9, 7, 4, 2)
+
+
+def _hadamard_rows(x):
+    """Weighted-abs Hadamard sum over a block given 16 [S] rows
+    (metrics._hadamard4 in row-list form)."""
+    t = [None] * 16
+    for r in range(4):
+        x0, x1, x2, x3 = x[r * 4], x[r * 4 + 1], x[r * 4 + 2], x[r * 4 + 3]
+        a0, a1, a2, a3 = x0 + x2, x1 + x3, x1 - x3, x0 - x2
+        t[r * 4 + 0] = a0 + a1
+        t[r * 4 + 1] = a3 + a2
+        t[r * 4 + 2] = a3 - a2
+        t[r * 4 + 3] = a0 - a1
+    acc = None
+    for c in range(4):
+        r0, r1, r2, r3 = t[c], t[4 + c], t[8 + c], t[12 + c]
+        a0, a1, a2, a3 = r0 + r2, r1 + r3, r1 - r3, r0 - r2
+        outs = (a0 + a1, a3 + a2, a3 - a2, a0 - a1)
+        for r in range(4):
+            v = int(WEIGHT_Y_FLAT[r * 4 + c]) * jnp.abs(outs[r])
+            acc = v if acc is None else acc + v
+    return acc
+
+
 def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
-            lvl_cost, tail_cost, eob_cost, mode_cost, tr_modes):
+            lvl_cost, tail_cost, eob_cost, mode_cost, tr_modes, use_td):
     """One tile: src [16, S] i32 raster pixels; ctx [16, S] i32 with rows
     0-3 = l3..l0, 4 = tl, 5-8 = t0..t3, 9-12 = tr0..tr3, 13 = is_c3,
     14 = segment id; qtab [16, 16]: (seg*4 + {q,iq,bias,sharpen}) x zigzag
@@ -125,6 +151,11 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
     lam = lam_ref[0, 0] * jnp.ones(src.shape[1:], jnp.float32)
     for s in range(1, 4):
         lam = jnp.where(seg == s, lam_ref[0, s], lam)
+    if use_td:
+        tlsd = lam_ref[0, 4] * jnp.ones(src.shape[1:], jnp.float32)
+        for s in range(1, 4):
+            tlsd = jnp.where(seg == s, lam_ref[0, 4 + s], tlsd)
+        ha_src = _hadamard_rows([src[p, :] for p in range(16)])
 
     for m in range(10):
         pred = rows_of(m)
@@ -152,12 +183,15 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         rate = jnp.zeros(src.shape[1:], jnp.int32)
         has_any = jnp.zeros(src.shape[1:], bool)
         run_cost = jnp.zeros(src.shape[1:], jnp.int32)
+        dqn = [None] * 16
         for zz in range(16):
             czz = co[int(ZIGZAG[zz])]
             mag = jnp.abs(czz) + qrow(3, zz)
             level = jnp.minimum((mag * qrow(1, zz) + qrow(2, zz)) >> QFIX,
                                 MAX_LEVEL)
             dqz = level * qrow(0, zz)
+            if use_td:
+                dqn[int(ZIGZAG[zz])] = jnp.where(czz < 0, -dqz, dqz)
             e = jnp.abs(czz) - dqz
             disto = disto + e * e
             # approx_block_rate's per-level cost (fastpath.RateTables):
@@ -181,6 +215,42 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         rate = jnp.where(has_any, rate + int(eob_cost), int(eob_cost))
         score = (rate + int(mode_cost[m])).astype(jnp.float32) * lam \
             + 64.0 * disto.astype(jnp.float32)
+        if use_td:
+            # Perceptual SD (reference PickBestI4ModeRD + TLambdaSD):
+            # inverse DCT of the dequantized block, clip, weighted-abs
+            # Hadamard vs the source's.
+            tmp2 = [None] * 16
+            for c in range(4):
+                i0, i1 = dqn[c], dqn[4 + c]
+                i2, i3 = dqn[8 + c], dqn[12 + c]
+                a = i0 + i2
+                b2 = i0 - i2
+                cc = ((i1 * 35468) >> 16) - (((i3 * 20091) >> 16) + i3)
+                dd = ((i1 * 20091) >> 16) + i1 + ((i3 * 35468) >> 16)
+                tmp2[0 * 4 + c] = a + dd
+                tmp2[1 * 4 + c] = b2 + cc
+                tmp2[2 * 4 + c] = b2 - cc
+                tmp2[3 * 4 + c] = a - dd
+            rec = [None] * 16
+            for r in range(4):
+                t0, t1 = tmp2[r * 4], tmp2[r * 4 + 1]
+                t2, t3 = tmp2[r * 4 + 2], tmp2[r * 4 + 3]
+                dc0 = t0 + 4
+                a = dc0 + t2
+                b2 = dc0 - t2
+                cc = ((t1 * 35468) >> 16) - (((t3 * 20091) >> 16) + t3)
+                dd = ((t1 * 20091) >> 16) + t1 + ((t3 * 35468) >> 16)
+                rec[r * 4 + 0] = jnp.clip(pred[r * 4 + 0] + ((a + dd) >> 3),
+                                          0, 255)
+                rec[r * 4 + 1] = jnp.clip(pred[r * 4 + 1] + ((b2 + cc) >> 3),
+                                          0, 255)
+                rec[r * 4 + 2] = jnp.clip(pred[r * 4 + 2] + ((b2 - cc) >> 3),
+                                          0, 255)
+                rec[r * 4 + 3] = jnp.clip(pred[r * 4 + 3] + ((a - dd) >> 3),
+                                          0, 255)
+            ha_rec = _hadamard_rows(rec)
+            td = jnp.abs(ha_rec - ha_src) >> 5
+            score = score + tlsd * td.astype(jnp.float32)
         if m in tr_modes:
             score = jnp.where(is_c3, jnp.float32(np.inf), score)
         better = score < best_score
@@ -193,13 +263,13 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
 
 @functools.lru_cache(maxsize=8)
 def _build_call(n_sb_padded, lvl_cost, tail_cost, eob_cost, mode_cost,
-                tr_modes, interpret):
+                tr_modes, interpret, use_td=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = functools.partial(
         _kernel, lvl_cost=lvl_cost, tail_cost=tail_cost, eob_cost=eob_cost,
-        mode_cost=mode_cost, tr_modes=tr_modes)
+        mode_cost=mode_cost, tr_modes=tr_modes, use_td=use_td)
     grid = n_sb_padded // TILE
 
     return pl.pallas_call(
@@ -262,9 +332,10 @@ def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
 
 
 def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
-                     mode_cost, tr_modes, interpret=False):
+                     mode_cost, tr_modes, interpret=False, tlsd4=None):
     """Like i4_search_scores but on pre-built planar [16, n_sb] arrays
-    (any subblock ordering — the caller owns the layout)."""
+    (any subblock ordering — the caller owns the layout). tlsd4 enables
+    the perceptual SD term ([4] f32 per-segment TLambdaSD)."""
     n_sb = src16.shape[1]
     pad = (-n_sb) % TILE
     if pad:
@@ -273,9 +344,11 @@ def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
     call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
                        tuple(int(v) for v in rt_tail), int(rt_eob),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
-                       interpret)
+                       interpret, use_td=tlsd4 is not None)
     lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
         jnp.asarray(lam4, jnp.float32))
+    if tlsd4 is not None:
+        lam_row = lam_row.at[0, 4:8].set(jnp.asarray(tlsd4, jnp.float32))
     mode, score = call(src16.astype(jnp.int32), ctx.astype(jnp.int32),
                        qtab.astype(jnp.int32), lam_row)
     return mode[0, :n_sb], score[0, :n_sb]
