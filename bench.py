@@ -41,7 +41,8 @@ def _device_available() -> bool:
 
 
 def main() -> None:
-    src = Image.open("/root/reference/testdata/test_color.png").convert("RGB")
+    src = Image.open("/root/reference/testdata/test_color.png").convert(
+        "RGB").resize((1536, 1024))
     device = _device_available()
     if not device:
         # Host-only fallback: honest but small tile.
@@ -110,6 +111,13 @@ def main() -> None:
     webp_tpu.decode(lossy)
     lossy_dec = max(_timed(lambda: webp_tpu.decode(lossy), mpx)
                     for _ in range(2))
+    # Core native decode (tokens + recon + loop filter, no RGB convert) —
+    # the number comparable to the reference's 167 Mpx/s YUV decode.
+    from webp_tpu.lossy.decode import decode_vp8_yuv
+
+    decode_vp8_yuv(out[0])
+    lossy_dec_yuv = max(_timed(lambda: decode_vp8_yuv(out[0]), mpx)
+                        for _ in range(3))
 
     # End-to-end pipelined stream (the honest headline).
     times = []
@@ -132,6 +140,7 @@ def main() -> None:
             "lossless_encode_mpx_per_s": round(ll_enc, 2),
             "lossless_decode_mpx_per_s": round(ll_dec, 2),
             "lossy_decode_mpx_per_s": round(lossy_dec, 2),
+            "lossy_decode_yuv_mpx_per_s": round(lossy_dec_yuv, 2),
             "note": "end-to-end is bound by the dev-harness tunnel "
                     "(~10-30 MB/s to the chip, ~100x below PCIe); "
                     "device_compute is the chip-side encode throughput; "

@@ -1,0 +1,134 @@
+"""Mux/demux round-trips (reference tier: mux/mux_test.go, 1059 LoC):
+frame metadata survives assemble -> demux, metadata chunks round-trip,
+canvas inference, error paths, and Pillow accepts every assembly."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import webp_tpu
+from webp_tpu.container.parser import Parser
+from webp_tpu.container.riff import BlendMethod, DisposeMethod, WebPError
+from webp_tpu.mux.mux import Demuxer, Muxer, MuxFrame
+
+
+def _lossless_frame(w, h, color):
+    from webp_tpu.lossless.encode import encode_vp8l
+
+    img = np.full((h, w, 3), color, np.uint8)
+    return MuxFrame(bitstream=encode_vp8l(img, quality=75, method=2),
+                    is_lossless=True)
+
+
+def _lossy_frame(w, h, seed=0):
+    from webp_tpu.container.parser import Parser as P
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    data = webp_tpu.encode(img, quality=60)
+    return MuxFrame(bitstream=P(data).frames()[0].bitstream,
+                    is_lossless=False)
+
+
+def test_single_lossless_simple_format():
+    m = Muxer()
+    m.add_frame(_lossless_frame(16, 16, 30))
+    data = m.assemble()
+    assert data[12:16] == b"VP8L"
+    Image.open(io.BytesIO(data)).load()
+
+
+def test_animation_roundtrip_metadata():
+    m = Muxer()
+    for i, (x, y, dur, disp, blend) in enumerate([
+            (0, 0, 40, DisposeMethod.NONE, BlendMethod.NONE),
+            (16, 8, 70, DisposeMethod.BACKGROUND, BlendMethod.ALPHA),
+            (2, 4, 1000, DisposeMethod.NONE, BlendMethod.ALPHA)]):
+        f = _lossless_frame(32, 24, 50 + i * 40)
+        f.x_offset, f.y_offset = x, y
+        f.duration_ms = dur
+        f.dispose = disp
+        f.blend = blend
+        m.add_frame(f)
+    m.loop_count = 5
+    m.canvas_width, m.canvas_height = 64, 48
+    data = m.assemble()
+    d = Demuxer(data)
+    assert d.num_frames() == 3
+    feats = d.features
+    assert (feats.canvas_width, feats.canvas_height) == (64, 48)
+    assert feats.loop_count == 5
+    for i, fr in enumerate(d.frames()):
+        assert (fr.x_offset, fr.y_offset) == [(0, 0), (16, 8), (2, 4)][i]
+        assert fr.duration_ms == [40, 70, 1000][i]
+        assert fr.dispose == [DisposeMethod.NONE, DisposeMethod.BACKGROUND,
+                              DisposeMethod.NONE][i]
+        assert fr.blend == [BlendMethod.NONE, BlendMethod.ALPHA,
+                            BlendMethod.ALPHA][i]
+    im = Image.open(io.BytesIO(data))
+    assert im.n_frames == 3
+
+
+def test_metadata_chunks_roundtrip():
+    m = Muxer()
+    m.add_frame(_lossless_frame(8, 8, 99))
+    m.iccp = b"fake-icc-profile-bytes"
+    m.exif = b"Exif\x00\x00fake"
+    m.xmp = b"<x:xmpmeta/>"
+    data = m.assemble()
+    d = Demuxer(data)
+    assert d.iccp == m.iccp
+    assert d.exif == m.exif
+    assert d.xmp == m.xmp
+    Image.open(io.BytesIO(data)).load()
+
+
+def test_canvas_inference():
+    m = Muxer()
+    f = _lossless_frame(20, 10, 1)
+    f.x_offset, f.y_offset = 12, 6
+    m.add_frame(f)
+    m.add_frame(_lossless_frame(8, 30, 2))
+    data = m.assemble()
+    feats = Demuxer(data).features
+    assert (feats.canvas_width, feats.canvas_height) == (32, 30)
+
+
+def test_odd_offsets_rejected():
+    m = Muxer()
+    f = _lossless_frame(8, 8, 0)
+    f.x_offset = 3
+    with pytest.raises(WebPError):
+        m.add_frame(f)
+
+
+def test_empty_muxer_rejected():
+    with pytest.raises(WebPError):
+        Muxer().assemble()
+
+
+def test_lossy_alpha_split():
+    """Lossy frame + ALPH payload produce a VP8X container with the
+    alpha flag; our decoder and Pillow agree on the pixels."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 32, 4), np.uint8)
+    img[..., 3] = 255
+    img[4:12, 4:20, 3] = 128
+    data = webp_tpu.encode(img, quality=80)
+    assert data[12:16] == b"VP8X"
+    ours = webp_tpu.decode(data)
+    ref = np.array(Image.open(io.BytesIO(data)).convert("RGBA"))
+    assert np.array_equal(ours, ref)
+    d = Demuxer(data)
+    assert d.features.has_alpha
+
+
+def test_demuxer_get_chunk():
+    m = Muxer()
+    m.add_frame(_lossless_frame(8, 8, 7))
+    m.exif = b"Exif\x00\x00x"
+    data = m.assemble()
+    assert Demuxer(data).get_chunk(b"EXIF") == b"Exif\x00\x00x"
+    assert Demuxer(data).get_chunk(b"ICCP") is None
