@@ -4,7 +4,9 @@ Host entropy decode (Huffman + LZ77 + color cache) producing an ARGB pixel
 grid, followed by the inverse transform stack. The entropy loop is serial by
 nature; the native C++ fast path (webp_tpu/native) replaces the Python loop
 when built. Inverse transforms have vectorized implementations (numpy here,
-JAX/Pallas device versions in webp_tpu.ops.lossless).
+JAX device versions of the parallel inverse transforms in
+webp_tpu.ops.lossless; the predictor inverse stays host-side — its
+left-dependent modes are a serial chain per row).
 
 Behavioral parity with reference /root/reference/internal/lossless/
 {decode.go,decode_image.go,decode_transform.go}.

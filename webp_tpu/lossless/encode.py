@@ -6,7 +6,8 @@ per-tile predictor) -> LZ77 backward references (hash chain, greedy) ->
 histograms -> canonical Huffman codes -> bitstream emission.
 
 The transform residual computation is batched array math (numpy reference
-here; JAX device versions in webp_tpu.ops.lossless). The LZ77 scan and
+here; JAX device versions of the parallel transforms in
+webp_tpu.ops.lossless). The LZ77 scan and
 bit emission are host-side (native C++ fast path planned).
 """
 
