@@ -104,22 +104,27 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
             use_seg = True
         else:
             qp_i, lam_i = fp.rd_params(quality)
+            _, tlsd_static = fp._tlsd_static(
+                max(0, int(sns_strength)), lam_i["q_i4"], n_mb)
             lam_i = {k: jnp.float32(v) for k, v in lam_i.items()}
             seg_map = jnp.zeros((B, n_mb), jnp.int32)
             seg_q = jnp.zeros((B, 4), jnp.int32)
             seg_beta = jnp.zeros((B, 4), jnp.int32)
             use_seg = False
 
+        sns = max(0, int(sns_strength))
+
         # --- Phase 1: mode search, exact context via the extension. ---
-        def p1_one(y, u, v, ey, eu, ev, qp1, lam1, qp_top, lam_top):
+        def p1_one(y, u, v, ey, eu, ev, qp1, lam1, qp_top, lam_top,
+                   tlsd1=None, tlsd_top=None):
             modes, uvmodes, i16s = fp._phase1(y, u, v, qp1, lam1, rt,
-                                              mb_w, mb_h)
+                                              mb_w, mb_h, tlsd=tlsd1)
             # 2-MB-row extended run for the band's first MB row.
             y2r = jnp.concatenate([ey, y[:16]], axis=0)
             u2r = jnp.concatenate([eu, u[:8]], axis=0)
             v2r = jnp.concatenate([ev, v[:8]], axis=0)
             m_t, uvm_t, i16s_t = fp._phase1(y2r, u2r, v2r, qp_top, lam_top,
-                                            rt, mb_w, 2)
+                                            rt, mb_w, 2, tlsd=tlsd_top)
             row0 = jnp.arange(n_mb) < mb_w
             modes = jnp.where(row0 & has_above,
                               jnp.pad(m_t[mb_w:], (0, n_mb - mb_w)), modes)
@@ -138,14 +143,14 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
                               .reshape(n_mb, 16, 16), 16)
             is_i4, i4m, _ = I4.i4_search(
                 y, src_b, qp1["y1"], lam1["i4"], rt, mb_w, mb_h, i16s,
-                fp.approx_block_rate)
+                fp.approx_block_rate, tlsd=tlsd1)
             src_b2 = fp._block(y2r.reshape(2, 16, mb_w, 16)
                                .transpose(0, 2, 1, 3)
                                .reshape(2 * mb_w, 16, 16), 16)
             qp1_top = qp_top
             is_i4_t, i4m_t, _ = I4.i4_search(
                 y2r, src_b2, qp1_top["y1"], lam_top["i4"], rt, mb_w, 2,
-                i16s_t, fp.approx_block_rate)
+                i16s_t, fp.approx_block_rate, tlsd=tlsd_top)
             is_i4 = jnp.where(row0 & has_above,
                               jnp.pad(is_i4_t[mb_w:], (0, n_mb - mb_w)),
                               is_i4)
@@ -168,15 +173,26 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
                         if hasattr(v, "ndim") and v.ndim == 1 else v
                         for k, v in lam1.items()}
 
-            modes, uvmodes, is_i4, i4m = jax.vmap(
-                lambda y, u, v, ey, eu, ev, qp1, lam1: p1_one(
-                    y, u, v, ey, eu, ev, qp1, lam1,
-                    qp_top_of(qp1), lam_top_of(lam1))
-            )(Y, U, V, ext_y, ext_u, ext_v, qp_b, lam_b)
+            def tlsd_of(sq, sm):
+                if sns <= 0:
+                    return None
+                return fp._tlsd_from_seg(sns, sq, sm)[1]
+
+            def run_one(y, u, v, ey, eu, ev, qp1, lam1, sq, sm):
+                t1 = tlsd_of(sq, sm)
+                tt = (jnp.concatenate([t1[:mb_w], t1[:mb_w]])
+                      if t1 is not None else None)
+                return p1_one(y, u, v, ey, eu, ev, qp1, lam1,
+                              qp_top_of(qp1), lam_top_of(lam1),
+                              tlsd1=t1, tlsd_top=tt)
+
+            modes, uvmodes, is_i4, i4m = jax.vmap(run_one)(
+                Y, U, V, ext_y, ext_u, ext_v, qp_b, lam_b, seg_q, seg_map)
         else:
             modes, uvmodes, is_i4, i4m = jax.vmap(
                 lambda y, u, v, ey, eu, ev: p1_one(
-                    y, u, v, ey, eu, ev, qp_i, lam_i, qp_i, lam_i)
+                    y, u, v, ey, eu, ev, qp_i, lam_i, qp_i, lam_i,
+                    tlsd1=tlsd_static, tlsd_top=tlsd_static)
             )(Y, U, V, ext_y, ext_u, ext_v)
 
         # --- Phase B: pipelined closed loop. ---
@@ -257,3 +273,53 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
         return fn(rgb)
 
     return run
+
+
+def encode_lossy_mesh(images, quality: int = 75, segments: int = 4,
+                      sns_strength: int = 50, n_devices: int = None,
+                      true_width: int = None, true_height: int = None):
+    """Production multi-chip lossy encode: band-pipelined exact closed
+    loop over all available devices + host entropy coding. Output
+    bitstreams are BIT-IDENTICAL to the single-chip device path
+    (tests/test_exact_pipeline.py / test_multichip.py assert it).
+
+    images: list/array of same-shaped RGB uint8 [H, W, 3] with H a
+    multiple of 16*sp. Returns list[bytes] VP8 frames.
+    """
+    from ..lossy.encode import LossyConfig
+    from .mesh import assemble_from_sharded
+
+    rgbs = np.stack([np.asarray(im)[..., :3] for im in images])
+    B, H, W = rgbs.shape[:3]
+    mesh = make_pipeline_mesh(n_devices)
+    sp = mesh.shape["sp"]
+    if H % (16 * sp):
+        raise ValueError(f"height {H} must divide by 16*sp={16 * sp}")
+    step = make_exact_encode_fn(mesh, B, quality=quality, segments=segments,
+                                sns_strength=sns_strength)
+    outputs = step(rgbs)
+    mb_w, mb_h = W // 16, H // 16
+    per_image = assemble_from_sharded(outputs, sp=sp, mb_w=mb_w, mb_h=mb_h)
+    cfg = LossyConfig(quality=quality, segments=segments,
+                      sns_strength=sns_strength)
+    tw, th = true_width or W, true_height or H
+    from ..lossy import tables as T
+    from ..lossy.device_encode import DeviceVP8Encoder
+
+    blobs = []
+    for d in per_image:
+        # assemble_from_sharded already unpacked the levels; feed them to
+        # the host emitter directly.
+        dummyY = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        dummyU = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        enc = DeviceVP8Encoder(dummyY, dummyU, dummyU, tw, th, cfg)
+        enc.proba = T.COEFFS_PROBA0.copy()
+        enc.levels = d["lv24"].astype(np.int32).reshape(mb_h, mb_w, 24, 16)
+        enc.y2_levels = d["y2"].astype(np.int32).reshape(mb_h, mb_w, 16)
+        enc.imodes = d["imodes"].reshape(mb_h, mb_w, 16).copy()
+        enc.uvmode = d["uvmodes"].reshape(mb_h, mb_w)
+        enc.skip = d["skip"].reshape(mb_h, mb_w).copy()
+        enc.is_i4 = d["is_i4"].reshape(mb_h, mb_w).copy()
+        enc.apply_device_plan(d["seg_map"], d["seg_q"], d["seg_beta"])
+        blobs.append(enc._finish_bitstream())
+    return blobs
