@@ -130,6 +130,7 @@ def test_sharpyuv_encode_decodes(frames_rgba):
     assert np.array_equal(webp_tpu.decode(data), out)
 
 
+@pytest.mark.slow
 def test_device_batched_animation_encode():
     """Frame-parallel device animation encode (P6): full-canvas ANMF
     frames via the batched device path; libwebp must decode each frame to

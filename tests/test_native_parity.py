@@ -140,6 +140,7 @@ def test_append_bits_buffer_matches_write_bits():
             assert a.finish() == b.finish(), (lead_bits, nbits)
 
 
+@pytest.mark.slow
 def test_device_escape_overflow_falls_back():
     """Pathological noise at max quality overflows the nibble escape list;
     the batch path must fall back to the exact host encoder and still
@@ -180,6 +181,7 @@ def test_i4_predictors_match_host():
             assert np.array_equal(got[i], want), (m, i)
 
 
+@pytest.mark.slow
 def test_device_quality_near_libwebp():
     """The full device path (segments + SNS + I4) must stay within 12%
     of libwebp method-4 size at no more than 0.35 dB PSNR deficit."""
