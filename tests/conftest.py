@@ -26,7 +26,7 @@ TESTDATA = "/root/reference/testdata"
 # Slow tier: device/multichip tests jit shard_map programs that take minutes
 # to compile on this 1-core host. Fast tier: `pytest -m "not slow"` (<2 min).
 _SLOW_MODULES = {"test_multichip", "test_exact_pipeline", "test_sharpyuv_device",
-                 "test_device_decode"}
+                 "test_device_decode", "test_pallas"}
 
 
 def pytest_collection_modifyitems(config, items):

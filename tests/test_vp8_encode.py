@@ -108,6 +108,7 @@ def test_segments_4(photo):
     assert dec.seg_hdr.use_segment
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("segments", [2, 3])
 def test_device_backend_segments_lt4(photo, segments):
     """Device path with segments<4 (e.g. the 'text' preset uses 2): the
