@@ -73,7 +73,9 @@ def cmd_enc(args) -> int:
               target_size=args.size, target_psnr=args.psnr,
               filter_sharpness=args.sharpness, preprocessing=args.pre,
               near_lossless=args.near_lossless,
-              alpha_compression=args.alpha_method)
+              alpha_compression=args.alpha_method,
+              autofilter=args.af, partition_limit=args.partition_limit,
+              backend=args.backend)
     if args.f >= 0:
         kw["filter_strength"] = args.f
     if args.sns >= 0:
@@ -193,6 +195,13 @@ def main(argv=None) -> int:
     enc.add_argument("-near_lossless", type=int, default=100,
                      help="near-lossless strength 0-100")
     enc.add_argument("-partitions", type=int, default=0)
+    enc.add_argument("-af", action="store_true",
+                     help="autofilter: search the loop-filter strength")
+    enc.add_argument("-partition_limit", type=int, default=0,
+                     help="0-100: degrade I4 headers to fit partition 0")
+    enc.add_argument("-backend", default="host",
+                     choices=("host", "device", "auto"),
+                     help="encode backend (device = TPU wavefront)")
     enc.add_argument("input")
     enc.add_argument("output")
     enc.set_defaults(fn=cmd_enc)
