@@ -228,12 +228,16 @@ def encode(img, **options) -> bytes:
 @dataclass
 class EncStats:
     """Per-encode statistics (parity with reference EncStats,
-    lossy/encode.go:326-337)."""
+    lossy/encode.go:326-337, plus the per-stage size breakdown the
+    reference's debug tests print)."""
 
     psnr: float = 0.0
     size: int = 0
     quality: float = 0.0
     passes: int = 1
+    part0_size: int = 0         # header+modes+proba partition bytes
+    token_sizes: tuple = ()     # per token partition
+    alpha_size: int = 0         # ALPH payload bytes
 
 
 LAST_STATS = EncStats()
@@ -408,7 +412,9 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         npx = rec.size
         psnr = 99.0 if se == 0 else 10.0 * np.log10(255.0 ** 2 * npx / se)
     LAST_STATS = EncStats(psnr=psnr, size=len(vp8), quality=opts.quality,
-                          passes=1)
+                          passes=1,
+                          part0_size=getattr(enc, "stats_part0", 0),
+                          token_sizes=tuple(getattr(enc, "stats_parts", ())))
 
     alpha_payload = b""
     if _has_alpha(a):
@@ -421,6 +427,7 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
             filtering=opts.alpha_filtering,
             effort=opts.method,
         )
+        LAST_STATS.alpha_size = len(alpha_payload)
 
     has_meta = bool(opts.iccp or opts.exif or opts.xmp)
     if not alpha_payload and not has_meta:

@@ -159,6 +159,8 @@ class DeviceVP8Encoder(VP8Encoder):
         if self.cfg.autofilter:
             _finish_autofilter(self, parts)
         part0 = self._emit_partition0()
+        self.stats_part0 = len(part0)
+        self.stats_parts = [len(p) for p in parts]
         return self._assemble_vp8(part0, parts)
 
     def _assemble_vp8(self, part0, parts) -> bytes:
@@ -283,6 +285,21 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
 
     if not images:
         return []
+    # Multi-chip: route through the exact band-pipelined mesh path (output
+    # is bit-identical to this single-chip path) whenever more than one
+    # device is visible and the geometry shards evenly.
+    n_dev = len(jax.devices())
+    if n_dev > 1 and not sharp_yuv:
+        h0 = images[0].shape[0]
+        if h0 % 16 == 0 and (h0 // 16) % n_dev == 0:
+            from ..parallel.exact import encode_lossy_mesh
+
+            out = []
+            for i in range(0, len(images), batch):
+                out.extend(encode_lossy_mesh(
+                    images[i:i + batch], quality=quality, segments=segments,
+                    sns_strength=sns_strength))
+            return out
     if sharp_yuv:
         host_yuv = False  # refinement runs on device from RGB
     elif host_yuv is None:

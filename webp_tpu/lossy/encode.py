@@ -1095,6 +1095,7 @@ class VP8Encoder:
         self._optimize_probas()
 
         part0 = self._emit_partition0()
+        self.stats_part0 = len(part0)
         if len(part0) >= (1 << 19):
             # Partition 0 must fit its 19-bit size field. Halve the I4
             # header budget and redo the mode decision (libwebp
@@ -1104,6 +1105,7 @@ class VP8Encoder:
                 return self.encode()
             raise WebPError("partition 0 overflow")
         parts = [self._emit_tokens(i) for i in range(self.num_parts)]
+        self.stats_parts = [len(p) for p in parts]
 
         # Frame tag + picture header.
         tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)

@@ -275,6 +275,9 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
     return run
 
 
+_STEP_CACHE: dict = {}
+
+
 def encode_lossy_mesh(images, quality: int = 75, segments: int = 4,
                       sns_strength: int = 50, n_devices: int = None,
                       true_width: int = None, true_height: int = None):
@@ -295,8 +298,13 @@ def encode_lossy_mesh(images, quality: int = 75, segments: int = 4,
     sp = mesh.shape["sp"]
     if H % (16 * sp):
         raise ValueError(f"height {H} must divide by 16*sp={16 * sp}")
-    step = make_exact_encode_fn(mesh, B, quality=quality, segments=segments,
-                                sns_strength=sns_strength)
+    key = (sp, B, H, W, quality, segments, sns_strength)
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        step = make_exact_encode_fn(mesh, B, quality=quality,
+                                    segments=segments,
+                                    sns_strength=sns_strength)
+        _STEP_CACHE[key] = step
     outputs = step(rgbs)
     mb_w, mb_h = W // 16, H // 16
     per_image = assemble_from_sharded(outputs, sp=sp, mb_w=mb_w, mb_h=mb_h)
