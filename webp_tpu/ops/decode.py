@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dct
-from .fastpath import _preds4, _block, _unblock
+from .fastpath import _preds4, _unblock
 from .i4 import pred4_all
 
 

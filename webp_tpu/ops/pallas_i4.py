@@ -30,7 +30,6 @@ import numpy as np
 from ..lossy import tables as T
 
 ZIGZAG = np.asarray(T.ZIGZAG)
-INV_ZIGZAG = np.argsort(ZIGZAG)
 QFIX = 17
 MAX_LEVEL = 2047
 TILE = 512  # subblocks per grid step (4 VPU lane groups)

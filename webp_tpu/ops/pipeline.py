@@ -7,17 +7,11 @@ remains the shared quantizer builder.)
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..lossy import tables as T
 from ..lossy.encode import quality_to_qindex
 from ..lossy.quant import SegmentQuant
-from . import dct, metrics, quant, yuv
 
 
 def quant_params(quality: int):

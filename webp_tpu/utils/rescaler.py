@@ -21,10 +21,6 @@ def _mult_fix(x, y):
     return (int(x) * int(y) + _ROUNDER) >> RFIX
 
 
-def _mult_fix_floor(x, y):
-    return (int(x) * int(y)) >> RFIX
-
-
 def _frac(x: int, y: int) -> int:
     return 0 if y == 0 else (x << RFIX) // y
 
