@@ -138,9 +138,14 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
   // Chain budget: deeper searches pay off most below the parallel-chunk
   // scale; large images keep the cheaper budget for throughput.
   const long span = end - start;
+  // At quality >= 50 the cost-model re-parse (TraceParse) rewrites the
+  // token stream from its own match table, so this greedy pass only
+  // seeds the cost model and the cache-bits search — a shallow chain is
+  // plenty there, and on repetitive content the deep walk dominated the
+  // whole encode.
   const int max_chain = quality < 25 ? 8
                         : quality < 50 ? 32
-                        : (span <= (1L << 18) ? 96 : 32);
+                        : (span <= (1L << 18) ? 96 : 16);
   std::vector<int64_t> head((size_t)kHashSize, -1);
   std::vector<int64_t> prev((size_t)n, -1);
   for (long p = seed_start; p < start && p + 1 < n; ++p) {
@@ -208,7 +213,8 @@ void BackwardReferencesRange(const uint32_t* a, long n, long seed_start,
       // Lazy matching: a strictly longer match one pixel later wins
       // (quality >= 50 only; it doubles the match searches).
       bool pos_inserted = false;
-      if (quality >= 50 && pos + 1 < n_cap && best_len < kMaxLength) {
+      if (quality >= 50 && span <= (1L << 18) && pos + 1 < n_cap &&
+          best_len < kMaxLength) {
         insert(pos);
         pos_inserted = true;
         long l2, d2;
