@@ -88,11 +88,19 @@ def main() -> None:
     pad[:, :h, :w] = np.stack(imgs[:DB])
     dev_in = jax.device_put(pad)
     _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])  # sync + compile
+    # Steady-state throughput: dispatch K batches back-to-back (JAX
+    # dispatch is async) and sync once at the end, so the ~27 ms
+    # tunnel round-trip latency of this dev harness amortizes the way a
+    # production pipeline amortizes it.
+    K = 4
     dev_mpx_s = 0.0
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])
-        dev_mpx_s = max(dev_mpx_s, DB * mpx / (time.perf_counter() - t0))
+        outs = [fn.rgb(dev_in) for _ in range(K)]
+        for o in outs:
+            _ = np.asarray(o["esc_cnt"])
+        dev_mpx_s = max(dev_mpx_s,
+                        K * DB * mpx / (time.perf_counter() - t0))
 
     # Warmup / compile.
     out = encode_lossy_stream(imgs[:16], quality=75, batch=16)
