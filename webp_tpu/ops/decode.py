@@ -45,14 +45,32 @@ def _skew_maps(mb_w, mb_h, sk=2):
     yy = np.arange(mb_h)[None, :]
     xx = tt - sk * yy
     valid = (xx >= 0) & (xx < mb_w)
-    mb = yy * mb_w + np.clip(xx, 0, mb_w - 1)
-    return n_steps, xx, valid, mb
+    return n_steps, xx, valid
 
 
-def _unskew_idx(mb_w, mb_h, sk=2):
-    yo = np.repeat(np.arange(mb_h), mb_w)
-    xo = np.tile(np.arange(mb_w), mb_h)
-    return (xo + sk * yo) * mb_h + yo
+def _shear(a, mb_w, mb_h, sk):
+    """[n_mb, ...] -> [n_steps, mb_h, ...] with out[t, y] = a[y, t - sk*y]
+    via pad + reshape (no gather; invalid lanes read zeros)."""
+    n_steps = mb_w + sk * (mb_h - 1)
+    b = a.reshape(mb_h, mb_w, *a.shape[1:])
+    P = n_steps + sk
+    pad_w = [(0, 0)] * b.ndim
+    pad_w[1] = (0, P - mb_w)
+    b = jnp.pad(b, pad_w)
+    flat = b.reshape(mb_h * P, *a.shape[1:])[: mb_h * n_steps]
+    return jnp.swapaxes(flat.reshape(mb_h, n_steps, *a.shape[1:]), 0, 1)
+
+
+def _unshear(c_sk, mb_w, mb_h, sk):
+    """Inverse of _shear on per-step outputs [n_steps, mb_h, ...]."""
+    n_steps = mb_w + sk * (mb_h - 1)
+    tail = c_sk.shape[2:]
+    flat = jnp.swapaxes(c_sk, 0, 1).reshape(mb_h * n_steps, *tail)
+    pad_w = [(0, 0)] * flat.ndim
+    pad_w[0] = (0, mb_h * sk)
+    flat = jnp.pad(flat, pad_w)
+    out = flat.reshape(mb_h, n_steps + sk, *tail)[:, :mb_w]
+    return out.reshape(mb_h * mb_w, *tail)
 
 
 def _shift1(a):
@@ -135,10 +153,10 @@ def _recon_scan(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h):
     """resY: [n_mb, 16, 4, 4] int32 residual blocks (raster subblock
     order); resU/resV: [n_mb, 4, 4, 4]. Returns (Yb, Ub, Vb) uint8 per-MB
     reconstructions [n_mb, s, s]."""
-    n_steps, xx, valid_np, mb_np = _skew_maps(mb_w, mb_h, 2)
+    n_steps, xx, valid_np = _skew_maps(mb_w, mb_h, 2)
 
     def skew(a):
-        return a[mb_np.reshape(-1)].reshape(n_steps, mb_h, *a.shape[1:])
+        return _shear(a, mb_w, mb_h, 2)
 
     xs = {
         "ry": skew(resY), "ru": skew(resU), "rv": skew(resV),
@@ -191,10 +209,9 @@ def _recon_scan(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h):
               z8, z8, z8, z1, z1, z1)
     _, (y_sk, u_sk, v_sk) = jax.lax.scan(step, carry0, xs)
 
-    flat = _unskew_idx(mb_w, mb_h, 2)
-    Yb = y_sk.reshape(-1, 16, 16)[flat]
-    Ub = u_sk.reshape(-1, 8, 8)[flat]
-    Vb = v_sk.reshape(-1, 8, 8)[flat]
+    Yb = _unshear(y_sk, mb_w, mb_h, 2)
+    Ub = _unshear(u_sk, mb_w, mb_h, 2)
+    Vb = _unshear(v_sk, mb_w, mb_h, 2)
     return Yb, Ub, Vb
 
 
@@ -327,10 +344,10 @@ def _filter_scan(Yb, Ub, Vb, limit, ilevel, hev, inner, mb_w, mb_h,
     int32 (limit == 0 disables the MB); inner: [n_mb] bool (i4 or has
     non-zero coefficients). Returns filtered planes as per-MB tensors.
     """
-    n_steps, xx, valid_np, mb_np = _skew_maps(mb_w, mb_h, 2)
+    n_steps, xx, valid_np = _skew_maps(mb_w, mb_h, 2)
 
     def skew(a):
-        return a[mb_np.reshape(-1)].reshape(n_steps, mb_h, *a.shape[1:])
+        return _shear(a, mb_w, mb_h, 2)
 
     xs = {
         "y": skew(Yb.astype(jnp.int32)),
@@ -454,30 +471,37 @@ def _filter_scan(Yb, Ub, Vb, limit, ilevel, hev, inner, mb_w, mb_h,
         step, carry0, xs)
 
     # Assemble: core, then right-col patches from step t+1 (same lane),
-    # then bottom-row patches from step t+2 (lane below).
-    flat = _unskew_idx(mb_w, mb_h, 2)
-    core = core_sk.reshape(-1, 16, 16)[flat]             # [n_mb, 16, 16]
-    uvc = uv_sk.reshape(-1, 16, 8)[flat]
+    # then bottom-row patches from step t+2 (lane below). All shear-based:
+    # the rpatch for MB (x, y) lives at grid slot (x+1, y) of the
+    # unsheared patch stream; the bpatch at slot (x, y+1).
+    core = _unshear(core_sk, mb_w, mb_h, 2)              # [n_mb, 16, 16]
+    uvc = _unshear(uv_sk, mb_w, mb_h, 2)
 
     yo = np.repeat(np.arange(mb_h), mb_w)
     xo = np.tile(np.arange(mb_w), mb_h)
-    # rpatch for MB (x, y) was emitted at step (x+1) + 2y, lane y.
+
+    def shift_left(a):
+        g = a.reshape(mb_h, mb_w, *a.shape[1:])
+        g = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+        return g.reshape(a.shape)
+
+    def shift_up(a):
+        g = a.reshape(mb_h, mb_w, *a.shape[1:])
+        g = jnp.concatenate([g[1:], g[-1:]], axis=0)
+        return g.reshape(a.shape)
+
     has_r = xo < mb_w - 1
-    r_idx = (np.minimum(xo + 1, mb_w - 1) + 2 * yo) * mb_h + yo
-    rp = rp_sk.reshape(-1, 16, 4)[r_idx]
+    rp = shift_left(_unshear(rp_sk, mb_w, mb_h, 2))
     core = jnp.where(jnp.asarray(has_r)[:, None, None],
                      jnp.concatenate([core[:, :, :12], rp], axis=2), core)
-    rpuv = rpuv_sk.reshape(-1, 16, 4)[r_idx]
+    rpuv = shift_left(_unshear(rpuv_sk, mb_w, mb_h, 2))
     uvc = jnp.where(jnp.asarray(has_r)[:, None, None],
                     jnp.concatenate([uvc[:, :, :4], rpuv], axis=2), uvc)
-    # bpatch for MB (x, y) was emitted at step x + 2(y+1), lane y+1.
     has_b = yo < mb_h - 1
-    b_idx = (xo + 2 * np.minimum(yo + 1, mb_h - 1)) * mb_h \
-        + np.minimum(yo + 1, mb_h - 1)
-    bp = bp_sk.reshape(-1, 4, 16)[b_idx]
+    bp = shift_up(_unshear(bp_sk, mb_w, mb_h, 2))
     core = jnp.where(jnp.asarray(has_b)[:, None, None],
                      jnp.concatenate([core[:, :12, :], bp], axis=1), core)
-    bpuv = bpuv_sk.reshape(-1, 8, 8)[b_idx]               # [n_mb, 2*4, 8]
+    bpuv = shift_up(_unshear(bpuv_sk, mb_w, mb_h, 2))     # [n_mb, 2*4, 8]
     ub = jnp.concatenate([uvc[:, :4, :], bpuv[:, :4, :]], axis=1)
     vb = jnp.concatenate([uvc[:, 8:12, :], bpuv[:, 4:, :]], axis=1)
     uvc = jnp.where(jnp.asarray(has_b)[:, None, None],

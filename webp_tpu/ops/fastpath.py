@@ -636,10 +636,21 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     yy = np.arange(mb_h)[None, :]
     xx = tt - sk * yy
     valid_np = (xx >= 0) & (xx < mb_w)
-    mb_np = yy * mb_w + np.clip(xx, 0, mb_w - 1)
 
     def skew(a):
-        return a[mb_np.reshape(-1)].reshape(n_steps, mb_h, *a.shape[1:])
+        # Shear via pad+reshape (no gather — gathers of the whole skewed
+        # tensor both cost HBM time and blow the VMEM budget at batch>16):
+        # row y shifted right by sk*y is flat index y*(P-sk) + t with
+        # P = n_steps + sk, so padding rows to width P and re-viewing the
+        # flat buffer as [mb_h, n_steps] lands every (t - sk*y) in place.
+        b = a.reshape(mb_h, mb_w, *a.shape[1:])
+        P = n_steps + sk
+        pad_w = [(0, 0)] * b.ndim
+        pad_w[1] = (0, P - mb_w)
+        b = jnp.pad(b, pad_w)
+        flat = b.reshape(mb_h * P, *a.shape[1:])[: mb_h * n_steps]
+        c = flat.reshape(mb_h, n_steps, *a.shape[1:])
+        return jnp.swapaxes(c, 0, 1)
 
     src_y = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
                    .reshape(n_mb, 16, 16), 16).astype(jnp.int16)
@@ -771,16 +782,26 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     _, (lv_sk, y2_sk, bot_sk, rgt_sk, botu_sk, botv_sk) = jax.lax.scan(
         step, carry0, xs)
 
-    # Unskew: out[y * mbW + x] = skewed[x + sk*y, y].
-    yo = np.repeat(np.arange(mb_h), mb_w)
-    xo = np.tile(np.arange(mb_w), mb_h)
-    flat_idx = (xo + sk * yo) * mb_h + yo
-    lv24 = lv_sk.reshape(n_steps * mb_h, 24, 16)[flat_idx]
-    y2 = y2_sk.reshape(n_steps * mb_h, 16)[flat_idx]
-    bottom = bot_sk.reshape(n_steps * mb_h, 16)[flat_idx]
-    right = rgt_sk.reshape(n_steps * mb_h, 16)[flat_idx]
-    bottom_u = botu_sk.reshape(n_steps * mb_h, 8)[flat_idx]
-    bottom_v = botv_sk.reshape(n_steps * mb_h, 8)[flat_idx]
+    def unskew(c_sk):
+        # Inverse shear: out[y, x] = skewed[x + sk*y, y] — transpose to
+        # [mb_h, n_steps], pad sk trailing rows' worth of elements, and
+        # re-view as [mb_h, n_steps + sk] so column x of row y is flat
+        # index y*(n_steps+sk) + x. No gather.
+        tail = c_sk.shape[2:]
+        c = jnp.swapaxes(c_sk, 0, 1)                   # [mb_h, n_steps, ...]
+        flat = c.reshape(mb_h * n_steps, *tail)
+        pad_w = [(0, 0)] * flat.ndim
+        pad_w[0] = (0, mb_h * sk)
+        flat = jnp.pad(flat, pad_w)
+        out = flat.reshape(mb_h, n_steps + sk, *tail)[:, :mb_w]
+        return out.reshape(mb_h * mb_w, *tail)
+
+    lv24 = unskew(lv_sk)
+    y2 = unskew(y2_sk)
+    bottom = unskew(bot_sk)
+    right = unskew(rgt_sk)
+    bottom_u = unskew(botu_sk)
+    bottom_v = unskew(botv_sk)
     return lv24, y2, bottom, right, bottom_u, bottom_v
 
 
