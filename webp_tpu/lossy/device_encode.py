@@ -38,6 +38,8 @@ def _fetch(arrs: dict, pool=None) -> dict:
     own_pool = pool is None
     ex = pool or concurrent.futures.ThreadPoolExecutor(max_workers=8)
     try:
+        if not isinstance(arrs, dict):
+            return list(ex.map(np.asarray, arrs))
         keys = list(arrs.keys())
         vals = list(ex.map(np.asarray, (arrs[k] for k in keys)))
     finally:
@@ -111,11 +113,13 @@ class DeviceVP8Encoder(VP8Encoder):
         fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
                             self.dev_segments, self.dev_sns, use_i4,
                             sharp_yuv=sharp)
+        from ..ops.fastpath import unpack_output_blob
+
         if self.rgb_input is not None:
-            out = fn.rgb(self.rgb_input[None])
+            out = fn.rgb_blob(self.rgb_input[None])
         else:
-            out = fn(self.srcY[None], self.srcU[None], self.srcV[None])
-        host = _fetch(out)
+            out = fn.blob(self.srcY[None], self.srcU[None], self.srcV[None])
+        host = unpack_output_blob(_fetch(out), fn.blob_spec)
         cnt = int(host["esc_cnt"][0])
         if cnt > fn.esc_cap:  # pathological content: exact host fallback
             srcY, srcU, srcV = self.srcY, self.srcU, self.srcV
@@ -231,13 +235,12 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
     device_out: optional pre-launched fn.rgb(rgbs) result (for pipelining).
     Returns a list of VP8 bitstreams.
     """
-    from ..ops.fastpath import fast_encode_fn
+    from ..ops.fastpath import fast_encode_fn, unpack_output_blob
 
     B, H, W, _ = rgbs.shape
     mb_w, mb_h = W // 16, H // 16
     fn = fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength,
                         sharp_yuv=sharp_yuv)
-    out = device_out if device_out is not None else fn.rgb(rgbs)
 
     tw = true_width or W
     th = true_height or H
@@ -246,7 +249,11 @@ def encode_lossy_batch(rgbs, quality: int = 75, partitions: int = 0,
                       sns_strength=sns_strength)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=num_threads) as ex:
-        host = _fetch(out, pool=ex)
+        if device_out is not None:  # legacy pre-launched fn.rgb() dict
+            host = _fetch(device_out, pool=ex)
+        else:
+            host = unpack_output_blob(_fetch(fn.rgb_blob(rgbs), pool=ex),
+                                      fn.blob_spec)
 
         def emit(i):
             if int(host["esc_cnt"][i]) > fn.esc_cap:
@@ -348,8 +355,8 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
         import jax.numpy as jnp
 
         if host_yuv:
-            return fn(*devs)
-        return fn.rgb(jnp.stack(devs))
+            return fn.blob(*devs)
+        return fn.rgb_blob(jnp.stack(devs))
 
     chunks = [images[i:i + batch] for i in range(0, len(images), batch)]
     results = []
@@ -373,8 +380,10 @@ def encode_lossy_stream(images, quality: int = 75, batch: int = 8,
 
 def _drain(inflight, fn, mb_w, mb_h, w, h, cfg, ex):
     """Fetch one batch's device outputs and entropy-code them."""
+    from ..ops.fastpath import unpack_output_blob
+
     out, chunk = inflight
-    host = _fetch(out, pool=ex)
+    host = unpack_output_blob(_fetch(out, pool=ex), fn.blob_spec)
 
     def emit(i):
         if int(host["esc_cnt"][i]) > fn.esc_cap:

@@ -836,6 +836,39 @@ def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):
     return out
 
 
+# Field order inside the fetched output blob (see fast_encode_fn's blob
+# variants). Fixed so host offsets are static per geometry.
+BLOB_ORDER = ("packed", "esc_idx", "esc_val", "esc_cnt", "y2", "modes",
+              "uvmodes", "skip", "is_i4", "imodes", "seg_map", "seg_q",
+              "seg_beta")
+BLOB_CHUNKS = 4  # parallel fetch streams (the tunnel caps per-stream)
+
+
+def _u8flat(x):
+    """Flat little-endian byte view of a device array (bool stored as u8)."""
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    if x.dtype != jnp.uint8:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return x.reshape(-1)
+
+
+def unpack_output_blob(chunks, spec):
+    """Host inverse of the device blob packing.
+
+    chunks: BLOB_CHUNKS numpy arrays [B, L/BLOB_CHUNKS] u8 (fetched jit
+    outputs); spec: fn.blob_spec {key: (dtype, shape, offset, nbytes)}.
+    Returns the same field dict fn()/fn.rgb() would, as numpy [B, ...].
+    """
+    flat = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    B = flat.shape[0]
+    out = {}
+    for k, (dt, shape, off, nb) in spec.items():
+        raw = np.ascontiguousarray(flat[:, off:off + nb])
+        out[k] = raw.view(dt).reshape((B,) + shape)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Entry: jitted batched encoder for a fixed geometry.
 # ---------------------------------------------------------------------------
@@ -1000,7 +1033,37 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
     rgb_b = jax.jit(jax.vmap(rgb_one))
 
+    # Blob variants: every output field bitcast to bytes and concatenated
+    # into BLOB_CHUNKS equal uint8 arrays, so the host pays one fetch wave
+    # (the tunnel costs ~27 ms *per array* round-trip; the dict form is 13
+    # arrays = two serialized waves of latency). Chunks — not one array —
+    # because the link also caps out per-stream. unpack_output_blob() is
+    # the host inverse; values are bit-identical to the dict form.
+    def _blobify(out):
+        blob = jnp.concatenate([_u8flat(out[k]) for k in BLOB_ORDER])
+        pad = (-blob.size) % BLOB_CHUNKS
+        blob = jnp.pad(blob, (0, pad)).reshape(BLOB_CHUNKS, -1)
+        return tuple(blob[i] for i in range(BLOB_CHUNKS))
+
+    blob_b = jax.jit(jax.vmap(lambda Y, U, V: _blobify(encode_one(Y, U, V))))
+    rgb_blob_b = jax.jit(jax.vmap(lambda rgb: _blobify(rgb_one(rgb))))
+
+    shapes = jax.eval_shape(
+        encode_one,
+        jax.ShapeDtypeStruct((mb_h * 16, mb_w * 16), jnp.uint8),
+        jax.ShapeDtypeStruct((mb_h * 8, mb_w * 8), jnp.uint8),
+        jax.ShapeDtypeStruct((mb_h * 8, mb_w * 8), jnp.uint8))
+    spec, off = {}, 0
+    for k in BLOB_ORDER:
+        dt = np.dtype(shapes[k].dtype)
+        nb = int(np.prod(shapes[k].shape, dtype=np.int64)) * dt.itemsize
+        spec[k] = (dt, tuple(shapes[k].shape), off, nb)
+        off += nb
+
     yuv_b.rgb = rgb_b
+    yuv_b.blob = blob_b
+    yuv_b.rgb_blob = rgb_blob_b
+    yuv_b.blob_spec = spec
     yuv_b.n_mb = n_mb
     yuv_b.esc_cap = esc_cap
     yuv_b.sharp_yuv = bool(sharp_yuv)
