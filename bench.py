@@ -87,7 +87,15 @@ def main() -> None:
     pad = np.zeros((DB, H, W, 3), np.uint8)
     pad[:, :h, :w] = np.stack(imgs[:DB])
     dev_in = jax.device_put(pad)
-    _ = np.asarray(fn.rgb(dev_in)["esc_cnt"])  # sync + compile
+
+    # rgb_blob is the production program (the stream path below reuses
+    # this exact compile). Sync by fetching its trailing tiny esc_cnt
+    # output (block_until_ready returns early on this dev harness's
+    # tunnel platform; a direct 64-byte buffer fetch fences correctly).
+    def sync(out):
+        _ = np.asarray(out[-1])
+
+    sync(fn.rgb_blob(dev_in))  # + compile
     # Steady-state throughput: dispatch K batches back-to-back (JAX
     # dispatch is async) and sync once at the end, so the ~27 ms
     # tunnel round-trip latency of this dev harness amortizes the way a
@@ -96,9 +104,9 @@ def main() -> None:
     dev_mpx_s = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn.rgb(dev_in) for _ in range(K)]
+        outs = [fn.rgb_blob(dev_in) for _ in range(K)]
         for o in outs:
-            _ = np.asarray(o["esc_cnt"])
+            sync(o)
         dev_mpx_s = max(dev_mpx_s,
                         K * DB * mpx / (time.perf_counter() - t0))
 

@@ -110,9 +110,12 @@ class DeviceVP8Encoder(VP8Encoder):
         use_i4 = bool(self.cfg.i4_blocks) and self.cfg.method >= 3
         sharp = bool(getattr(self.cfg, "sharp_yuv", False)) and \
             self.rgb_input is not None
+        # method >= 5: skew-2 closed loop — full I4 mode set on the
+        # rightmost subblock column at ~2x scan steps.
+        sk = 2 if self.cfg.method >= 5 and use_i4 else 1
         fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
                             self.dev_segments, self.dev_sns, use_i4,
-                            sharp_yuv=sharp)
+                            sharp_yuv=sharp, sk=sk)
         from ..ops.fastpath import unpack_output_blob
 
         if self.rgb_input is not None:

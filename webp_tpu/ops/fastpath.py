@@ -458,13 +458,14 @@ def _pallas_enabled() -> bool:
 
 
 def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
-                 tlsd=None, tlsd4=None):
+                 tlsd=None, tlsd4=None, allow_tr=False):
     """Routes the I4 search to the Pallas kernel (TPU) or the jnp path.
     tlsd (scalar | [n_mb]) and tlsd4 ([4] per-segment) enable the
-    perceptual SD term."""
+    perceptual SD term. allow_tr (skew-2 quality mode) uses the jnp path
+    — the Pallas kernel bakes the rightmost-column TR ban."""
     from . import i4 as I4
 
-    if _pallas_enabled():
+    if _pallas_enabled() and not allow_tr:
         n_mb = mb_w * mb_h
         if seg is not None:
             seg_map, seg_rows = seg
@@ -482,7 +483,8 @@ def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
         except Exception:
             pass
     return I4.i4_search(Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
-                        i16_score, approx_block_rate, tlsd=tlsd)
+                        i16_score, approx_block_rate, tlsd=tlsd,
+                        allow_tr=allow_tr)
 
 
 # ---------------------------------------------------------------------------
@@ -603,7 +605,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
 # ---------------------------------------------------------------------------
 
 def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
-            halos=None, has_above=False, seg=None, i4=None):
+            halos=None, has_above=False, seg=None, i4=None, sk=1):
     """Exact levels under true reconstructed context.
 
     Returns (lv24 [n_mb, 24, 16] i16, y2 [n_mb, 16] i16).
@@ -621,13 +623,15 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     right [n_mb,16]) — the reconstructed MB borders feed the I4 phase 3.
     """
     n_mb = mb_w * mb_h
-    # The scan runs at skew 1 (t = x + y): I16 needs no top-right
+    # The default scan runs at skew 1 (t = x + y): I16 needs no top-right
     # neighbor, and I4's only above-right consumer — the rightmost
     # subblock column's strip — is closed off by forbidding the three
     # strip-reading modes there (ops/i4.py TR_MODES), so no macroblock
-    # ever waits on its above-right. (The reference's wavefront pays the
-    # 2-column skew instead, encode_parallel.go:168.)
-    sk = 1
+    # ever waits on its above-right. sk=2 (t = x + 2y, the reference's
+    # wavefront, encode_parallel.go:168) doubles the step count but makes
+    # the above-right MB's reconstruction available one step early, so
+    # the full I4 mode set is legal everywhere (method >= 5).
+    assert sk == 1 or halos is None, "skew-2 is single-band only"
     n_steps = mb_w + sk * (mb_h - 1)
     above = jnp.asarray(has_above if halos is not None else False)
 
@@ -729,12 +733,21 @@ def _phase2(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         if i4 is not None:
             from . import i4 as I4
 
-            # Above-right strip placeholder: at skew 1 the above-right
-            # MB's reconstruction is not yet available, and it is never
-            # needed — the rightmost subblock column cannot select a
-            # strip-reading mode (i4_search forbids TR_MODES there). The
-            # edge-replicated value keeps the computation deterministic.
-            trs = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
+            if sk == 2:
+                # Real above-right strip: bottom row [0:4] of MB
+                # (x+1, y-1), reconstructed at step t-1 (same rule as the
+                # decoder scan, ops/decode.py); right-edge replicated.
+                trs = shift1(By1)[:, 0:4]
+                edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
+                trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
+            else:
+                # Above-right placeholder: at skew 1 the above-right MB's
+                # reconstruction is not yet available, and never needed —
+                # the rightmost subblock column cannot select a
+                # strip-reading mode (i4_search forbids TR_MODES). The
+                # edge-replicated value keeps the computation
+                # deterministic.
+                trs = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
             lv_i4, work = I4.i4_reconstruct(
                 x["y"].astype(jnp.int32), x["i4m"], topY, leftY, tlY,
                 trs, has_top, has_left, qp_t["y1"], rd_drop=rd_drop)
@@ -856,11 +869,14 @@ def _u8flat(x):
 def unpack_output_blob(chunks, spec):
     """Host inverse of the device blob packing.
 
-    chunks: BLOB_CHUNKS numpy arrays [B, L/BLOB_CHUNKS] u8 (fetched jit
-    outputs); spec: fn.blob_spec {key: (dtype, shape, offset, nbytes)}.
+    chunks: the blob-program outputs — BLOB_CHUNKS arrays
+    [B, L/BLOB_CHUNKS] u8, plus a trailing esc_cnt [B] i32 that is
+    ignored here (the blob already carries it); spec: fn.blob_spec
+    {key: (dtype, shape, offset, nbytes)}.
     Returns the same field dict fn()/fn.rgb() would, as numpy [B, ...].
     """
-    flat = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    flat = np.concatenate([np.asarray(c) for c in chunks[:BLOB_CHUNKS]],
+                          axis=1)
     B = flat.shape[0]
     out = {}
     for k, (dt, shape, off, nb) in spec.items():
@@ -947,7 +963,8 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
 @functools.lru_cache(maxsize=8)
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                    sns_strength: int = 0, i4_blocks: bool = True,
-                   sharp_yuv: bool = False, rd_drop: float = 1024.0):
+                   sharp_yuv: bool = False, rd_drop: float = 1024.0,
+                   sk: int = 1):
     """Batched two-phase device encoder.
 
     Returns fn with:
@@ -958,6 +975,9 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     k-means -> SNS quant modulation) and quantizes per MB segment.
     With sharp_yuv the RGB entry point runs the device SharpYUV refinement
     (ops/sharpyuv.py) instead of the plain 4:2:0 import.
+    sk=2 runs the closed loop at the reference's 2-column skew
+    (encode_parallel.go:168): ~2x the scan steps, but the full I4 mode
+    set is legal on the rightmost subblock column (method >= 5).
     rd_drop enables the trellis-lite RD dropout inside the closed loop
     (ops/quant.py): zero marginal |level|==1 coefficients when their rate
     exceeds the weighted distortion increase. The default 1024 measured
@@ -996,7 +1016,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                            .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
             is_i4, i4_modes, _ = _i4_dispatch(
                 Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
-                tlsd=tlsd, tlsd4=tlsd4)
+                tlsd=tlsd, tlsd4=tlsd4, allow_tr=(sk == 2))
             i4_ctx = (is_i4, i4_modes)
         else:
             is_i4 = jnp.zeros((n_mb,), bool)
@@ -1004,7 +1024,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             i4_ctx = None
         lv24, y2, bottom, right, _, _ = _phase2(
             Y, U, V, modes, uvmodes, qp_i, mb_w, mb_h, rd_drop=rd_drop,
-            seg=seg, i4=i4_ctx)
+            seg=seg, i4=i4_ctx, sk=sk)
         packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
         skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
         imodes = jnp.where(is_i4[:, None], i4_modes,
@@ -1039,11 +1059,14 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     # arrays = two serialized waves of latency). Chunks — not one array —
     # because the link also caps out per-stream. unpack_output_blob() is
     # the host inverse; values are bit-identical to the dict form.
+    # The trailing esc_cnt output is a direct tiny buffer: fetching it
+    # alone synchronizes the whole program without pulling a chunk
+    # (jax.block_until_ready returns early on the axon tunnel platform).
     def _blobify(out):
         blob = jnp.concatenate([_u8flat(out[k]) for k in BLOB_ORDER])
         pad = (-blob.size) % BLOB_CHUNKS
         blob = jnp.pad(blob, (0, pad)).reshape(BLOB_CHUNKS, -1)
-        return tuple(blob[i] for i in range(BLOB_CHUNKS))
+        return tuple(blob[i] for i in range(BLOB_CHUNKS)) + (out["esc_cnt"],)
 
     blob_b = jax.jit(jax.vmap(lambda Y, U, V: _blobify(encode_one(Y, U, V))))
     rgb_blob_b = jax.jit(jax.vmap(lambda rgb: _blobify(rgb_one(rgb))))

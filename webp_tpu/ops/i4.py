@@ -171,9 +171,13 @@ def _sb_contexts(Y, mb_w, mb_h):
 
 
 def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
-              approx_block_rate, tlsd=None):
+              approx_block_rate, tlsd=None, allow_tr=False):
     """Open-loop I4 search. Returns (is_i4 [n_mb] bool, modes [n_mb,16] u8,
     i4_score [n_mb] f32).
+
+    allow_tr: permit the above-right-reading modes (TR_MODES) on the
+    rightmost subblock column — valid only when the closed-loop scan runs
+    at skew 2 and supplies the real above-right MB strip (method >= 5).
 
     src_b: [n_mb, 16, 4, 4] source luma blocks; qp_y1: quant tuple
     (broadcastable per MB); lam_i4: scalar or [n_mb] float32.
@@ -208,9 +212,9 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
                              axis=(-2, -1))
             td = jnp.abs(ha_rec - ha_src) >> 5
             score = score + tlsd_col(tlsd) * td.astype(jnp.float32)
-        if m in TR_MODES:
+        if m in TR_MODES and not allow_tr:
             # Forbid above-right-reading modes on the rightmost subblock
-            # column so the wavefront needs no above-right macroblock.
+            # column so the skew-1 wavefront needs no above-right MB.
             score = jnp.where(is_c3, jnp.inf, score)
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
