@@ -96,6 +96,31 @@ def test_device_backend_end_to_end(photo):
     assert _psnr(photo, ref) > 25
 
 
+def test_device_backend_method5_skew2(photo):
+    """method>=5 device path: skew-2 closed loop, full I4 mode set. The
+    stream must stay conformant (our decoder == Pillow — a TR context
+    mismatch vs the decoder rule would show up as drift), and the lifted
+    rightmost-column ban must actually be exercised."""
+    data = webp_tpu.encode(photo, quality=75, method=5, backend="device")
+    ref = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), ref)
+    assert _psnr(photo, ref) > 25
+
+    from webp_tpu.ops.fastpath import fast_encode_fn, unpack_output_blob
+    from webp_tpu.ops.i4 import TR_MODES
+
+    h, w = photo.shape[:2]
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    pad = np.zeros((H, W, 3), np.uint8)
+    pad[:h, :w] = photo
+    pad[h:, :w] = photo[h - 1:h]
+    fn = fast_encode_fn(W // 16, H // 16, 75, 4, 50, True, sk=2)
+    out = unpack_output_blob(fn.rgb_blob(pad[None]), fn.blob_spec)
+    imodes = out["imodes"][0].reshape(-1, 16)[out["is_i4"][0].astype(bool)]
+    assert np.isin(imodes[:, 3::4], TR_MODES).any(), \
+        "skew-2 search never picked a TR mode on the rightmost column"
+
+
 def test_segments_4(photo):
     data = webp_tpu.encode(photo, quality=60, segments=4)
     ref = pil_decode_rgba(data)[..., :3]
