@@ -238,3 +238,58 @@ def test_fuzz_native_decoders_no_crash():
                 dec(bytes(payload[:cut]))
             except Exception:
                 pass
+
+
+def test_native_mb_loop_matches_python_oracle(monkeypatch):
+    """The C++ closed-loop MB encoder (vp8_enc_loop.cc) must be
+    bit-identical to the Python loop across methods and segment counts —
+    modes, levels, reconstruction, and the final bitstream."""
+    from webp_tpu.encoder import rgb_to_yuv420
+    from webp_tpu.lossy.encode import VP8Encoder, LossyConfig
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        "photo": np.asarray(Image.open(
+            "/root/reference/testdata/test_color.png").convert("RGB")
+            .resize((96, 72))),
+        "noise": rng.integers(0, 256, (64, 48, 3), dtype=np.uint8),
+        "grad": (np.arange(80)[None, :, None] *
+                 np.array([3, 2, 1])[None, None, :] % 256).astype(np.uint8)
+                .repeat(56, axis=0).reshape(56, 80, 3),
+    }
+    for rgb in imgs.values():
+        h, w = rgb.shape[:2]
+        y, u, v = rgb_to_yuv420(rgb)
+        for method, segs in ((3, 1), (4, 4), (5, 4)):
+            cfg = LossyConfig(quality=75, method=method, segments=segs,
+                              sns_strength=50)
+            monkeypatch.delenv("WEBPTPU_PY_LOOP", raising=False)
+            e1 = VP8Encoder(y.copy(), u.copy(), v.copy(), w, h, cfg)
+            d1 = e1.encode()
+            monkeypatch.setenv("WEBPTPU_PY_LOOP", "1")
+            e2 = VP8Encoder(y.copy(), u.copy(), v.copy(), w, h, cfg)
+            d2 = e2.encode()
+            monkeypatch.delenv("WEBPTPU_PY_LOOP")
+            assert d1 == d2
+            assert np.array_equal(e1.levels, e2.levels)
+            assert np.array_equal(e1.recY, e2.recY)
+            assert np.array_equal(e1.is_i4, e2.is_i4)
+
+
+def test_native_alphas_match_python_oracle(monkeypatch):
+    """vp8_compute_alphas (analysis pass) parity incl. the round-half-even
+    DC means and the truncated global UV mean."""
+    from webp_tpu.encoder import rgb_to_yuv420
+    from webp_tpu.lossy import analysis
+
+    rgb = np.asarray(Image.open(
+        "/root/reference/testdata/test_color.png").convert("RGB")
+        .resize((120, 88)))
+    y, u, v = rgb_to_yuv420(rgb)
+    mbw, mbh = y.shape[1] // 16, y.shape[0] // 16
+    monkeypatch.delenv("WEBPTPU_PY_LOOP", raising=False)
+    a1, g1 = analysis.compute_alphas(y, u, v, mbw, mbh)
+    monkeypatch.setenv("WEBPTPU_PY_LOOP", "1")
+    a2, g2 = analysis.compute_alphas(y, u, v, mbw, mbh)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert g1 == g2

@@ -55,6 +55,14 @@ def compute_alphas(Y: np.ndarray, U: np.ndarray, V: np.ndarray,
     """Returns (mixed alphas [nmb], global_uv_alpha). Batched DC-prediction
     DCT histograms (the reference tests DC/TM; DC-of-source is the batched
     equivalent with negligible segmentation difference)."""
+    import os
+
+    if not os.environ.get("WEBPTPU_PY_LOOP"):
+        from ..native import api as native
+
+        r = native.vp8_compute_alphas(Y, U, V, mb_w, mb_h)
+        if r is not None:
+            return r
     yb = _block16(Y, mb_h, mb_w, 16)  # [nmb, 16, 4, 4]
     dc = yb.mean(axis=(1, 2, 3)).round().astype(np.int32)
     pred = np.broadcast_to(dc[:, None, None, None], yb.shape)

@@ -1057,6 +1057,46 @@ class VP8Encoder:
                             proba[t, b, c, pi] = new_p
         self.proba = proba
 
+    def _native_mb_loop(self) -> bool:
+        """Runs the closed-loop MB encode in C++ (vp8_enc_loop.cc).
+        Returns False when the native library is unavailable (or disabled
+        via WEBPTPU_PY_LOOP=1), in which case the caller runs the Python
+        oracle loop."""
+        import os
+
+        if os.environ.get("WEBPTPU_PY_LOOP"):
+            return False
+        from ..native import api as native
+
+        quant = np.zeros((4, 3, 4, 16), dtype=np.int64)
+        lam = np.zeros((4, 3), dtype=np.int64)
+        for s in range(4):
+            y1, y2, uv, l = self.seg_q[s]
+            for ci, sq in enumerate((y1, y2, uv)):
+                quant[s, ci, 0] = sq.q
+                quant[s, ci, 1] = sq.iq
+                quant[s, ci, 2] = sq.bias
+                quant[s, ci, 3] = sq.sharpen
+            lam[s] = (l["i16"], l["i4"], l["uv"])
+        out = native.vp8_encode_mbs(
+            self.srcY, self.srcU, self.srcV, self.mb_w, self.mb_h,
+            self.segment_map, quant, lam, self.proba, self.cost_tables,
+            self.cfg.method, self.cfg.i4_blocks and self.cfg.method >= 3,
+            self.i4_header_cap)
+        if out is None:
+            return False
+        sh = (self.mb_h, self.mb_w)
+        self.levels = out["levels"].reshape(*sh, 24, 16)
+        self.y2_levels = out["y2_levels"].reshape(*sh, 16)
+        self.is_i4 = out["is_i4"].reshape(sh).astype(bool)
+        self.imodes = out["imodes"].reshape(*sh, 16)
+        self.uvmode = out["uvmode"].reshape(sh)
+        self.skip = out["skip"].reshape(sh).astype(bool)
+        self.recY = out["recY"]
+        self.recU = out["recU"]
+        self.recV = out["recV"]
+        return True
+
     # ------------------------------------------------------------------
     def encode(self) -> bytes:
         self.proba = T.COEFFS_PROBA0.copy()
@@ -1068,18 +1108,20 @@ class VP8Encoder:
         self._top_bmodes = np.zeros((self.mb_w, 4), dtype=np.uint8)
         self.use_skip = False  # during encode pass, contexts chain as if no skip
 
-        # Wavefront-ordered MB encode (sequential reference; device path
-        # batches per anti-diagonal).
-        for mb_y in range(self.mb_h):
-            self.left_nz = 0
-            self.left_nz_dc = 0
-            self._left_bmodes = np.zeros(4, dtype=np.uint8)
-            for mb_x in range(self.mb_w):
-                self._encode_mb(mb_x, mb_y)
-                if not self.is_i4[mb_y, mb_x]:
-                    m = int(self.imodes[mb_y, mb_x, 0])
-                    self._top_bmodes[mb_x, :] = m
-                    self._left_bmodes[:] = m
+        # Wavefront-ordered MB encode. The C++ loop (native/src/
+        # vp8_enc_loop.cc) is the production path; the Python loop below is
+        # its conformance oracle (bit-identical, tests/test_native_parity.py).
+        if not self._native_mb_loop():
+            for mb_y in range(self.mb_h):
+                self.left_nz = 0
+                self.left_nz_dc = 0
+                self._left_bmodes = np.zeros(4, dtype=np.uint8)
+                for mb_x in range(self.mb_w):
+                    self._encode_mb(mb_x, mb_y)
+                    if not self.is_i4[mb_y, mb_x]:
+                        m = int(self.imodes[mb_y, mb_x, 0])
+                        self._top_bmodes[mb_x, :] = m
+                        self._left_bmodes[:] = m
 
         self.num_skip = int(self.skip.sum())
         total = self.mb_h * self.mb_w

@@ -149,6 +149,73 @@ def record_stats(levels, y2_levels, is_i4, skip, mb_w, mb_h,
     return stats
 
 
+def vp8_encode_mbs(srcY, srcU, srcV, mb_w, mb_h, seg_map, quant, lambdas,
+                   proba, cost_tables, method, i4_blocks, i4_header_cap):
+    """Native closed-loop MB encode (mode RD + quant + reconstruction),
+    bit-exact vs lossy/encode.py's Python loop. Returns dict of per-MB
+    outputs + reconstructed planes, or None when unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8_encode_mbs"):
+        return None
+    if not getattr(lib, "_enc_loop_ready", False):
+        lib.vp8_encode_mbs.argtypes = [ct.c_void_p] * 3 + [ct.c_int] * 2 + \
+            [ct.c_void_p] * 8 + [ct.c_int, ct.c_int, ct.c_int64] + \
+            [ct.c_void_p] * 9
+        lib._enc_loop_ready = True
+    from ..lossy import cost as C
+
+    n_mb = mb_w * mb_h
+    srcY = np.ascontiguousarray(srcY, dtype=np.uint8)
+    srcU = np.ascontiguousarray(srcU, dtype=np.uint8)
+    srcV = np.ascontiguousarray(srcV, dtype=np.uint8)
+    seg = np.ascontiguousarray(seg_map, dtype=np.uint8).reshape(-1)
+    quant = np.ascontiguousarray(quant, dtype=np.int64)
+    lam = np.ascontiguousarray(lambdas, dtype=np.int64)
+    pr = np.ascontiguousarray(proba, dtype=np.uint8)
+    ctab = np.ascontiguousarray(cost_tables, dtype=np.int32)
+    ec = np.ascontiguousarray(C.ENTROPY_COST, dtype=np.int32)
+    lf = np.ascontiguousarray(C.LEVEL_FIXED_COSTS, dtype=np.int32)
+    fc4 = np.ascontiguousarray(C.FIXED_COSTS_I4, dtype=np.int32)
+    levels = np.zeros((n_mb, 24, 16), dtype=np.int32)
+    y2 = np.zeros((n_mb, 16), dtype=np.int32)
+    is_i4 = np.zeros(n_mb, dtype=np.uint8)
+    imodes = np.zeros((n_mb, 16), dtype=np.uint8)
+    uvmode = np.zeros(n_mb, dtype=np.uint8)
+    skip = np.zeros(n_mb, dtype=np.uint8)
+    recY = np.zeros_like(srcY)
+    recU = np.zeros_like(srcU)
+    recV = np.zeros_like(srcV)
+    lib.vp8_encode_mbs(
+        _ptr(srcY), _ptr(srcU), _ptr(srcV), mb_w, mb_h, _ptr(seg),
+        _ptr(quant), _ptr(lam), _ptr(pr), _ptr(ctab), _ptr(ec), _ptr(lf),
+        _ptr(fc4), int(method), int(bool(i4_blocks)), int(i4_header_cap),
+        _ptr(levels), _ptr(y2), _ptr(is_i4), _ptr(imodes), _ptr(uvmode),
+        _ptr(skip), _ptr(recY), _ptr(recU), _ptr(recV))
+    return {"levels": levels, "y2_levels": y2, "is_i4": is_i4,
+            "imodes": imodes, "uvmode": uvmode, "skip": skip,
+            "recY": recY, "recU": recU, "recV": recV}
+
+
+def vp8_compute_alphas(Y, U, V, mb_w, mb_h):
+    """Native analysis-pass alphas -> (mixed [n_mb] i32, global_uv int),
+    bit-exact vs lossy/analysis.py compute_alphas. None if unavailable."""
+    lib = get()
+    if lib is None or not hasattr(lib, "vp8_compute_alphas"):
+        return None
+    if not getattr(lib, "_alphas_ready", False):
+        lib.vp8_compute_alphas.argtypes = [ct.c_void_p] * 3 + \
+            [ct.c_int] * 2 + [ct.c_void_p] * 2
+        lib._alphas_ready = True
+    Y = np.ascontiguousarray(Y, dtype=np.uint8)
+    U = np.ascontiguousarray(U, dtype=np.uint8)
+    V = np.ascontiguousarray(V, dtype=np.uint8)
+    mixed = np.zeros(mb_w * mb_h, dtype=np.int32)
+    guv = np.zeros(1, dtype=np.int32)
+    lib.vp8_compute_alphas(_ptr(Y), _ptr(U), _ptr(V), mb_w, mb_h,
+                           _ptr(mixed), _ptr(guv))
+    return mixed, int(guv[0])
+
+
 def _setup_dec(lib):
     if getattr(lib, "_dec_ready", False):
         return lib

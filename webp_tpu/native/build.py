@@ -4,7 +4,7 @@ import os
 import subprocess
 import sys
 
-SRC = ["src/vp8_enc.cc", "src/vp8_dec.cc", "src/yuv_import.cc",
+SRC = ["src/vp8_enc.cc", "src/vp8_enc_loop.cc", "src/vp8_dec.cc", "src/yuv_import.cc",
        "src/upsample.cc", "src/vp8l_enc.cc", "src/vp8l_predictor.cc", "src/vp8l_dec.cc"]
 HERE = os.path.dirname(os.path.abspath(__file__))
 
