@@ -149,65 +149,79 @@ def _i4_decode_walk(res_b, modes, topY, leftY, tlY, trs, has_top, has_left):
     return work
 
 
-def _recon_scan(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h):
-    """resY: [n_mb, 16, 4, 4] int32 residual blocks (raster subblock
-    order); resU/resV: [n_mb, 4, 4, 4]. Returns (Yb, Ub, Vb) uint8 per-MB
-    reconstructions [n_mb, s, s]."""
+def _recon_step(carry, x, lanes_y, mb_h, mb_w):
+    """One wavefront reconstruction step (shared by the recon-only and the
+    fused recon+filter scans). Returns (new_carry, (rY, rU, rV) int32)."""
+    (By1, By2, Ry, Cy1, Cy2, Cy3,
+     Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+     Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
+    has_left = x["valid"] & (x["x"] > 0)
+    has_top = x["valid"] & (lanes_y > 0)
+
+    topY, leftY, tlY = _shift1(By2), Ry, _shift1(Cy3)
+    predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
+    predY = _sel4(predsY, jnp.minimum(x["im"][:, 0], 3))
+    rec16 = jnp.clip(predY + _unblock(x["ry"], 16), 0, 255)
+
+    # I4: above-right strip = bottom row [0:4] of MB (x+1, y-1),
+    # reconstructed one step earlier (skew 2); right-edge replicated.
+    trs = _shift1(By1)[:, 0:4]
+    edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
+    trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
+    work = _i4_decode_walk(x["ry"], x["im"],
+                           topY, leftY, tlY, trs, has_top, has_left)
+    sel = x["i4"][:, None, None]
+    rY = jnp.where(sel, work, rec16)
+
+    topU, leftU, tlU = _shift1(Bu2), Ru, _shift1(Cu3)
+    topV, leftV, tlV = _shift1(Bv2), Rv, _shift1(Cv3)
+    predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
+    predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
+    rU = jnp.clip(_sel4(predsU, x["uvm"]) + _unblock(x["ru"], 8), 0, 255)
+    rV = jnp.clip(_sel4(predsV, x["uvm"]) + _unblock(x["rv"], 8), 0, 255)
+
+    new = (rY[:, 15, :], By1, rY[:, :, 15], rY[:, 15, 15], Cy1, Cy2,
+           rU[:, 7, :], Bu1, rU[:, :, 7], rU[:, 7, 7], Cu1, Cu2,
+           rV[:, 7, :], Bv1, rV[:, :, 7], rV[:, 7, 7], Cv1, Cv2)
+    return new, (rY, rU, rV)
+
+
+def _recon_carry0(mb_h):
+    z16 = jnp.zeros((mb_h, 16), jnp.int32)
+    z8 = jnp.zeros((mb_h, 8), jnp.int32)
+    z1 = jnp.zeros((mb_h,), jnp.int32)
+    return (z16, z16, z16, z1, z1, z1,
+            z8, z8, z8, z1, z1, z1,
+            z8, z8, z8, z1, z1, z1)
+
+
+def _recon_xs(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h):
     n_steps, xx, valid_np = _skew_maps(mb_w, mb_h, 2)
 
     def skew(a):
         return _shear(a, mb_w, mb_h, 2)
 
-    xs = {
+    return {
         "ry": skew(resY), "ru": skew(resU), "rv": skew(resV),
         "i4": skew(is_i4), "im": skew(imodes), "uvm": skew(uvmode),
         "x": jnp.asarray(xx.clip(0, mb_w - 1), jnp.int32),
         "valid": jnp.asarray(valid_np),
     }
+
+
+def _recon_scan(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h):
+    """resY: [n_mb, 16, 4, 4] int32 residual blocks (raster subblock
+    order); resU/resV: [n_mb, 4, 4, 4]. Returns (Yb, Ub, Vb) uint8 per-MB
+    reconstructions [n_mb, s, s]."""
+    xs = _recon_xs(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h)
     lanes_y = jnp.arange(mb_h)
 
     def step(carry, x):
-        (By1, By2, Ry, Cy1, Cy2, Cy3,
-         Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
-         Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
-        has_left = x["valid"] & (x["x"] > 0)
-        has_top = x["valid"] & (lanes_y > 0)
-
-        topY, leftY, tlY = _shift1(By2), Ry, _shift1(Cy3)
-        predsY = _preds4(16, topY, leftY, tlY, has_top, has_left)
-        predY = _sel4(predsY, jnp.minimum(x["im"][:, 0], 3))
-        rec16 = jnp.clip(predY + _unblock(x["ry"], 16), 0, 255)
-
-        # I4: above-right strip = bottom row [0:4] of MB (x+1, y-1),
-        # reconstructed one step earlier (skew 2); right-edge replicated.
-        trs = _shift1(By1)[:, 0:4]
-        edge = jnp.broadcast_to(topY[:, 15:16], (mb_h, 4))
-        trs = jnp.where((x["x"] + 1 >= mb_w)[:, None], edge, trs)
-        work = _i4_decode_walk(x["ry"], x["im"],
-                               topY, leftY, tlY, trs, has_top, has_left)
-        sel = x["i4"][:, None, None]
-        rY = jnp.where(sel, work, rec16)
-
-        topU, leftU, tlU = _shift1(Bu2), Ru, _shift1(Cu3)
-        topV, leftV, tlV = _shift1(Bv2), Rv, _shift1(Cv3)
-        predsU = _preds4(8, topU, leftU, tlU, has_top, has_left)
-        predsV = _preds4(8, topV, leftV, tlV, has_top, has_left)
-        rU = jnp.clip(_sel4(predsU, x["uvm"]) + _unblock(x["ru"], 8), 0, 255)
-        rV = jnp.clip(_sel4(predsV, x["uvm"]) + _unblock(x["rv"], 8), 0, 255)
-
-        new = (rY[:, 15, :], By1, rY[:, :, 15], rY[:, 15, 15], Cy1, Cy2,
-               rU[:, 7, :], Bu1, rU[:, :, 7], rU[:, 7, 7], Cu1, Cu2,
-               rV[:, 7, :], Bv1, rV[:, :, 7], rV[:, 7, 7], Cv1, Cv2)
+        new, (rY, rU, rV) = _recon_step(carry, x, lanes_y, mb_h, mb_w)
         return new, (rY.astype(jnp.uint8), rU.astype(jnp.uint8),
                      rV.astype(jnp.uint8))
 
-    z16 = jnp.zeros((mb_h, 16), jnp.int32)
-    z8 = jnp.zeros((mb_h, 8), jnp.int32)
-    z1 = jnp.zeros((mb_h,), jnp.int32)
-    carry0 = (z16, z16, z16, z1, z1, z1,
-              z8, z8, z8, z1, z1, z1,
-              z8, z8, z8, z1, z1, z1)
-    _, (y_sk, u_sk, v_sk) = jax.lax.scan(step, carry0, xs)
+    _, (y_sk, u_sk, v_sk) = jax.lax.scan(step, _recon_carry0(mb_h), xs)
 
     Yb = _unshear(y_sk, mb_w, mb_h, 2)
     Ub = _unshear(u_sk, mb_w, mb_h, 2)
@@ -336,140 +350,157 @@ def _h_edge(blockT, blockB, row, limit, il, hev, inner, enable):
     return blockT, blockB
 
 
-def _filter_scan(Yb, Ub, Vb, limit, ilevel, hev, inner, mb_w, mb_h,
-                 simple: bool):
-    """Applies the loop filter in exact raster order via a skew-2 scan.
+def _filter_step(carry, x, own, uv, lanes_y, simple):
+    """One loop-filter wavefront step (shared by the fused decode scan).
 
-    Yb/Ub/Vb: [n_mb, s, s] uint8 per-MB recon; limit/ilevel/hev: [n_mb]
-    int32 (limit == 0 disables the MB); inner: [n_mb] bool (i4 or has
-    non-zero coefficients). Returns filtered planes as per-MB tensors.
-    """
-    n_steps, xx, valid_np = _skew_maps(mb_w, mb_h, 2)
+    own: [L, 16, 16] int32 reconstructed luma MB; uv: [L, 16, 8] int32
+    (U stacked over V). carry: (Ry, Bsy, Bhy, Ruv, Bsuv, Bhuv) — R*:
+    right 4 cols of the previous MB (post filtering); Bs*: bottom 4 rows
+    of the previous MB; Bh*: assembled bottom rows of the previous MB
+    fully patched, for the lane below."""
+    (Ry, Bsy, Bhy, Ruv, Bsuv, Bhuv) = carry
+    leftR = Ry
+    topB = _shift1(Bhy)
+    leftRuv = Ruv
+    topBuv = _shift1(Bhuv)
 
-    def skew(a):
-        return _shear(a, mb_w, mb_h, 2)
+    en = (x["valid"] & (x["limit"] > 0))[:, None]
+    has_left = en & (x["x"] > 0)[:, None]
+    has_top = en & (lanes_y > 0)[:, None]
+    lim = x["limit"][:, None]
+    il = x["il"][:, None]
+    hv = x["hev"][:, None]
+    inn = en & x["inner"][:, None]
 
-    xs = {
-        "y": skew(Yb.astype(jnp.int32)),
-        "u": skew(Ub.astype(jnp.int32)),
-        "v": skew(Vb.astype(jnp.int32)),
-        "limit": skew(limit), "il": skew(ilevel), "hev": skew(hev),
-        "inner": skew(inner),
-        "x": jnp.asarray(xx.clip(0, mb_w - 1), jnp.int32),
-        "valid": jnp.asarray(valid_np),
-    }
-    lanes_y = jnp.arange(mb_h)
+    if simple:
+        # Simple filter: luma only, 2-tap on p1..q1.
+        def vsimple(bl, br, col, limit_, enable):
+            def getc(c):
+                return bl[:, :, 16 + c] if c < 0 else br[:, :, c]
+            p1, p0, q0, q1 = (getc(col - 2), getc(col - 1),
+                              getc(col), getc(col + 1))
+            np0, nq0 = _filter_edge_simple(p1, p0, q0, q1, limit_,
+                                           enable)
+            if col - 1 < 0:
+                bl = bl.at[:, :, 15].set(np0)
+            else:
+                br = br.at[:, :, col - 1].set(np0)
+            br = br.at[:, :, col].set(nq0)
+            return bl, br
 
-    def step(carry, x):
-        # R*: right 4 cols of the previous MB (post filtering);
-        # Bs*: bottom 4 rows of the previous MB; Bh*: assembled bottom
-        # rows of the previous MB fully patched, for the lane below.
-        (Ry, Bsy, Bhy, Ruv, Bsuv, Bhuv) = carry
-        own = x["y"]                                    # [L, 16, 16]
-        uv = jnp.concatenate([x["u"], x["v"]], axis=1)  # [L, 16, 8]
-        leftR = Ry
-        topB = _shift1(Bhy)
-        leftRuv = Ruv
-        topBuv = _shift1(Bhuv)
+        def hsimple(bt, bb, row, limit_, enable):
+            def getr(r):
+                return bt[:, 4 + r, :] if r < 0 else bb[:, r, :]
+            p1, p0, q0, q1 = (getr(row - 2), getr(row - 1),
+                              getr(row), getr(row + 1))
+            np0, nq0 = _filter_edge_simple(p1, p0, q0, q1, limit_,
+                                           enable)
+            if row - 1 < 0:
+                bt = bt.at[:, 3, :].set(np0)
+            else:
+                bb = bb.at[:, row - 1, :].set(np0)
+            bb = bb.at[:, row, :].set(nq0)
+            return bt, bb
 
-        en = (x["valid"] & (x["limit"] > 0))[:, None]
-        has_left = en & (x["x"] > 0)[:, None]
-        has_top = en & (lanes_y > 0)[:, None]
-        lim = x["limit"][:, None]
-        il = x["il"][:, None]
-        hv = x["hev"][:, None]
-        inn = en & x["inner"][:, None]
+        leftR, own = vsimple(leftR, own, 0, lim + 4, has_left)
+        for k in (4, 8, 12):
+            _, own = vsimple(own, own, k, lim, inn)
+        topB, own = hsimple(topB, own, 0, lim + 4, has_top)
+        for k in (4, 8, 12):
+            _, own = hsimple(own, own, k, lim, inn)
+    else:
+        leftR, own = _v_edge(leftR, own, 0, lim + 4, il, hv, False,
+                             has_left)
+        for k in (4, 8, 12):
+            _, own = _v_edge(own, own, k, lim, il, hv, True, inn)
+        leftRuv, uv = _v_edge(leftRuv, uv, 0, lim + 4, il, hv, False,
+                              has_left)
+        _, uv = _v_edge(uv, uv, 4, lim, il, hv, True, inn)
+        topB, own = _h_edge(topB, own, 0, lim + 4, il, hv, False,
+                            has_top)
+        for k in (4, 8, 12):
+            _, own = _h_edge(own, own, k, lim, il, hv, True, inn)
+        # Chroma horizontal edges: U and V stacked along the row axis
+        # would couple across the U/V boundary; handle separately.
+        u_own, v_own = uv[:, :8], uv[:, 8:]
+        topBu, topBv = topBuv[:, :4], topBuv[:, 4:]
+        topBu, u_own = _h_edge(topBu, u_own, 0, lim + 4, il, hv, False,
+                               has_top)
+        _, u_own = _h_edge(u_own, u_own, 4, lim, il, hv, True, inn)
+        topBv, v_own = _h_edge(topBv, v_own, 0, lim + 4, il, hv, False,
+                               has_top)
+        _, v_own = _h_edge(v_own, v_own, 4, lim, il, hv, True, inn)
+        uv = jnp.concatenate([u_own, v_own], axis=1)
+        topBuv = jnp.concatenate([topBu, topBv], axis=1)
 
-        if simple:
-            # Simple filter: luma only, 2-tap on p1..q1.
-            def vsimple(bl, br, col, limit_, enable):
-                def getc(c):
-                    return bl[:, :, 16 + c] if c < 0 else br[:, :, c]
-                p1, p0, q0, q1 = (getc(col - 2), getc(col - 1),
-                                  getc(col), getc(col + 1))
-                np0, nq0 = _filter_edge_simple(p1, p0, q0, q1, limit_,
-                                               enable)
-                if col - 1 < 0:
-                    bl = bl.at[:, :, 15].set(np0)
-                else:
-                    br = br.at[:, :, col - 1].set(np0)
-                br = br.at[:, :, col].set(nq0)
-                return bl, br
+    # Writeback assembly values.
+    rpatch = leftR                                   # [L, 16, 4]
+    bpatch = topB                                    # [L, 4, 16]
+    rpatch_uv = leftRuv                              # [L, 16, 4]
+    bpatch_uv = topBuv                               # [L, 8, 8]
+    # New carries: Bh = previous Bs patched with the updated leftR
+    # bottom corner (the left-edge write that lands in the previous
+    # MB's bottom rows).
+    Bhy_new = Bsy.at[:, :, 12:16].set(leftR[:, 12:16, :])
+    Bhuv_new = Bsuv.at[:, :, 4:8].set(
+        jnp.concatenate([leftRuv[:, 4:8, :], leftRuv[:, 12:16, :]],
+                        axis=1))
+    new = (own[:, :, 12:16], own[:, 12:16, :], Bhy_new,
+           uv[:, :, 4:8],
+           jnp.concatenate([uv[:, 4:8, :], uv[:, 12:16, :]], axis=1),
+           Bhuv_new)
+    return new, (own.astype(jnp.uint8),
+                 rpatch.astype(jnp.uint8), bpatch.astype(jnp.uint8),
+                 uv.astype(jnp.uint8),
+                 rpatch_uv.astype(jnp.uint8), bpatch_uv.astype(jnp.uint8))
 
-            def hsimple(bt, bb, row, limit_, enable):
-                def getr(r):
-                    return bt[:, 4 + r, :] if r < 0 else bb[:, r, :]
-                p1, p0, q0, q1 = (getr(row - 2), getr(row - 1),
-                                  getr(row), getr(row + 1))
-                np0, nq0 = _filter_edge_simple(p1, p0, q0, q1, limit_,
-                                               enable)
-                if row - 1 < 0:
-                    bt = bt.at[:, 3, :].set(np0)
-                else:
-                    bb = bb.at[:, row - 1, :].set(np0)
-                bb = bb.at[:, row, :].set(nq0)
-                return bt, bb
 
-            leftR, own = vsimple(leftR, own, 0, lim + 4, has_left)
-            for k in (4, 8, 12):
-                _, own = vsimple(own, own, k, lim, inn)
-            topB, own = hsimple(topB, own, 0, lim + 4, has_top)
-            for k in (4, 8, 12):
-                _, own = hsimple(own, own, k, lim, inn)
-        else:
-            leftR, own = _v_edge(leftR, own, 0, lim + 4, il, hv, False,
-                                 has_left)
-            for k in (4, 8, 12):
-                _, own = _v_edge(own, own, k, lim, il, hv, True, inn)
-            leftRuv, uv = _v_edge(leftRuv, uv, 0, lim + 4, il, hv, False,
-                                  has_left)
-            _, uv = _v_edge(uv, uv, 4, lim, il, hv, True, inn)
-            topB, own = _h_edge(topB, own, 0, lim + 4, il, hv, False,
-                                has_top)
-            for k in (4, 8, 12):
-                _, own = _h_edge(own, own, k, lim, il, hv, True, inn)
-            # Chroma horizontal edges: U and V stacked along the row axis
-            # would couple across the U/V boundary; handle separately.
-            u_own, v_own = uv[:, :8], uv[:, 8:]
-            topBu, topBv = topBuv[:, :4], topBuv[:, 4:]
-            topBu, u_own = _h_edge(topBu, u_own, 0, lim + 4, il, hv, False,
-                                   has_top)
-            _, u_own = _h_edge(u_own, u_own, 4, lim, il, hv, True, inn)
-            topBv, v_own = _h_edge(topBv, v_own, 0, lim + 4, il, hv, False,
-                                   has_top)
-            _, v_own = _h_edge(v_own, v_own, 4, lim, il, hv, True, inn)
-            uv = jnp.concatenate([u_own, v_own], axis=1)
-            topBuv = jnp.concatenate([topBu, topBv], axis=1)
-
-        # Writeback assembly values.
-        rpatch = leftR                                   # [L, 16, 4]
-        bpatch = topB                                    # [L, 4, 16]
-        rpatch_uv = leftRuv                              # [L, 16, 4]
-        bpatch_uv = topBuv                               # [L, 8, 8]
-        # New carries: Bh = previous Bs patched with the updated leftR
-        # bottom corner (the left-edge write that lands in the previous
-        # MB's bottom rows).
-        Bhy_new = Bsy.at[:, :, 12:16].set(leftR[:, 12:16, :])
-        Bhuv_new = Bsuv.at[:, :, 4:8].set(
-            jnp.concatenate([leftRuv[:, 4:8, :], leftRuv[:, 12:16, :]],
-                            axis=1))
-        new = (own[:, :, 12:16], own[:, 12:16, :], Bhy_new,
-               uv[:, :, 4:8],
-               jnp.concatenate([uv[:, 4:8, :], uv[:, 12:16, :]], axis=1),
-               Bhuv_new)
-        return new, (own.astype(jnp.uint8),
-                     rpatch.astype(jnp.uint8), bpatch.astype(jnp.uint8),
-                     uv.astype(jnp.uint8),
-                     rpatch_uv.astype(jnp.uint8), bpatch_uv.astype(jnp.uint8))
-
+def _filter_carry0(mb_h):
     zR = jnp.zeros((mb_h, 16, 4), jnp.int32)
     zB = jnp.zeros((mb_h, 4, 16), jnp.int32)
     zRuv = jnp.zeros((mb_h, 16, 4), jnp.int32)
     zBuv = jnp.zeros((mb_h, 8, 8), jnp.int32)
-    carry0 = (zR, zB, zB, zRuv, zBuv, zBuv)
+    return (zR, zB, zB, zRuv, zBuv, zBuv)
+
+
+def _fused_decode_scan(resY, resU, resV, is_i4, imodes, uvmode,
+                       limit, ilevel, hev, inner, mb_w, mb_h, simple):
+    """Reconstruction + loop filter in ONE skew-2 scan.
+
+    The filter of MB (x, y) depends only on (a) its own reconstruction
+    (computed earlier in the same step body), (b) the filtered right
+    columns of (x-1, y) — previous step, same lane — and (c) the patched
+    bottom rows of (x, y-1) — filter carries from steps t-1/t-2, lane
+    above. All arrive on the same skew-2 schedule as reconstruction, so
+    the filter runs at lag 0 inside the recon step and the whole decode
+    costs one scan's worth of step latency instead of two
+    (reference doFilterRow interleaves the same way, decode_frame.go:293).
+    """
+    xs = _recon_xs(resY, resU, resV, is_i4, imodes, uvmode, mb_w, mb_h)
+
+    def skew(a):
+        return _shear(a, mb_w, mb_h, 2)
+
+    xs.update({"limit": skew(limit), "il": skew(ilevel), "hev": skew(hev),
+               "inner": skew(inner)})
+    lanes_y = jnp.arange(mb_h)
+
+    def step(carry, x):
+        rc, fc = carry
+        rc_new, (rY, rU, rV) = _recon_step(rc, x, lanes_y, mb_h, mb_w)
+        uv = jnp.concatenate([rU, rV], axis=1)
+        fc_new, outs = _filter_step(fc, x, rY, uv, lanes_y, simple)
+        return (rc_new, fc_new), outs
+
+    carry0 = (_recon_carry0(mb_h), _filter_carry0(mb_h))
     _, (core_sk, rp_sk, bp_sk, uv_sk, rpuv_sk, bpuv_sk) = jax.lax.scan(
         step, carry0, xs)
+    return _filter_assemble(core_sk, rp_sk, bp_sk, uv_sk, rpuv_sk,
+                            bpuv_sk, mb_w, mb_h)
 
+
+def _filter_assemble(core_sk, rp_sk, bp_sk, uv_sk, rpuv_sk, bpuv_sk,
+                     mb_w, mb_h):
     # Assemble: core, then right-col patches from step t+1 (same lane),
     # then bottom-row patches from step t+2 (lane below). All shear-based:
     # the rpatch for MB (x, y) lives at grid slot (x+1, y) of the
@@ -536,12 +567,15 @@ def decode_fn(mb_w: int, mb_h: int, filter_type: int, upsample: bool = True,
         n_mb = mb_w * mb_h
         c = coeffs.astype(jnp.int32)
         res = dct.idct4x4(c.reshape(n_mb, 24, 4, 4))
-        Yb, Ub, Vb = _recon_scan(res[:, :16], res[:, 16:20], res[:, 20:24],
-                                 is_i4, imodes, uvmode, mb_w, mb_h)
         if filter_type > 0:
-            Yb, Ub, Vb = _filter_scan(Yb, Ub, Vb, limit, ilevel, hevt,
-                                      inner, mb_w, mb_h,
-                                      simple=filter_type == 1)
+            Yb, Ub, Vb = _fused_decode_scan(
+                res[:, :16], res[:, 16:20], res[:, 20:24],
+                is_i4, imodes, uvmode, limit, ilevel, hevt, inner,
+                mb_w, mb_h, simple=filter_type == 1)
+        else:
+            Yb, Ub, Vb = _recon_scan(res[:, :16], res[:, 16:20],
+                                     res[:, 20:24], is_i4, imodes, uvmode,
+                                     mb_w, mb_h)
         Y = _mb_to_plane(Yb, mb_w, mb_h, 16)
         U = _mb_to_plane(Ub, mb_w, mb_h, 8)
         V = _mb_to_plane(Vb, mb_w, mb_h, 8)

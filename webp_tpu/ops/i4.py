@@ -326,46 +326,61 @@ def i4_reconstruct(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
 
 def _planar_inputs(Y, seg_map, mb_w, mb_h):
     """Builds the Pallas kernel's planar [16, n_sb] src/ctx arrays in
-    subblock GRID order (sb = sy * SBX + sx) — strided slices of one
-    padded plane instead of the mb-order gathers of _sb_contexts, which
-    cost more than the 10-mode search itself on a v5e."""
-    H, W = Y.shape
+    subblock GRID order (sb = sy * SBX + sx).
+
+    One reshape to subblock space [SBY, 4, SBX, 4] turns every context
+    row into a contiguous one-subblock shift (pad + slice on a subblock
+    axis) — no stride-4 pixel slices, no scatter pads — and the whole
+    relayout runs in uint8: the i32 strided formulation's HBM traffic
+    cost ~2x the 10-mode Pallas search itself on a v5e."""
     SBY, SBX = mb_h * 4, mb_w * 4
     n_sb = SBY * SBX
-    # Pad: row -1 = 127, col -1 = 129, and 4 replicated columns on the
-    # right so the inner-tr slices stay in bounds (their values are
-    # overridden for the c == 3 subblocks anyway).
-    pad = jnp.full((H + 1, W + 5), 129, jnp.int32)
-    pad = pad.at[0, :].set(127)
-    pad = pad.at[1:, 1:W + 1].set(Y)
-    pad = pad.at[1:, W + 1:].set(Y[:, W - 1:W])
-    pad = pad.at[0, :].set(127)
+    g = Y.astype(jnp.uint8).reshape(SBY, 4, SBX, 4)  # [sy, r, sx, c]
+    src16 = g.transpose(1, 3, 0, 2).reshape(16, n_sb)
 
-    src16 = (Y.reshape(SBY, 4, SBX, 4).transpose(1, 3, 0, 2)
-             .reshape(16, n_sb))
-    rows = []
-    for i in range(3, -1, -1):                      # l3, l2, l1, l0
-        rows.append(pad[1 + i::4, 0:W:4])
-    rows.append(pad[0:H:4, 0:W:4])                  # tl
-    for j in range(4):                              # t0..t3
-        rows.append(pad[0:H:4, 1 + j::4][:, :SBX])
-    # tr: inner strip (next subblock's top) overridden at c == 3 with the
-    # above-right MACROBLOCK strip (edge-replicated at the image border).
-    sx = jnp.arange(SBX)
-    is_c3 = (sx % 4) == 3
-    mb_tops = pad[0:H:16, 1:W + 5]                  # [mbH, W+4]
-    for j in range(4):
-        base = pad[0:H:4, 5 + j::4][:, :SBX]
-        strip = mb_tops[:, 16 + j::16][:, :mb_w]    # [mbH, mbW]
-        strip = jnp.repeat(jnp.repeat(strip, 4, axis=0), 4, axis=1)
-        rows.append(jnp.where(is_c3[None, :], strip, base))
-    rows.append(jnp.broadcast_to(is_c3[None, :].astype(jnp.int32),
-                                 (SBY, SBX)))
-    seg_grid = jnp.repeat(jnp.repeat(
-        seg_map.reshape(mb_h, mb_w).astype(jnp.int32), 4, axis=0),
-        4, axis=1)
-    rows.append(seg_grid)
-    rows.append(jnp.zeros((SBY, SBX), jnp.int32))
+    # Row above each subblock = bottom row (r=3) of the subblock above;
+    # missing top row = 127 (RFC 6386 halo rule).
+    bot = g[:, 3]                                   # [SBY, SBX, 4]
+    top_f = jnp.concatenate(
+        [jnp.full((1, SBX, 4), 127, jnp.uint8), bot[:-1]], axis=0)
+    # Left col = right col (c=3) of the subblock to the left; missing = 129.
+    rgt = g[..., 3]                                 # [SBY, 4, SBX]
+    left_f = jnp.concatenate(
+        [jnp.full((SBY, 4, 1), 129, jnp.uint8), rgt[:, :, :-1]], axis=2)
+    # Corner: bottom-right pixel of the diagonal subblock; row rule wins
+    # (sy == 0 -> 127 everywhere, else sx == 0 -> 129).
+    br = g[:, 3, :, 3]                              # [SBY, SBX]
+    tl_f = jnp.concatenate(
+        [jnp.full((SBY, 1), 129, jnp.uint8), br[:, :-1]], axis=1)
+    tl_f = jnp.concatenate(
+        [jnp.full((1, SBX), 127, jnp.uint8), tl_f[:-1]], axis=0)
+    # tr base: the right neighbor's top strip (last column replicated —
+    # its value is overridden by the c == 3 MB strip below anyway).
+    tr_base = jnp.concatenate([top_f[:, 1:], top_f[:, -1:]], axis=1)
+    # MB-level above-right strip: next MB's top strip, edge-replicated at
+    # the last MB column with the row-above's rightmost pixel.
+    t5 = top_f.reshape(mb_h, 4, mb_w, 4, 4)
+    t4 = t5[:, 0, :, 0]                             # [mbH, mbW, 4]
+    last_px = t5[:, 0, -1, -1, 3]                   # [mbH]
+    mbtr = jnp.concatenate(
+        [t4[:, 1:],
+         jnp.broadcast_to(last_px[:, None, None], (mb_h, 1, 4))], axis=1)
+    mbtr_g = jnp.broadcast_to(
+        mbtr[:, None, :, None], (mb_h, 4, mb_w, 4, 4)).reshape(SBY, SBX, 4)
+    is_c3 = (jnp.arange(SBX) % 4) == 3
+    tr_f = jnp.where(is_c3[None, :, None], mbtr_g, tr_base)
+
+    seg_grid = jnp.broadcast_to(
+        seg_map.reshape(mb_h, 1, mb_w, 1).astype(jnp.uint8),
+        (mb_h, 4, mb_w, 4)).reshape(SBY, SBX)
+    rows = ([left_f[:, i] for i in (3, 2, 1, 0)]    # l3, l2, l1, l0
+            + [tl_f]
+            + [top_f[..., j] for j in range(4)]     # t0..t3
+            + [tr_f[..., j] for j in range(4)]      # tr0..tr3
+            + [jnp.broadcast_to(is_c3[None, :].astype(jnp.uint8),
+                                (SBY, SBX)),
+               seg_grid,
+               jnp.zeros((SBY, SBX), jnp.uint8)])
     ctx = jnp.stack(rows, axis=0).reshape(16, n_sb)
     return src16, ctx
 

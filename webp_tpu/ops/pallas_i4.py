@@ -69,19 +69,22 @@ def _hadamard_rows(x):
     return acc
 
 
-def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
+def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
             lvl_cost, tail_cost, eob_cost, mode_cost, tr_modes, use_td):
-    """One tile: src [16, S] i32 raster pixels; ctx [16, S] i32 with rows
-    0-3 = l3..l0, 4 = tl, 5-8 = t0..t3, 9-12 = tr0..tr3, 13 = is_c3,
-    14 = segment id; qtab [16, 16]: (seg*4 + {q,iq,bias,sharpen}) x zigzag
-    position."""
-    src = src_ref[:, :].astype(jnp.int32)
-    l = [ctx_ref[3 - i, :] for i in range(4)]          # l0..l3
-    tl = ctx_ref[4, :]
-    t = [ctx_ref[5 + i, :] for i in range(4)]
-    tr = [ctx_ref[9 + i, :] for i in range(4)]
-    is_c3 = ctx_ref[13, :] != 0
-    seg = ctx_ref[14, :]
+    """One tile: data [32, S] u8 = src pixels (rows 0-15, raster p = r*4+c)
+    stacked over ctx (rows 16-31): 16-19 = l3..l0, 20 = tl, 21-24 = t0..t3,
+    25-28 = tr0..tr3, 29 = is_c3, 30 = segment id. One u8 ref instead of
+    two i32 refs: the host-side layout change into planar [.., n_sb] is
+    HBM-bound, so shipping bytes and upcasting here costs 4x less.
+    qtab [16, 16]: (seg*4 + {q,iq,bias,sharpen}) x zigzag position."""
+    d = data_ref[:, :].astype(jnp.int32)
+    src = d[:16]
+    l = [d[16 + 3 - i] for i in range(4)]              # l0..l3
+    tl = d[20]
+    t = [d[21 + i] for i in range(4)]
+    tr = [d[25 + i] for i in range(4)]
+    is_c3 = d[29] != 0
+    seg = d[30]
 
     # Smoothed strips over the contour [l3 l2 l1 l0 tl t0..t3 tr0..tr3]
     # (same construction as ops/i4.py pred4_all).
@@ -275,9 +278,7 @@ def _build_call(n_sb_padded, lvl_cost, tail_cost, eob_cost, mode_cost,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((16, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, TILE), lambda i: (0, i),
+            pl.BlockSpec((32, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -316,17 +317,16 @@ def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
         is_c3[:, None].astype(jnp.int32), seg[:, None],
         jnp.zeros((n_sb, 1), jnp.int32),
     ], axis=1).T                                       # [16, n_sb]
+    data = jnp.concatenate([src16, ctx]).astype(jnp.uint8)
     if pad:
-        src16 = jnp.pad(src16, ((0, 0), (0, pad)))
-        ctx = jnp.pad(ctx, ((0, 0), (0, pad)))
+        data = jnp.pad(data, ((0, 0), (0, pad)))
     call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
                        tuple(int(v) for v in rt_tail), int(rt_eob),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
                        interpret)
     lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
         jnp.asarray(lam4, jnp.float32))
-    mode, score = call(src16.astype(jnp.int32), ctx.astype(jnp.int32),
-                       qtab.astype(jnp.int32), lam_row)
+    mode, score = call(data, qtab.astype(jnp.int32), lam_row)
     return mode[0, :n_sb], score[0, :n_sb]
 
 
@@ -337,9 +337,10 @@ def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
     the perceptual SD term ([4] f32 per-segment TLambdaSD)."""
     n_sb = src16.shape[1]
     pad = (-n_sb) % TILE
+    data = jnp.concatenate([src16.astype(jnp.uint8),
+                            ctx.astype(jnp.uint8)])
     if pad:
-        src16 = jnp.pad(src16, ((0, 0), (0, pad)))
-        ctx = jnp.pad(ctx, ((0, 0), (0, pad)))
+        data = jnp.pad(data, ((0, 0), (0, pad)))
     call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
                        tuple(int(v) for v in rt_tail), int(rt_eob),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
@@ -348,6 +349,5 @@ def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
         jnp.asarray(lam4, jnp.float32))
     if tlsd4 is not None:
         lam_row = lam_row.at[0, 4:8].set(jnp.asarray(tlsd4, jnp.float32))
-    mode, score = call(src16.astype(jnp.int32), ctx.astype(jnp.int32),
-                       qtab.astype(jnp.int32), lam_row)
+    mode, score = call(data, qtab.astype(jnp.int32), lam_row)
     return mode[0, :n_sb], score[0, :n_sb]
