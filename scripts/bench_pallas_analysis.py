@@ -1,0 +1,106 @@
+"""TPU micro-bench: fused pallas_analysis.luma_analysis vs the current
+jnp _phase1 luma + pallas_i4 planar dispatch, on a 1536x1024 luma."""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from webp_tpu.ops import fastpath as fp, i4 as I4
+from webp_tpu.ops import pallas_analysis as PA
+from webp_tpu.lossy import tables as T
+
+
+def steady(fn, args, k=8, reps=3):
+    out = fn(*args)
+    sync = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(sync.reshape(-1)[:1])
+    best = 1e18
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(k)]
+        for o in outs:
+            _ = np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    mbw, mbh = 96, 64
+    H, W = mbh * 16, mbw * 16
+    mpx = B * H * W / 1e6
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.integers(0, 256, (B, H, W)), jnp.uint8)
+    Yd = jax.device_put(Y)
+    qp, lambdas = fp.rd_params(75)
+    rt = fp.RateTables(np.asarray(T.COEFFS_PROBA0))
+    n_mb = mbw * mbh
+
+    qtab_y1 = jnp.tile(jnp.stack(
+        [jnp.asarray(a, jnp.int32).reshape(16) for a in qp["y1"]]), (4, 1))
+    y2q = tuple(a[:, 0] if getattr(a, "ndim", 0) == 3 else a
+                for a in qp["y2"])
+    qtab_y2 = jnp.tile(jnp.stack(
+        [jnp.asarray(a, jnp.int32).reshape(16) for a in y2q]), (4, 1))
+    lam16_4 = jnp.full((4,), lambdas["i16"], jnp.float32)
+    lam4_4 = jnp.full((4,), lambdas["i4"], jnp.float32)
+
+    @jax.jit
+    def fused(Yb):
+        def one(y):
+            return PA.luma_analysis(y.astype(jnp.int32), None, qtab_y1,
+                                    qtab_y2, lam16_4, lam4_4, None, rt,
+                                    mbw, mbh)
+        return jax.vmap(one)(Yb)
+
+    lam_j = {k: jnp.float32(v) for k, v in lambdas.items()}
+
+    @jax.jit
+    def current(Yb):
+        def one(y):
+            y = y.astype(jnp.int32)
+            src_b = fp._block(
+                y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+                .reshape(n_mb, 16, 16), 16)
+            # luma-only phase1 equivalent: reuse _phase1 with dummy chroma
+            # would include chroma; instead time i16 via _preds4+_luma_pipe
+            best_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
+            best_mode = jnp.zeros((n_mb,), jnp.uint8)
+            topY, leftY, tlY = fp._mb_contexts(y, 16, None, jnp.asarray(False))
+            ys = np.repeat(np.arange(mbh), mbw)
+            xs = np.tile(np.arange(mbw), mbh)
+            has_top = jnp.asarray(ys > 0)
+            has_left = jnp.asarray(xs > 0)
+            preds = fp._preds4(16, topY, leftY, tlY, has_top, has_left)
+            for m in range(4):
+                pred_b = fp._block(preds[:, m], 16)
+                lv, y2lv, disto_td = fp._luma_pipe(src_b, pred_b, qp,
+                                                   score_only=True)
+                rate = fp.approx_block_rate(lv, 1, 0, rt).sum(axis=-1)
+                rate = rate + fp.approx_block_rate(y2lv, 0, 1, rt)
+                rate = rate + fp.FIXED_COSTS_I16[m]
+                score = (rate.astype(jnp.float32) * lam_j["i16"]
+                         + 64.0 * disto_td.astype(jnp.float32))
+                better = score < best_score
+                best_score = jnp.where(better, score, best_score)
+                best_mode = jnp.where(better, np.uint8(m), best_mode)
+            seg_map = jnp.zeros((n_mb,), jnp.int32)
+            lam4 = jnp.full((4,), lambdas["i4"], jnp.float32)
+            got = I4.i4_search_pallas(y, src_b, seg_map, qtab_y1, lam4, rt,
+                                      mbw, mbh, best_score)
+            return best_mode, best_score, got[1], got[2]
+        return jax.vmap(one)(Yb)
+
+    t_fused = steady(fused, (Yd,))
+    print(f"B={B} fused luma_analysis: {t_fused*1e3:.1f} ms "
+          f"({mpx/t_fused:.1f} Mpx/s)")
+    t_cur = steady(current, (Yd,))
+    print(f"B={B} current i16(jnp)+i4(pallas planar): {t_cur*1e3:.1f} ms "
+          f"({mpx/t_cur:.1f} Mpx/s)")
+
+
+if __name__ == "__main__":
+    main()

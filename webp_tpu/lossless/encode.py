@@ -524,75 +524,116 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
     flat = argb.reshape(-1)
     palette = build_palette(flat) if method > 0 else None
 
-    if palette is not None and len(palette) <= 256:
+    def _palette_body() -> tuple[bytes, int]:
         packed, xbits = apply_palette(argb, palette)
+        b2 = LosslessBitWriter()
         # Transform: color indexing.
-        bw.write_bits(1, 1)  # transform present
-        bw.write_bits(3, 2)  # COLOR_INDEXING
-        bw.write_bits(len(palette) - 1, 8)
+        b2.write_bits(1, 1)  # transform present
+        b2.write_bits(3, 2)  # COLOR_INDEXING
+        b2.write_bits(len(palette) - 1, 8)
         # Palette stored delta-coded as a 1-high image.
         pal = palette.astype(np.uint32)
         deltas = pal.copy()
         deltas[1:] = _sub_pixels(pal[1:], pal[:-1])
-        _encode_entropy_coded_image(bw, deltas, len(palette), quality)
-        bw.write_bits(0, 1)  # no more transforms
-        _encode_entropy_coded_image(bw, packed.reshape(-1),
+        _encode_entropy_coded_image(b2, deltas, len(palette), quality)
+        b2.write_bits(0, 1)  # no more transforms
+        _encode_entropy_coded_image(b2, packed.reshape(-1),
                                     packed.shape[1], quality, is_level0=True)
-    else:
-        sg = subtract_green(argb)
+        return b2.finish(), b2.bit_position()
 
-        def _body(use_pred: bool) -> tuple[bytes, int]:
-            """Encodes one transform-config candidate (subtract-green
-            always; predictor + gated cross-color optionally) into its own
-            bit buffer so configs can be compared by exact coded size."""
-            b2 = LosslessBitWriter()
+    use_palette = palette is not None and len(palette) <= 256
+    # A large palette can lose badly to the spatial transforms (a smooth
+    # gradient has hundreds of colors yet near-zero predictor residuals;
+    # libwebp's AnalyzeEntropy picks spatial there, encode_analysis.go).
+    # Palettes this small always win — skip the spatial encode.
+    if use_palette and len(palette) <= 16:
+        body, nbits = _palette_body()
+        bw.append_bits_buffer(body, nbits)
+        return bw.finish()
+
+    sg = subtract_green(argb)
+
+    def _cross_color(residuals, bits):
+        if quality >= 25 and method >= 2:
+            try:
+                from ..native.api import vp8l_cross_color
+
+                return vp8l_cross_color(residuals, bits)
+            except Exception:
+                return None
+        return None
+
+    def _body(use_pred: bool, bits: int = 4, pred=None,
+              cc=None) -> tuple[bytes, int]:
+        """Encodes one transform-config candidate (subtract-green
+        always; predictor at the given tile granularity + optional
+        cross-color) into its own bit buffer so configs can be compared
+        by exact coded size. pred/cc: precomputed transform outputs
+        (shared between the with- and without-cross-color variants)."""
+        b2 = LosslessBitWriter()
+        b2.write_bits(1, 1)
+        b2.write_bits(2, 2)  # SUBTRACT_GREEN
+        cur = sg
+        if use_pred:
             b2.write_bits(1, 1)
-            b2.write_bits(2, 2)  # SUBTRACT_GREEN
-            cur = sg
-            if use_pred:
-                bits = 4
+            b2.write_bits(0, 2)  # PREDICTOR
+            b2.write_bits(bits - 2, 3)
+            residuals, tile_img = (pred if pred is not None else
+                                   predictor_transform(cur, bits, quality))
+            _encode_entropy_coded_image(
+                b2, tile_img, sub_sample_size(w, bits), quality)
+            if cc is not None:
+                residuals, cc_tiles, _ = cc
                 b2.write_bits(1, 1)
-                b2.write_bits(0, 2)  # PREDICTOR
+                b2.write_bits(1, 2)  # CROSS_COLOR
                 b2.write_bits(bits - 2, 3)
-                residuals, tile_img = predictor_transform(cur, bits, quality)
                 _encode_entropy_coded_image(
-                    b2, tile_img, sub_sample_size(w, bits), quality)
-                # Cross-color (on the predictor residuals, reference
-                # ColorSpaceTransform order) when it pays for itself.
-                cc = None
-                if quality >= 25 and method >= 2:
-                    try:
-                        from ..native.api import vp8l_cross_color
+                    b2, cc_tiles.reshape(-1), sub_sample_size(w, bits),
+                    quality)
+            cur = residuals
+        b2.write_bits(0, 1)  # no more transforms
+        _encode_entropy_coded_image(b2, cur.reshape(-1), w, quality,
+                                    is_level0=True)
+        nbits = b2.bit_position()
+        return b2.finish(), nbits
 
-                        cc = vp8l_cross_color(residuals, bits)
-                    except Exception:
-                        cc = None
-                if cc is not None and cc[2] > 1024.0:
-                    residuals, cc_tiles, _ = cc
-                    b2.write_bits(1, 1)
-                    b2.write_bits(1, 2)  # CROSS_COLOR
-                    b2.write_bits(bits - 2, 3)
-                    _encode_entropy_coded_image(
-                        b2, cc_tiles.reshape(-1), sub_sample_size(w, bits),
-                        quality)
-                cur = residuals
-            b2.write_bits(0, 1)  # no more transforms
-            _encode_entropy_coded_image(b2, cur.reshape(-1), w, quality,
-                                        is_level0=True)
-            nbits = b2.bit_position()
-            return b2.finish(), nbits
+    def _pred_cands(bits):
+        """With- and without-cross-color candidates sharing one
+        predictor pass (cross-color included only when its gain
+        estimate clears the reference threshold)."""
+        pred = predictor_transform(sg, bits, quality)
+        cc = _cross_color(pred[0], bits)
+        out = []
+        if cc is not None and cc[2] > 1024.0:
+            out.append(_body(True, bits, pred, cc))
+        out.append(_body(True, bits, pred))
+        return out
 
-        # Transform-config search: the predictor helps photographs but hurts
-        # graphics whose raw pixels LZ77-compress directly (libwebp decides
-        # via AnalyzeEntropy; an exact size comparison is both simpler and
-        # never wrong). Small images pay the double encode; large images
-        # keep the single spatial config the reference always picks for
-        # them (encode.go:274-277).
-        best = _body(True)
-        if h * w <= (1 << 18) and quality >= 50 and method >= 4:
-            cand = _body(False)
-            if cand[1] < best[1]:
-                best = cand
-        bw.append_bits_buffer(best[0], best[1])
+    # Transform-config search: the predictor helps photographs but hurts
+    # graphics whose raw pixels LZ77-compress directly, the best tile
+    # granularity is content-dependent, and the cross-color gain estimate
+    # can overshoot its own tile-image cost (libwebp decides all three
+    # via AnalyzeEntropy heuristics, encode.go:274; an exact size
+    # comparison is both simpler and never wrong). Small images pay the
+    # multi-encode; large images keep the single spatial config the
+    # reference always picks for them.
+    if h * w <= (1 << 16) and quality >= 50 and method >= 4:
+        cands = [c for b in (3, 4, 5) for c in _pred_cands(b)]
+        cands.append(_body(False))
+    elif h * w <= (1 << 18) and quality >= 50 and method >= 4:
+        pred = predictor_transform(sg, 4, quality)
+        cc = _cross_color(pred[0], 4)
+        cands = [_body(True, 4, pred,
+                       cc if cc is not None and cc[2] > 1024.0 else None),
+                 _body(False)]
+    else:
+        pred = predictor_transform(sg, 4, quality)
+        cc = _cross_color(pred[0], 4)
+        cands = [_body(True, 4, pred,
+                       cc if cc is not None and cc[2] > 1024.0 else None)]
+    if use_palette:
+        cands.append(_palette_body())
+    best = min(cands, key=lambda c: c[1])
+    bw.append_bits_buffer(best[0], best[1])
 
     return bw.finish()
