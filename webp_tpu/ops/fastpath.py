@@ -36,6 +36,7 @@ link, not the chip, is the scarce resource.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -991,6 +992,71 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
     n_mb = mb_w * mb_h
     esc_cap = max(1024, ESC_BLOCKS_PER_MB * n_mb)
     use_segments = segments > 1 and n_mb >= 4
+    use_planar = not os.environ.get("WEBPTPU_NO_PLANAR")
+
+    def part1(Y, U, V):
+        """Per-image phase 0/1/I4 search (vmapped in the batch path)."""
+        Y = Y.astype(jnp.int32)
+        U = U.astype(jnp.int32)
+        V = V.astype(jnp.int32)
+        sns = max(0, int(sns_strength))
+        if use_segments:
+            seg_map, seg_q, seg_beta = _segment_plan_device(
+                Y, U, V, mb_w, mb_h, quality, sns_strength, segments)
+            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+            seg = (seg_map, seg_rows)
+            tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
+        else:
+            seg_map = jnp.zeros((n_mb,), jnp.int32)
+            seg_q = jnp.zeros((4,), jnp.int32)
+            seg_beta = jnp.zeros((4,), jnp.int32)
+            qp_i, lam_i, seg, seg_rows = qp, lambdas, None, None
+            tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
+        modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
+                                            mb_w, mb_h, tlsd=tlsd)
+        if i4_blocks:
+            src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
+                           .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
+            is_i4, i4_modes, _ = _i4_dispatch(
+                Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
+                tlsd=tlsd, tlsd4=tlsd4, allow_tr=(sk == 2))
+        else:
+            is_i4 = jnp.zeros((n_mb,), bool)
+            i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
+        return (modes, uvmodes, is_i4, i4_modes,
+                seg_map, seg_q, seg_beta, seg_rows)
+
+    def part3(lv24, y2, modes, uvmodes, is_i4, i4_modes,
+              seg_map, seg_q, seg_beta):
+        """Per-image packing of the phase-2 levels (vmapped)."""
+        packed, esc_idx, esc_val, esc_cnt = _pack_levels(lv24, esc_cap)
+        skip = (lv24 == 0).all(axis=(-2, -1)) & (y2 == 0).all(axis=-1)
+        imodes = jnp.where(is_i4[:, None], i4_modes,
+                           jnp.concatenate(
+                               [modes[:, None],
+                                jnp.zeros((n_mb, 15), jnp.uint8)], axis=1))
+        return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
+                "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
+                "uvmodes": uvmodes, "skip": skip, "is_i4": is_i4,
+                "imodes": imodes,
+                "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
+                "seg_beta": seg_beta}
+
+    def encode_batch(Yb, Ub, Vb):
+        """Batched encoder: vmapped phase 0/1, then the planar (lanes-
+        minor) phase-2 wavefront over the fused batch x mb_h lane axis
+        (ops/planar.py — bit-identical to _phase2, ~full VPU width)."""
+        from . import planar as PL
+
+        (modes, uvmodes, is_i4, i4_modes,
+         seg_map, seg_q, seg_beta, seg_rows) = jax.vmap(part1)(Yb, Ub, Vb)
+        seg = (seg_map, seg_rows) if use_segments else None
+        i4_ctx = (is_i4, i4_modes) if i4_blocks else None
+        lv24, y2, _, _ = PL.phase2_planar(
+            Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h, rd_drop=rd_drop,
+            seg=seg, i4=i4_ctx, sk=sk)
+        return jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
+                               seg_map, seg_q, seg_beta)
 
     def encode_one(Y, U, V):
         Y = Y.astype(jnp.int32)
@@ -1038,20 +1104,26 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
                 "seg_beta": seg_beta}
 
-    yuv_b = jax.jit(jax.vmap(encode_one))
-
-    def rgb_one(rgb):
+    def to_yuv(rgb):
         if sharp_yuv:
             from . import sharpyuv as devsharp
 
-            Y, U, V = devsharp.sharp_yuv420(rgb)
-        else:
-            from . import yuv as devyuv
+            return devsharp.sharp_yuv420(rgb)
+        from . import yuv as devyuv
 
-            Y, U, V = devyuv.rgb_to_yuv420(rgb)
-        return encode_one(Y, U, V)
+        return devyuv.rgb_to_yuv420(rgb)
 
-    rgb_b = jax.jit(jax.vmap(rgb_one))
+    if use_planar:
+        yuv_b = jax.jit(encode_batch)
+
+        def rgb_batch(rgbs):
+            Y, U, V = jax.vmap(to_yuv)(rgbs)
+            return encode_batch(Y, U, V)
+
+        rgb_b = jax.jit(rgb_batch)
+    else:
+        yuv_b = jax.jit(jax.vmap(encode_one))
+        rgb_b = jax.jit(jax.vmap(lambda rgb: encode_one(*to_yuv(rgb))))
 
     # Blob variants: every output field bitcast to bytes and concatenated
     # into BLOB_CHUNKS equal uint8 arrays, so the host pays one fetch wave
@@ -1068,8 +1140,16 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         blob = jnp.pad(blob, (0, pad)).reshape(BLOB_CHUNKS, -1)
         return tuple(blob[i] for i in range(BLOB_CHUNKS)) + (out["esc_cnt"],)
 
-    blob_b = jax.jit(jax.vmap(lambda Y, U, V: _blobify(encode_one(Y, U, V))))
-    rgb_blob_b = jax.jit(jax.vmap(lambda rgb: _blobify(rgb_one(rgb))))
+    if use_planar:
+        blob_b = jax.jit(
+            lambda Y, U, V: jax.vmap(_blobify)(encode_batch(Y, U, V)))
+        rgb_blob_b = jax.jit(
+            lambda rgbs: jax.vmap(_blobify)(rgb_batch(rgbs)))
+    else:
+        blob_b = jax.jit(
+            jax.vmap(lambda Y, U, V: _blobify(encode_one(Y, U, V))))
+        rgb_blob_b = jax.jit(
+            jax.vmap(lambda rgb: _blobify(encode_one(*to_yuv(rgb)))))
 
     shapes = jax.eval_shape(
         encode_one,

@@ -1,0 +1,577 @@
+"""Planar (lanes-minor) phase-2 wavefront for the batched device encoder.
+
+The original `fastpath._phase2` carries per-MB tensors shaped
+[lanes, 16, 4, 4]: the trailing 4x4 dims occupy only a sliver of the
+TPU's (8, 128) vector registers, and every DCT butterfly slice/stack on
+those minor axes is a relayout. This module transposes the whole scan to
+a planar SoA layout: the wavefront-lane axis (batch x mb_h fused, N
+lanes) is the MINOR axis everywhere, and pixel/coefficient indices live
+on major axes, so
+
+  * every elementwise op is a full-width [*, N] vector op,
+  * every butterfly/zigzag/context slice is a major-axis slice (free),
+  * the scan carry is a handful of [16, N] row vectors.
+
+Bit-identical to `fastpath._phase2` (asserted in
+tests/test_planar.py); single-band only (the multi-chip mesh path keeps
+the original formulation, which carries its halo plumbing).
+
+Reference behavior: /root/reference/internal/lossy/encode_parallel.go:168
+(the wavefront being re-laid-out) and transforms.go (exact DCT/WHT math).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lossy import tables as T
+from .quant import QFIX, MAX_LEVEL, _WT
+
+ZIGZAG = np.asarray(T.ZIGZAG)
+INV_ZIGZAG = np.argsort(ZIGZAG)
+
+C1 = 20091
+C2 = 35468
+
+
+def _mul1(a):
+    return ((a * C1) >> 16) + a
+
+
+def _mul2(a):
+    return (a * C2) >> 16
+
+
+# ---------------------------------------------------------------------------
+# Planar transforms: [..., 4, 4, N] with rows on axis -3, cols on axis -2,
+# lanes minor. Same integer math as ops/dct.py.
+# ---------------------------------------------------------------------------
+
+def fdct4x4_p(src, ref):
+    d = src.astype(jnp.int32) - ref.astype(jnp.int32)
+    d0, d1, d2, d3 = (d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :])
+    a0 = d0 + d3
+    a1 = d1 + d2
+    a2 = d1 - d2
+    a3 = d0 - d3
+    t0 = (a0 + a1) * 8
+    t1 = (a2 * 2217 + a3 * 5352 + 1812) >> 9
+    t2 = (a0 - a1) * 8
+    t3 = (a3 * 2217 - a2 * 5352 + 937) >> 9
+    tmp = jnp.stack([t0, t1, t2, t3], axis=-2)
+    m0, m1, m2, m3 = (tmp[..., 0, :, :], tmp[..., 1, :, :],
+                      tmp[..., 2, :, :], tmp[..., 3, :, :])
+    a0 = m0 + m3
+    a1 = m1 + m2
+    a2 = m1 - m2
+    a3 = m0 - m3
+    o0 = (a0 + a1 + 7) >> 4
+    o2 = (a0 - a1 + 7) >> 4
+    o1 = ((a2 * 2217 + a3 * 5352 + 12000) >> 16) + (a3 != 0).astype(jnp.int32)
+    o3 = (a3 * 2217 - a2 * 5352 + 51000) >> 16
+    return jnp.stack([o0, o1, o2, o3], axis=-3)
+
+
+def idct4x4_p(coeffs):
+    c = coeffs.astype(jnp.int32)
+    i0, i1, i2, i3 = (c[..., 0, :, :], c[..., 1, :, :],
+                      c[..., 2, :, :], c[..., 3, :, :])
+    a = i0 + i2
+    b = i0 - i2
+    cc = _mul2(i1) - _mul1(i3)
+    d = _mul1(i1) + _mul2(i3)
+    tmp = jnp.stack([a + d, b + cc, b - cc, a - d], axis=-3)
+    dc = tmp[..., 0, :] + 4
+    a = dc + tmp[..., 2, :]
+    b = dc - tmp[..., 2, :]
+    cc = _mul2(tmp[..., 1, :]) - _mul1(tmp[..., 3, :])
+    d = _mul1(tmp[..., 1, :]) + _mul2(tmp[..., 3, :])
+    out = jnp.stack([a + d, b + cc, b - cc, a - d], axis=-2) >> 3
+    return out
+
+
+def fwht4x4_p(dcs):
+    """Forward WHT over sub-block DCs [..., 4, 4, N]."""
+    d = dcs.astype(jnp.int32)
+    c0, c1, c2, c3 = (d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :])
+    a0 = c0 + c2
+    a1 = c1 + c3
+    a2 = c1 - c3
+    a3 = c0 - c2
+    tmp = jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-2)
+    r0, r1, r2, r3 = (tmp[..., 0, :, :], tmp[..., 1, :, :],
+                      tmp[..., 2, :, :], tmp[..., 3, :, :])
+    a0 = r0 + r2
+    a1 = r1 + r3
+    a2 = r1 - r3
+    a3 = r0 - r2
+    out = jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-3) >> 1
+    return out
+
+
+def wht4x4_p(coeffs):
+    """Inverse WHT [..., 4, 4, N]."""
+    c = coeffs.astype(jnp.int32)
+    i0, i1, i2, i3 = (c[..., 0, :, :], c[..., 1, :, :],
+                      c[..., 2, :, :], c[..., 3, :, :])
+    a0 = i0 + i3
+    a1 = i1 + i2
+    a2 = i1 - i2
+    a3 = i0 - i3
+    tmp = jnp.stack([a0 + a1, a3 + a2, a0 - a1, a3 - a2], axis=-3)
+    dc = tmp[..., 0, :] + 3
+    a0 = dc + tmp[..., 3, :]
+    a1 = tmp[..., 1, :] + tmp[..., 2, :]
+    a2 = tmp[..., 1, :] - tmp[..., 2, :]
+    a3 = dc - tmp[..., 3, :]
+    out = jnp.stack([a0 + a1, a3 + a2, a0 - a1, a3 - a2], axis=-2) >> 3
+    return out
+
+
+def quantize_p(coeffs, q, iq, bias, sharpen, first: int = 0,
+               rd_drop: float = 0.0):
+    """coeffs int32 [..., 16, N] raster -> (levels_zz, dequant) same shape.
+
+    q/iq/bias/sharpen: int32 [16, 1] (static) or [16, N] (per-lane
+    segment rows), zigzag order. Same math as ops/quant.quantize.
+    """
+    czz = coeffs[..., ZIGZAG, :]
+    sign = czz < 0
+    mag = jnp.abs(czz) + sharpen
+    level = (mag * iq + bias) >> QFIX
+    level = jnp.minimum(level, MAX_LEVEL)
+    if rd_drop:
+        qf = q.astype(jnp.float32)
+        c0 = mag.astype(jnp.float32)
+        dd = jnp.asarray(_WT)[:, None] * (c0 * c0 - (c0 - qf) * (c0 - qf))
+        base = jnp.floor((qf[..., 0:1, :] + 15.0 * qf[..., 1:2, :] + 8.0)
+                         * (1.0 / 16.0))
+        tlam = base * base * 0.25
+        level = jnp.where((level == 1) & (256.0 * dd < rd_drop * tlam),
+                          0, level)
+    level = jnp.where(sign, -level, level)
+    if first:
+        level = level.at[..., 0, :].set(0)
+    dq_zz = level * q
+    dequant = dq_zz[..., INV_ZIGZAG, :]
+    return level, dequant
+
+
+# ---------------------------------------------------------------------------
+# Planar block <-> plane views (all major-axis reshapes; no data movement
+# along the lane axis).
+# ---------------------------------------------------------------------------
+
+def plane_to_blocks_p(x, size):
+    """[..., S, S, N] -> [..., (S/4)^2, 4, 4, N] raster 4x4 blocks."""
+    *lead, S, _, N = x.shape
+    b = size // 4
+    x = x.reshape(*lead, b, 4, b, 4, N)
+    x = jnp.moveaxis(x, -3, -4)
+    return x.reshape(*lead, b * b, 4, 4, N)
+
+
+def blocks_to_plane_p(x, size):
+    *lead, nb, _, _, N = x.shape
+    b = size // 4
+    x = x.reshape(*lead, b, b, 4, 4, N)
+    x = jnp.moveaxis(x, -3, -4)
+    return x.reshape(*lead, size, size, N)
+
+
+# ---------------------------------------------------------------------------
+# Planar predictors.
+# ---------------------------------------------------------------------------
+
+def preds4_p(size, top, left, tl, has_top, has_left):
+    """top/left [s, N], tl/has_* [N] -> [4, s, s, N] preds (DC/TM/V/H)."""
+    shift = 5 if size == 16 else 4
+    ht = has_top[None, :]
+    hl = has_left[None, :]
+    top_m = jnp.where(ht, top, 127)
+    left_m = jnp.where(hl, left, 129)
+    tl_m = jnp.where(has_top & has_left, tl,
+                     jnp.where(has_top, 129, 127))
+    sum_t = top_m.sum(axis=0)
+    sum_l = left_m.sum(axis=0)
+    dc = jnp.where(
+        has_top & has_left, (sum_t + sum_l + size) >> shift,
+        jnp.where(has_top, (sum_t + (size >> 1)) >> (shift - 1),
+                  jnp.where(has_left, (sum_l + (size >> 1)) >> (shift - 1),
+                            0x80)))
+    N = top.shape[-1]
+    shape = (size, size, N)
+    pred_dc = jnp.broadcast_to(dc[None, None, :], shape)
+    pred_v = jnp.broadcast_to(top_m[None, :, :], shape)
+    pred_h = jnp.broadcast_to(left_m[:, None, :], shape)
+    pred_tm = jnp.clip(
+        left_m[:, None, :] + top_m[None, :, :] - tl_m[None, None, :], 0, 255)
+    return jnp.stack([pred_dc, pred_tm, pred_v, pred_h], axis=0)
+
+
+def _a2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _a3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _rows_p(*rows):
+    """Stack 4 [..., 4, N] rows into [..., 4, 4, N]."""
+    return jnp.stack(rows, axis=-3)
+
+
+def pred4_all_p(t, l, tl, tr):
+    """Planar 10 B-mode predictions (same strips as ops/i4.pred4_all).
+
+    t/l/tr: [..., 4, N]; tl: [..., N]. Returns list of 10 [..., 4, 4, N].
+    """
+    ctx = jnp.concatenate(
+        [l[..., ::-1, :], tl[..., None, :], t, tr], axis=-2)   # [..., 13, N]
+    s3 = _a3(ctx[..., :-2, :], ctx[..., 1:-1, :], ctx[..., 2:, :])
+    s2 = _a2(ctx[..., :-1, :], ctx[..., 1:, :])
+    lr = jnp.concatenate([ctx[..., 4:5, :], l, l[..., 3:4, :]], axis=-2)
+    s3h = _a3(lr[..., :-2, :], lr[..., 1:-1, :], lr[..., 2:, :])   # [..., 4, N]
+    s2h = _a2(lr[..., :-1, :], lr[..., 1:, :])                     # [..., 5, N]
+    l3 = l[..., 3, :]
+
+    shape44 = t.shape[:-2] + (4, 4) + t.shape[-1:]
+    dc = (t.sum(axis=-2) + l.sum(axis=-2) + 4) >> 3
+    p_dc = jnp.broadcast_to(dc[..., None, None, :], shape44)
+    p_tm = jnp.clip(l[..., :, None, :] + t[..., None, :, :]
+                    - tl[..., None, None, :], 0, 255)
+    p_ve = jnp.broadcast_to(s3[..., None, 4:8, :], shape44)
+    p_he = jnp.broadcast_to(s3h[..., :, None, :], shape44)
+    p_rd = _rows_p(s3[..., 3:7, :], s3[..., 2:6, :], s3[..., 1:5, :],
+                   s3[..., 0:4, :])
+    c2 = s2[..., 4:8, :]
+    d3 = s3[..., 3:7, :]
+    p_vr = _rows_p(c2, d3,
+                   jnp.concatenate([s3[..., 2:3, :], c2[..., 0:3, :]],
+                                   axis=-2),
+                   jnp.concatenate([s3[..., 1:2, :], d3[..., 0:3, :]],
+                                   axis=-2))
+    f = jnp.concatenate(
+        [s3[..., 5:11, :],
+         _a3(tr[..., 2, :], tr[..., 3, :], tr[..., 3, :])[..., None, :]],
+        axis=-2)
+    p_ld = _rows_p(f[..., 0:4, :], f[..., 1:5, :], f[..., 2:6, :],
+                   f[..., 3:7, :])
+    g2 = s2[..., 5:9, :]
+    g3 = s3[..., 5:9, :]
+    p_vl = _rows_p(g2, g3,
+                   jnp.concatenate([g2[..., 1:4, :], s3[..., 9:10, :]],
+                                   axis=-2),
+                   jnp.concatenate([g3[..., 1:4, :], s3[..., 10:11, :]],
+                                   axis=-2))
+    hd0 = jnp.concatenate([s2h[..., 0:1, :], s3[..., 3:6, :]], axis=-2)
+    hd1 = jnp.concatenate([s2h[..., 1:2, :], s3h[..., 0:1, :],
+                           hd0[..., 0:2, :]], axis=-2)
+    hd2 = jnp.concatenate([s2h[..., 2:3, :], s3h[..., 1:2, :],
+                           hd1[..., 0:2, :]], axis=-2)
+    hd3 = jnp.concatenate([s2h[..., 3:4, :], s3h[..., 2:3, :],
+                           hd2[..., 0:2, :]], axis=-2)
+    p_hd = _rows_p(hd0, hd1, hd2, hd3)
+    l3b = jnp.broadcast_to(l3[..., None, :], l3.shape[:-1] + (4,)
+                           + l3.shape[-1:])
+    hu0 = jnp.stack([s2h[..., 1, :], s3h[..., 1, :], s2h[..., 2, :],
+                     s3h[..., 2, :]], axis=-2)
+    hu1 = jnp.concatenate([hu0[..., 2:4, :], s2h[..., 3:4, :],
+                           s3h[..., 3:4, :]], axis=-2)
+    hu2 = jnp.concatenate([hu1[..., 2:4, :], l3b[..., 0:2, :]], axis=-2)
+    p_hu = _rows_p(hu0, hu1, hu2, l3b)
+
+    return [p_dc, p_tm, p_ve, p_he, p_rd, p_vr, p_ld, p_vl, p_hd, p_hu]
+
+
+# ---------------------------------------------------------------------------
+# Planar transform pipelines.
+# ---------------------------------------------------------------------------
+
+def luma_pipe_p(src_b, pred_b, qp, rd_drop: float = 0.0):
+    """src/pred: [16, 4, 4, N] int32; qp: dict of (q, iq, bias, sharpen)
+    with [16, 1|N] rows. Returns (lv [16, 16, N], y2lv [16, N],
+    recon [16, 4, 4, N])."""
+    coeffs = fdct4x4_p(src_b, pred_b)
+    flat = coeffs.reshape(16, 16, *coeffs.shape[3:])
+    wht = fwht4x4_p(flat[:, 0].reshape(4, 4, -1))
+    y2lv, y2dq = quantize_p(wht.reshape(16, -1), *qp["y2"])
+    rec_dc = wht4x4_p(y2dq.reshape(4, 4, -1)).reshape(16, -1)
+    lv, dq = quantize_p(flat, *qp["y1"], first=1, rd_drop=rd_drop)
+    dq = dq.at[:, 0].set(rec_dc)
+    recon = jnp.clip(pred_b + idct4x4_p(dq.reshape(coeffs.shape)), 0, 255)
+    return lv, y2lv, recon
+
+
+def chroma_pipe_p(src_b, pred_b, qp):
+    """[4, 4, 4, N] blocks -> (lv [4, 16, N], recon [4, 4, 4, N])."""
+    co = fdct4x4_p(src_b, pred_b)
+    flat = co.reshape(4, 16, *co.shape[3:])
+    lv, dq = quantize_p(flat, *qp["uv"])
+    recon = jnp.clip(pred_b + idct4x4_p(dq.reshape(co.shape)), 0, 255)
+    return lv, recon
+
+
+def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
+                     qp_y1, rd_drop: float = 0.0):
+    """Planar closed-loop I4 walk (same schedule as ops/i4.i4_reconstruct).
+
+    src_b: [16, 4, 4, N] int32 raster subblocks; modes: [16, N];
+    topY/leftY: [16, N]; tlY: [N]; trs: [4, N]; has_*: [N].
+    qp_y1: (q, iq, bias, sharpen) [16, 1|N].
+    Returns (lv [16, 16, N] zigzag, recon plane [16, 16, N])."""
+    N = src_b.shape[-1]
+    top_row = jnp.where(has_top[None, :], topY, 127)
+    left_col = jnp.where(has_left[None, :], leftY, 129)
+    tl0 = jnp.where(has_top & has_left, tlY,
+                    jnp.where(has_top, 129, 127))
+    tr_strip = jnp.where(has_top[None, :], trs, 127)
+
+    groups = [[(0, 0)], [(0, 1)], [(0, 2), (1, 0)], [(0, 3), (1, 1)],
+              [(1, 2), (2, 0)], [(1, 3), (2, 1)], [(2, 2), (3, 0)],
+              [(2, 3), (3, 1)], [(3, 2)], [(3, 3)]]
+
+    def ctx_of(work, r, c):
+        t = top_row[c * 4:c * 4 + 4] if r == 0 \
+            else work[r * 4 - 1, c * 4:c * 4 + 4]
+        l = left_col[r * 4:r * 4 + 4] if c == 0 \
+            else work[r * 4:r * 4 + 4, c * 4 - 1]
+        if r == 0 and c == 0:
+            tl = tl0
+        elif r == 0:
+            tl = top_row[c * 4 - 1]
+        elif c == 0:
+            tl = left_col[r * 4 - 1]
+        else:
+            tl = work[r * 4 - 1, c * 4 - 1]
+        if c == 3:
+            tr = tr_strip
+        elif r == 0:
+            tr = top_row[c * 4 + 4:c * 4 + 8]
+        else:
+            tr = work[r * 4 - 1, c * 4 + 4:c * 4 + 8]
+        return t, l, tl, tr
+
+    work = jnp.zeros((16, 16, N), jnp.int32)
+    lv_by_n = [None] * 16
+    for group in groups:
+        g = len(group)
+        ctxs = [ctx_of(work, r, c) for (r, c) in group]
+        t = jnp.stack([cx[0] for cx in ctxs], axis=0)       # [g, 4, N]
+        l = jnp.stack([cx[1] for cx in ctxs], axis=0)
+        tl = jnp.stack([cx[2] for cx in ctxs], axis=0)      # [g, N]
+        tr = jnp.stack([cx[3] for cx in ctxs], axis=0)
+        preds = pred4_all_p(t, l, tl, tr)                   # 10 x [g, 4, 4, N]
+        mode = jnp.stack([modes[r * 4 + c] for (r, c) in group],
+                         axis=0).astype(jnp.int32)[:, None, None, :]
+        pred = preds[0]
+        for m in range(1, 10):
+            pred = jnp.where(mode == m, preds[m], pred)
+        src = jnp.stack([src_b[r * 4 + c] for (r, c) in group], axis=0)
+        co = fdct4x4_p(src, pred).reshape(g, 16, N)
+        lv, dq = quantize_p(co, *qp_y1, rd_drop=rd_drop * 3.5)
+        rec = jnp.clip(pred + idct4x4_p(dq.reshape(g, 4, 4, N)), 0, 255)
+        for i, (r, c) in enumerate(group):
+            lv_by_n[r * 4 + c] = lv[i]
+            work = work.at[r * 4:r * 4 + 4, c * 4:c * 4 + 4].set(rec[i])
+    return jnp.stack(lv_by_n, axis=0), work
+
+
+# ---------------------------------------------------------------------------
+# Batched planar phase 2.
+# ---------------------------------------------------------------------------
+
+def _skew_b(a, mb_w, mb_h, n_steps, sk):
+    """[B, mb_h, mb_w, K...] -> [n_steps, K..., B * mb_h] via the pad +
+    reshape shear (no gather), then one transpose to lanes-minor."""
+    B = a.shape[0]
+    tail = a.shape[3:]
+    P = n_steps + sk
+    pad_w = [(0, 0)] * a.ndim
+    pad_w[2] = (0, P - mb_w)
+    b = jnp.pad(a, pad_w)
+    flat = b.reshape(B, mb_h * P, *tail)[:, : mb_h * n_steps]
+    c = flat.reshape(B, mb_h, n_steps, *tail)
+    # [B, mb_h, T, K...] -> [T, K..., B, mb_h] -> [T, K..., N]
+    nk = len(tail)
+    perm = (2,) + tuple(range(3, 3 + nk)) + (0, 1)
+    return c.transpose(perm).reshape(n_steps, *tail, B * mb_h)
+
+
+def _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk):
+    """[n_steps, K..., N] -> [B, mb_h * mb_w, K...] (inverse shear)."""
+    tail = c_sk.shape[1:-1]
+    nk = len(tail)
+    # [T, K..., B, mb_h] -> [B, mb_h, T, K...]
+    c = c_sk.reshape(n_steps, *tail, B, mb_h)
+    perm = (1 + nk, 2 + nk, 0) + tuple(range(1, 1 + nk))
+    c = c.transpose(perm)                         # [B, mb_h, T, K...]
+    flat = c.reshape(B, mb_h * n_steps, *tail)
+    pad_w = [(0, 0)] * flat.ndim
+    pad_w[1] = (0, mb_h * sk)
+    flat = jnp.pad(flat, pad_w)
+    out = flat.reshape(B, mb_h, n_steps + sk, *tail)[:, :, :mb_w]
+    return out.reshape(B, mb_h * mb_w, *tail)
+
+
+def _mb_planar(plane, mb_h, mb_w, s):
+    """[B, H, W] -> [B, mb_h, mb_w, (s/4)^2 * 16] u8, block-major pixel
+    index (block raster b = br*(s/4)+bc, pixel p = r*4+c)."""
+    B = plane.shape[0]
+    nb = s // 4
+    g = plane.reshape(B, mb_h, nb, 4, mb_w, nb, 4)
+    g = g.transpose(0, 1, 4, 2, 5, 3, 6)          # [B, mbh, mbw, br, bc, r, c]
+    return g.reshape(B, mb_h, mb_w, nb * nb * 16)
+
+
+def _shift1_p(a):
+    """Planar lane shift: a[..., l] <- a[..., l-1] (lane 0 zeros). Lanes
+    fuse batch x mb_h; the value leaked across an image boundary lands on
+    a y == 0 lane whose has_top is False, so every consumer masks it."""
+    pad = [(0, 0)] * (a.ndim - 1) + [(1, 0)]
+    return jnp.pad(a, pad)[..., :-1]
+
+
+def _seg_rows_planar(seg_rows_k, B, mb_h):
+    """[B, 4segs, 4param, 16] -> [4segs, 4param, 16, N] lane-broadcast."""
+    N = B * mb_h
+    r = seg_rows_k.transpose(1, 2, 3, 0)          # [4, 4, 16, B]
+    r = jnp.broadcast_to(r[..., None], r.shape + (mb_h,))
+    return r.reshape(4, 4, 16, N)
+
+
+def _seg_select_p(rows4, seg):
+    """rows4 [4, ...par..., N], seg [N] -> [...par..., N]."""
+    return jnp.where(seg == 0, rows4[0],
+                     jnp.where(seg == 1, rows4[1],
+                               jnp.where(seg == 2, rows4[2], rows4[3])))
+
+
+def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
+                  seg=None, i4=None, sk=1):
+    """Batched planar re-layout of fastpath._phase2 (single band).
+
+    Y/U/V: [B, H, W] (any int dtype); modes/uvmodes: [B, n_mb];
+    qp: quant_params() dict ([16] rows) when seg is None;
+    seg: (seg_map [B, n_mb] i32, seg_rows {y1/y2/uv: [B, 4, 4, 16]});
+    i4: (is_i4 [B, n_mb] bool, i4_modes [B, n_mb, 16] u8) or None.
+
+    Returns (lv24 [B, n_mb, 24, 16] i16, y2 [B, n_mb, 16] i16,
+    bottom [B, n_mb, 16], right [B, n_mb, 16]).
+    """
+    B = Y.shape[0]
+    n_mb = mb_w * mb_h
+    N = B * mb_h
+    n_steps = mb_w + sk * (mb_h - 1)
+
+    yy = jnp.asarray(np.tile(np.arange(mb_h), B), jnp.int32)   # [N]
+
+    def skew(a):
+        return _skew_b(a, mb_w, mb_h, n_steps, sk)
+
+    xs = {
+        "y": skew(_mb_planar(Y.astype(jnp.uint8), mb_h, mb_w, 16)),
+        "u": skew(_mb_planar(U.astype(jnp.uint8), mb_h, mb_w, 8)),
+        "v": skew(_mb_planar(V.astype(jnp.uint8), mb_h, mb_w, 8)),
+        "m": skew(modes.reshape(B, mb_h, mb_w)),
+        "uvm": skew(uvmodes.reshape(B, mb_h, mb_w)),
+        "t": jnp.arange(n_steps, dtype=jnp.int32),
+    }
+    if seg is not None:
+        seg_map, seg_rows = seg
+        xs["seg"] = skew(seg_map.reshape(B, mb_h, mb_w).astype(jnp.int32))
+        rows4 = {k: _seg_rows_planar(seg_rows[k].astype(jnp.int32), B, mb_h)
+                 for k in ("y1", "y2", "uv")}
+    else:
+        qp_p = {k: tuple(jnp.asarray(a, jnp.int32).reshape(16, 1)
+                         for a in qp[k]) for k in ("y1", "y2", "uv")}
+    if i4 is not None:
+        xs["i4"] = skew(i4[0].reshape(B, mb_h, mb_w))
+        xs["i4m"] = skew(i4[1].reshape(B, mb_h, mb_w, 16))
+
+    def sel_mode(preds, mode):
+        """preds [4, s, s, N]; mode [N] -> [s, s, N]."""
+        m = mode.astype(jnp.int32)[None, None, :]
+        return jnp.where(
+            m == 0, preds[0],
+            jnp.where(m == 1, preds[1],
+                      jnp.where(m == 2, preds[2], preds[3])))
+
+    def step(carry, x):
+        (By1, By2, Ry, Cy1, Cy2, Cy3,
+         Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+         Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
+        xcol = x["t"] - sk * yy                                # [N]
+        valid = (xcol >= 0) & (xcol < mb_w)
+        has_left = valid & (xcol > 0)
+        has_top = valid & (yy > 0)
+
+        if seg is not None:
+            st = x["seg"]
+            qp_t = {k: tuple(_seg_select_p(rows4[k][:, i], st)
+                             for i in range(4)) for k in ("y1", "y2", "uv")}
+        else:
+            qp_t = qp_p
+
+        topY = _shift1_p(By2 if sk == 2 else By1)
+        leftY, tlY = Ry, _shift1_p(Cy3 if sk == 2 else Cy2)
+        predsY = preds4_p(16, topY, leftY, tlY, has_top, has_left)
+        predY_b = plane_to_blocks_p(sel_mode(predsY, x["m"]), 16)
+        src_y = x["y"].astype(jnp.int32).reshape(16, 4, 4, N)
+        lv, y2lv, reconY = luma_pipe_p(src_y, predY_b, qp_t, rd_drop=rd_drop)
+        rYp = blocks_to_plane_p(reconY, 16)
+        if i4 is not None:
+            if sk == 2:
+                trs = _shift1_p(By1)[0:4]
+                edge = jnp.broadcast_to(topY[15:16], (4, N))
+                trs = jnp.where((xcol + 1 >= mb_w)[None, :], edge, trs)
+            else:
+                trs = jnp.broadcast_to(topY[15:16], (4, N))
+            lv_i4, work = i4_reconstruct_p(
+                src_y, x["i4m"], topY, leftY, tlY, trs, has_top, has_left,
+                qp_t["y1"], rd_drop=rd_drop)
+            sel = x["i4"][None, None, :]
+            lv = jnp.where(sel, lv_i4, lv)
+            y2lv = jnp.where(x["i4"][None, :], 0, y2lv)
+            rYp = jnp.where(sel, work, rYp)
+
+        topU = _shift1_p(Bu2 if sk == 2 else Bu1)
+        leftU, tlU = Ru, _shift1_p(Cu3 if sk == 2 else Cu2)
+        topV = _shift1_p(Bv2 if sk == 2 else Bv1)
+        leftV, tlV = Rv, _shift1_p(Cv3 if sk == 2 else Cv2)
+        predsU = preds4_p(8, topU, leftU, tlU, has_top, has_left)
+        predsV = preds4_p(8, topV, leftV, tlV, has_top, has_left)
+        src_u = x["u"].astype(jnp.int32).reshape(4, 4, 4, N)
+        src_v = x["v"].astype(jnp.int32).reshape(4, 4, 4, N)
+        lvu, reconU = chroma_pipe_p(
+            src_u, plane_to_blocks_p(sel_mode(predsU, x["uvm"]), 8), qp_t)
+        lvv, reconV = chroma_pipe_p(
+            src_v, plane_to_blocks_p(sel_mode(predsV, x["uvm"]), 8), qp_t)
+
+        rU = blocks_to_plane_p(reconU, 8)
+        rV = blocks_to_plane_p(reconV, 8)
+        new = (rYp[15], By1, rYp[:, 15], rYp[15, 15], Cy1, Cy2,
+               rU[7], Bu1, rU[:, 7], rU[7, 7], Cu1, Cu2,
+               rV[7], Bv1, rV[:, 7], rV[7, 7], Cv1, Cv2)
+        lv24 = jnp.concatenate([lv, lvu, lvv], axis=0).astype(jnp.int16)
+        return new, (lv24, y2lv.astype(jnp.int16), rYp[15], rYp[:, 15])
+
+    zero16 = jnp.zeros((16, N), jnp.int32)
+    zero8 = jnp.zeros((8, N), jnp.int32)
+    zero1 = jnp.zeros((N,), jnp.int32)
+    carry0 = (zero16, zero16, zero16, zero1, zero1, zero1,
+              zero8, zero8, zero8, zero1, zero1, zero1,
+              zero8, zero8, zero8, zero1, zero1, zero1)
+    _, (lv_sk, y2_sk, bot_sk, rgt_sk) = jax.lax.scan(step, carry0, xs)
+
+    def unskew(c_sk):
+        return _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk)
+
+    lv24 = unskew(lv_sk)                       # [B, n_mb, 24, 16]
+    y2 = unskew(y2_sk)
+    bottom = unskew(bot_sk)
+    right = unskew(rgt_sk)
+    return lv24, y2, bottom, right
