@@ -965,7 +965,7 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                    sns_strength: int = 0, i4_blocks: bool = True,
                    sharp_yuv: bool = False, rd_drop: float = 1024.0,
-                   sk: int = 1):
+                   sk: int = 1, trellis: bool = False):
     """Batched two-phase device encoder.
 
     Returns fn with:
@@ -1053,8 +1053,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         seg = (seg_map, seg_rows) if use_segments else None
         i4_ctx = (is_i4, i4_modes) if i4_blocks else None
         lv24, y2, _, _ = PL.phase2_planar(
-            Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h, rd_drop=rd_drop,
-            seg=seg, i4=i4_ctx, sk=sk)
+            Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
+            rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis)
         return jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
                                seg_map, seg_q, seg_beta)
 

@@ -316,14 +316,28 @@ def chroma_pipe_p(src_b, pred_b, qp):
 
 
 def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
-                     qp_y1, rd_drop: float = 0.0):
+                     qp_y1, rd_drop: float = 0.0, trellis=False, tlam=None,
+                     tnz=None, lnz=None):
     """Planar closed-loop I4 walk (same schedule as ops/i4.i4_reconstruct).
 
     src_b: [16, 4, 4, N] int32 raster subblocks; modes: [16, N];
     topY/leftY: [16, N]; tlY: [N]; trs: [4, N]; has_*: [N].
     qp_y1: (q, iq, bias, sharpen) [16, 1|N].
-    Returns (lv [16, 16, N] zigzag, recon plane [16, 16, N])."""
+    With trellis=True each subblock's levels are re-quantized by the
+    planar Viterbi trellis (ops/trellis.py, host parity with
+    encode.py:428 / encode_trellis.go): tlam [1|N] is the trellis
+    lambda, tnz/lnz [N] int32 are 4-bit nonzero masks of the above/left
+    MB's border subblocks (already masked by has_top/has_left).
+    Returns (lv [16, 16, N] zigzag, recon plane [16, 16, N],
+    t4 [N], l4 [N]) where t4/l4 are this MB's bottom-row/right-col
+    nonzero masks for the neighbor context chain."""
     N = src_b.shape[-1]
+    if trellis:
+        from .trellis import trellis_p
+        t4 = tnz if tnz is not None else jnp.zeros((N,), jnp.int32)
+        l4 = lnz if lnz is not None else jnp.zeros((N,), jnp.int32)
+    else:
+        t4 = l4 = jnp.zeros((N,), jnp.int32)
     top_row = jnp.where(has_top[None, :], topY, 127)
     left_col = jnp.where(has_left[None, :], leftY, 129)
     tl0 = jnp.where(has_top & has_left, tlY,
@@ -372,12 +386,22 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
             pred = jnp.where(mode == m, preds[m], pred)
         src = jnp.stack([src_b[r * 4 + c] for (r, c) in group], axis=0)
         co = fdct4x4_p(src, pred).reshape(g, 16, N)
-        lv, dq = quantize_p(co, *qp_y1, rd_drop=rd_drop * 3.5)
+        if trellis:
+            ctx0 = jnp.stack([((l4 >> r) & 1) + ((t4 >> c) & 1)
+                              for (r, c) in group], axis=0)     # [g, N]
+            q, iq, _, sharpen = qp_y1
+            lv, dq = trellis_p(co, q, iq, sharpen, tlam, ctx0)
+            nzb = (lv != 0).any(axis=1).astype(jnp.int32)       # [g, N]
+            for i, (r, c) in enumerate(group):
+                t4 = (t4 & ~(1 << c)) | (nzb[i] << c)
+                l4 = (l4 & ~(1 << r)) | (nzb[i] << r)
+        else:
+            lv, dq = quantize_p(co, *qp_y1, rd_drop=rd_drop * 3.5)
         rec = jnp.clip(pred + idct4x4_p(dq.reshape(g, 4, 4, N)), 0, 255)
         for i, (r, c) in enumerate(group):
             lv_by_n[r * 4 + c] = lv[i]
             work = work.at[r * 4:r * 4 + 4, c * 4:c * 4 + 4].set(rec[i])
-    return jnp.stack(lv_by_n, axis=0), work
+    return jnp.stack(lv_by_n, axis=0), work, t4, l4
 
 
 # ---------------------------------------------------------------------------
@@ -451,13 +475,17 @@ def _seg_select_p(rows4, seg):
 
 
 def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
-                  seg=None, i4=None, sk=1):
+                  seg=None, i4=None, sk=1, trellis=False):
     """Batched planar re-layout of fastpath._phase2 (single band).
 
     Y/U/V: [B, H, W] (any int dtype); modes/uvmodes: [B, n_mb];
     qp: quant_params() dict ([16] rows) when seg is None;
     seg: (seg_map [B, n_mb] i32, seg_rows {y1/y2/uv: [B, 4, 4, 16]});
     i4: (is_i4 [B, n_mb] bool, i4_modes [B, n_mb, 16] u8) or None.
+    trellis: Viterbi-requantize each I4 subblock in the closed loop
+    (ops/trellis.py; host parity method >= 4 I4 trellis). Adds three
+    nonzero-context masks to the scan carry so the trellis rates see
+    the true neighbor contexts.
 
     Returns (lv24 [B, n_mb, 24, 16] i16, y2 [B, n_mb, 16] i16,
     bottom [B, n_mb, 16], right [B, n_mb, 16]).
@@ -500,10 +528,17 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
             jnp.where(m == 1, preds[1],
                       jnp.where(m == 2, preds[2], preds[3])))
 
+    use_tr = trellis and i4 is not None
+
     def step(carry, x):
-        (By1, By2, Ry, Cy1, Cy2, Cy3,
-         Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
-         Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
+        if use_tr:
+            (By1, By2, Ry, Cy1, Cy2, Cy3,
+             Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+             Bv1, Bv2, Rv, Cv1, Cv2, Cv3, Nt1, Nt2, Nl) = carry
+        else:
+            (By1, By2, Ry, Cy1, Cy2, Cy3,
+             Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+             Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
         xcol = x["t"] - sk * yy                                # [N]
         valid = (xcol >= 0) & (xcol < mb_w)
         has_left = valid & (xcol > 0)
@@ -530,9 +565,20 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                 trs = jnp.where((xcol + 1 >= mb_w)[None, :], edge, trs)
             else:
                 trs = jnp.broadcast_to(topY[15:16], (4, N))
-            lv_i4, work = i4_reconstruct_p(
-                src_y, x["i4m"], topY, leftY, tlY, trs, has_top, has_left,
-                qp_t["y1"], rd_drop=rd_drop)
+            if use_tr:
+                from .trellis import tlam_i4 as _tlam_i4
+                tnz = jnp.where(has_top,
+                                _shift1_p(Nt2 if sk == 2 else Nt1), 0)
+                lnz = jnp.where(has_left, Nl, 0)
+                tlam = _tlam_i4(qp_t["y1"][0])      # [1] or [N]
+                lv_i4, work, t4, l4 = i4_reconstruct_p(
+                    src_y, x["i4m"], topY, leftY, tlY, trs, has_top,
+                    has_left, qp_t["y1"], trellis=True, tlam=tlam,
+                    tnz=tnz, lnz=lnz)
+            else:
+                lv_i4, work, _, _ = i4_reconstruct_p(
+                    src_y, x["i4m"], topY, leftY, tlY, trs, has_top,
+                    has_left, qp_t["y1"], rd_drop=rd_drop)
             sel = x["i4"][None, None, :]
             lv = jnp.where(sel, lv_i4, lv)
             y2lv = jnp.where(x["i4"][None, :], 0, y2lv)
@@ -556,6 +602,17 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         new = (rYp[15], By1, rYp[:, 15], rYp[15, 15], Cy1, Cy2,
                rU[7], Bu1, rU[:, 7], rU[7, 7], Cu1, Cu2,
                rV[7], Bv1, rV[:, 7], rV[7, 7], Cv1, Cv2)
+        if use_tr:
+            # Border-subblock nonzero masks for the neighbor ctx chain:
+            # I16 blocks count AC only (first=1), I4 the trellis masks.
+            nz16 = (lv[:, 1:] != 0).any(axis=1).astype(jnp.int32)  # [16, N]
+            t4_16 = (nz16[12] | (nz16[13] << 1) | (nz16[14] << 2)
+                     | (nz16[15] << 3))
+            l4_16 = (nz16[3] | (nz16[7] << 1) | (nz16[11] << 2)
+                     | (nz16[15] << 3))
+            ii = x["i4"]
+            new = new + (jnp.where(ii, t4, t4_16), Nt1,
+                         jnp.where(ii, l4, l4_16))
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=0).astype(jnp.int16)
         return new, (lv24, y2lv.astype(jnp.int16), rYp[15], rYp[:, 15])
 
@@ -565,6 +622,8 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     carry0 = (zero16, zero16, zero16, zero1, zero1, zero1,
               zero8, zero8, zero8, zero1, zero1, zero1,
               zero8, zero8, zero8, zero1, zero1, zero1)
+    if use_tr:
+        carry0 = carry0 + (zero1, zero1, zero1)
     _, (lv_sk, y2_sk, bot_sk, rgt_sk) = jax.lax.scan(step, carry0, xs)
 
     def unskew(c_sk):
