@@ -160,3 +160,20 @@ def test_q75_m4_sharpyuv_beats_libwebp(photo):
     lsize = len(buf.getvalue())
     rate_pct = 100.0 * (len(ours) - lsize) / lsize
     assert (op - lp) >= 0.05 * rate_pct, (len(ours), op, lsize, lp)
+
+
+def test_device_backend_method6_search(photo):
+    """method>=6 device path: in-scan closed-loop I4 mode search +
+    trellis. Conformance (our decoder == Pillow) plus an RD sanity
+    check: m6 must not be larger AND worse than the m4 device path."""
+    d6 = webp_tpu.encode(photo, quality=75, method=6, backend="device")
+    ref6 = pil_decode_rgba(d6)[..., :3]
+    assert np.array_equal(webp_tpu.decode(d6), ref6)
+    p6 = _psnr(photo, ref6)
+    assert p6 > 25
+
+    d4 = webp_tpu.encode(photo, quality=75, method=4, backend="device")
+    p4 = _psnr(photo, pil_decode_rgba(d4)[..., :3])
+    assert len(d6) < len(d4) or p6 >= p4 - 0.05, (
+        f"m6 worse on both axes: {len(d6)}B/{p6:.2f}dB "
+        f"vs m4 {len(d4)}B/{p4:.2f}dB")

@@ -116,7 +116,8 @@ class DeviceVP8Encoder(VP8Encoder):
         fn = fast_encode_fn(self.mb_w, self.mb_h, self.cfg.quality,
                             self.dev_segments, self.dev_sns, use_i4,
                             sharp_yuv=sharp, sk=sk,
-                            trellis=self.cfg.method >= 5 and use_i4)
+                            trellis=self.cfg.method >= 5 and use_i4,
+                            i4_mode_search=self.cfg.method >= 6 and use_i4)
         from ..ops.fastpath import unpack_output_blob
 
         if self.rgb_input is not None:

@@ -422,8 +422,8 @@ def _mb_quant(seg_map, q_idx, n_mb):
     lam16 = _seg_select(lam16_s, seg_map)
     lamuv = _seg_select(lamuv_s, seg_map)
     lami4 = _seg_select(lami4_s, seg_map)
-    return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4, "i4_seg": lami4_s},
-            seg_rows)
+    return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4,
+                 "i4_seg": lami4_s, "i16_seg": lam16_s}, seg_rows)
 
 
 def _tlsd_static(sns: int, q_i4: int, n_mb: int):
@@ -965,7 +965,8 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                    sns_strength: int = 0, i4_blocks: bool = True,
                    sharp_yuv: bool = False, rd_drop: float = 1024.0,
-                   sk: int = 1, trellis: bool = False):
+                   sk: int = 1, trellis: bool = False,
+                   i4_mode_search: bool = False):
     """Batched two-phase device encoder.
 
     Returns fn with:
@@ -1006,12 +1007,15 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
             seg = (seg_map, seg_rows)
             tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
+            lam4 = lam_i["i4_seg"]
+            lam16_4 = lam_i["i16_seg"]
         else:
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
             qp_i, lam_i, seg, seg_rows = qp, lambdas, None, None
             tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
+            lam4 = lam16_4 = jnp.zeros((4,), jnp.float32)
         modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
                                             mb_w, mb_h, tlsd=tlsd)
         if i4_blocks:
@@ -1024,7 +1028,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             is_i4 = jnp.zeros((n_mb,), bool)
             i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
         return (modes, uvmodes, is_i4, i4_modes,
-                seg_map, seg_q, seg_beta, seg_rows)
+                seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4)
 
     def part3(lv24, y2, modes, uvmodes, is_i4, i4_modes,
               seg_map, seg_q, seg_beta):
@@ -1049,12 +1053,21 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         from . import planar as PL
 
         (modes, uvmodes, is_i4, i4_modes,
-         seg_map, seg_q, seg_beta, seg_rows) = jax.vmap(part1)(Yb, Ub, Vb)
+         seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4) = \
+            jax.vmap(part1)(Yb, Ub, Vb)
         seg = (seg_map, seg_rows) if use_segments else None
         i4_ctx = (is_i4, i4_modes) if i4_blocks else None
-        lv24, y2, _, _ = PL.phase2_planar(
+        search = None
+        if i4_mode_search and i4_blocks:
+            search = ((rt, lam4, lam16_4) if use_segments
+                      else (rt, lambdas["i4"], lambdas["i16"]))
+        out = PL.phase2_planar(
             Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
-            rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis)
+            rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis,
+            i4_search=search)
+        lv24, y2 = out[0], out[1]
+        if search is not None:
+            i4_modes, is_i4 = out[4], out[5]
         return jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
                                seg_map, seg_q, seg_beta)
 

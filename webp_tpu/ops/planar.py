@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lossy import tables as T
+from ..lossy.encode import FIXED_COSTS_I16 as FC16
 from .quant import QFIX, MAX_LEVEL, _WT
 
 ZIGZAG = np.asarray(T.ZIGZAG)
@@ -287,6 +288,28 @@ def pred4_all_p(t, l, tl, tr):
     return [p_dc, p_tm, p_ve, p_he, p_rd, p_vr, p_ld, p_vl, p_hd, p_hu]
 
 
+def approx_rate_p(levels, first, pt, rt):
+    """Planar fastpath.approx_block_rate: levels [..., 16, N] zigzag ->
+    rate [..., N]. Same fused select-chains, coefficient axis at -2."""
+    v = jnp.abs(levels)
+    idx = jnp.arange(16).reshape(16, 1)
+    nzv = (v != 0) & (idx >= first)
+    has_any = nzv.any(axis=-2)
+    last = 15 - jnp.argmax(nzv[..., ::-1, :], axis=-2)
+    last = jnp.where(has_any, last, 0)
+    vc = jnp.minimum(v, 7)
+    cost = jnp.zeros(v.shape, jnp.int32)
+    for k in range(8):
+        cost = cost + jnp.where(vc == k, int(rt.lvl[pt, k]), 0)
+    for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35),
+                                  (35, 1 << 30))):
+        cost = cost + jnp.where((v >= lo) & (v < hi), int(rt.tail[pt, b]), 0)
+    in_run = (idx >= first) & (idx <= last[..., None, :])
+    total = jnp.where(in_run, cost, 0).sum(axis=-2)
+    eob = int(rt.eob[pt])
+    return jnp.where(has_any, total + eob, eob)
+
+
 # ---------------------------------------------------------------------------
 # Planar transform pipelines.
 # ---------------------------------------------------------------------------
@@ -317,7 +340,8 @@ def chroma_pipe_p(src_b, pred_b, qp):
 
 def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
                      qp_y1, rd_drop: float = 0.0, trellis=False, tlam=None,
-                     tnz=None, lnz=None):
+                     tnz=None, lnz=None, search=False, lam=None, rt=None,
+                     tbm=None, lbm=None):
     """Planar closed-loop I4 walk (same schedule as ops/i4.i4_reconstruct).
 
     src_b: [16, 4, 4, N] int32 raster subblocks; modes: [16, N];
@@ -328,9 +352,16 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
     encode.py:428 / encode_trellis.go): tlam [1|N] is the trellis
     lambda, tnz/lnz [N] int32 are 4-bit nonzero masks of the above/left
     MB's border subblocks (already masked by has_top/has_left).
+    With search=True the walk re-runs the 10-mode RD search per subblock
+    against the TRUE reconstructed context (host parity with the
+    closed-loop PickBestIntra4, encode.go; rates from approx_rate_p,
+    pixel-domain SSE x 256): lam [1|N] is the I4 lambda, rt the
+    RateTables; `modes` is ignored. Requires the skew-2 above-right
+    strip (full mode set — no TR ban).
     Returns (lv [16, 16, N] zigzag, recon plane [16, 16, N],
-    t4 [N], l4 [N]) where t4/l4 are this MB's bottom-row/right-col
-    nonzero masks for the neighbor context chain."""
+    t4 [N], l4 [N], modes_out [16, N]) where t4/l4 are this MB's
+    bottom-row/right-col nonzero masks for the neighbor context chain
+    and modes_out the chosen (or passed-through) modes."""
     N = src_b.shape[-1]
     if trellis:
         from .trellis import trellis_p
@@ -338,6 +369,14 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
         l4 = lnz if lnz is not None else jnp.zeros((N,), jnp.int32)
     else:
         t4 = l4 = jnp.zeros((N,), jnp.int32)
+    if search:
+        # Mode-context chain for exact header costs (encode.go
+        # fixedCostsI4[top][left][mode]); 0 (DC) at image borders.
+        z = jnp.zeros((N,), jnp.int32)
+        tmv = [tbm[c] if tbm is not None else z for c in range(4)]
+        lmv = [lbm[r] if lbm is not None else z for r in range(4)]
+        rd_rate = jnp.zeros((N,), jnp.int32)     # chosen-mode rate sum
+        rd_disto = jnp.zeros((N,), jnp.int32)    # chosen-mode pixel SSE sum
     top_row = jnp.where(has_top[None, :], topY, 127)
     left_col = jnp.where(has_left[None, :], leftY, 129)
     tl0 = jnp.where(has_top & has_left, tlY,
@@ -371,6 +410,7 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
 
     work = jnp.zeros((16, 16, N), jnp.int32)
     lv_by_n = [None] * 16
+    mode_by_n = [None] * 16
     for group in groups:
         g = len(group)
         ctxs = [ctx_of(work, r, c) for (r, c) in group]
@@ -379,13 +419,47 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
         tl = jnp.stack([cx[2] for cx in ctxs], axis=0)      # [g, N]
         tr = jnp.stack([cx[3] for cx in ctxs], axis=0)
         preds = pred4_all_p(t, l, tl, tr)                   # 10 x [g, 4, 4, N]
-        mode = jnp.stack([modes[r * 4 + c] for (r, c) in group],
-                         axis=0).astype(jnp.int32)[:, None, None, :]
-        pred = preds[0]
-        for m in range(1, 10):
-            pred = jnp.where(mode == m, preds[m], pred)
         src = jnp.stack([src_b[r * 4 + c] for (r, c) in group], axis=0)
-        co = fdct4x4_p(src, pred).reshape(g, 16, N)
+        if search:
+            from ..lossy.cost import FIXED_COSTS_I4
+            pall = jnp.stack(preds, axis=0)                 # [10, g, 4, 4, N]
+            co_all = fdct4x4_p(jnp.broadcast_to(src, pall.shape), pall)
+            lv_s, dq_s = quantize_p(co_all.reshape(10, g, 16, N), *qp_y1)
+            rec_s = jnp.clip(pall + idct4x4_p(dq_s.reshape(10, g, 4, 4, N)),
+                             0, 255)
+            disto = ((src[None] - rec_s) ** 2).sum(axis=(-3, -2))  # [10,g,N]
+            tmode = jnp.stack([tmv[c] for (_, c) in group], axis=0)  # [g, N]
+            lmode = jnp.stack([lmv[r] for (r, _) in group], axis=0)
+            idx10 = ((tmode * 10 + lmode)[..., None] * 10
+                     + np.arange(10))                       # [g, N, 10]
+            hdr = jnp.asarray(np.asarray(FIXED_COSTS_I4).reshape(-1),
+                              jnp.int32)[idx10]
+            rate = approx_rate_p(lv_s, 0, 3, rt) + jnp.moveaxis(hdr, -1, 0)
+            score = (rate.astype(jnp.float32) * lam
+                     + 256.0 * disto.astype(jnp.float32))
+            mode_sel = jnp.argmin(score, axis=0)            # [g, N]
+            msk = jnp.arange(10)[:, None, None] == mode_sel[None]  # [10,g,N]
+            rd_rate = rd_rate + jnp.where(msk, rate, 0).sum(axis=(0, 1))
+            rd_disto = rd_disto + jnp.where(msk, disto, 0).sum(axis=(0, 1))
+            for i, (r, c) in enumerate(group):
+                tmv[c] = mode_sel[i]
+                lmv[r] = mode_sel[i]
+            m4 = mode_sel[:, None, None, :]                 # [g, 1, 1, N]
+            m3 = mode_sel[:, None, :]                       # [g, 1, N]
+            pred = pall[0]
+            co = co_all[0].reshape(g, 16, N)
+            for m in range(1, 10):
+                pred = jnp.where(m4 == m, pall[m], pred)
+                co = jnp.where(m3 == m, co_all[m].reshape(g, 16, N), co)
+            mode_grp = mode_sel
+        else:
+            mode = jnp.stack([modes[r * 4 + c] for (r, c) in group],
+                             axis=0).astype(jnp.int32)[:, None, None, :]
+            pred = preds[0]
+            for m in range(1, 10):
+                pred = jnp.where(mode == m, preds[m], pred)
+            co = fdct4x4_p(src, pred).reshape(g, 16, N)
+            mode_grp = mode[:, 0, 0, :]
         if trellis:
             ctx0 = jnp.stack([((l4 >> r) & 1) + ((t4 >> c) & 1)
                               for (r, c) in group], axis=0)     # [g, N]
@@ -400,8 +474,16 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
         rec = jnp.clip(pred + idct4x4_p(dq.reshape(g, 4, 4, N)), 0, 255)
         for i, (r, c) in enumerate(group):
             lv_by_n[r * 4 + c] = lv[i]
+            mode_by_n[r * 4 + c] = mode_grp[i]
             work = work.at[r * 4:r * 4 + 4, c * 4:c * 4 + 4].set(rec[i])
-    return jnp.stack(lv_by_n, axis=0), work, t4, l4
+    if search:
+        bm_out = (jnp.stack(tmv, axis=0), jnp.stack(lmv, axis=0))  # [4, N]
+        rd_out = (rd_rate, rd_disto)
+    else:
+        bm_out = (None, None)
+        rd_out = (None, None)
+    return (jnp.stack(lv_by_n, axis=0), work, t4, l4,
+            jnp.stack(mode_by_n, axis=0).astype(jnp.uint8), bm_out, rd_out)
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +557,7 @@ def _seg_select_p(rows4, seg):
 
 
 def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
-                  seg=None, i4=None, sk=1, trellis=False):
+                  seg=None, i4=None, sk=1, trellis=False, i4_search=None):
     """Batched planar re-layout of fastpath._phase2 (single band).
 
     Y/U/V: [B, H, W] (any int dtype); modes/uvmodes: [B, n_mb];
@@ -486,14 +568,23 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     (ops/trellis.py; host parity method >= 4 I4 trellis). Adds three
     nonzero-context masks to the scan carry so the trellis rates see
     the true neighbor contexts.
+    i4_search: (rt, lam_i4, lam_i16) to re-run the 10-mode RD search per
+    subblock inside the closed loop against true recon context (device
+    method 6; host parity PickBestIntra4), including the closed-loop
+    I16-vs-I4 split decision. Lambdas are python scalars (no segments)
+    or [B, 4] per-segment arrays; requires sk == 2. The phase-1 i4
+    modes/split are then ignored.
 
     Returns (lv24 [B, n_mb, 24, 16] i16, y2 [B, n_mb, 16] i16,
-    bottom [B, n_mb, 16], right [B, n_mb, 16]).
+    bottom [B, n_mb, 16], right [B, n_mb, 16][, i4_modes
+    [B, n_mb, 16] u8, is_i4 [B, n_mb] bool when i4_search]).
     """
     B = Y.shape[0]
     n_mb = mb_w * mb_h
     N = B * mb_h
     n_steps = mb_w + sk * (mb_h - 1)
+    if i4 is None:
+        i4_search = None
 
     yy = jnp.asarray(np.tile(np.arange(mb_h), B), jnp.int32)   # [N]
 
@@ -519,6 +610,15 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     if i4 is not None:
         xs["i4"] = skew(i4[0].reshape(B, mb_h, mb_w))
         xs["i4m"] = skew(i4[1].reshape(B, mb_h, mb_w, 16))
+    if i4_search is not None and seg is not None:
+        # per-image [B, 4] segment lambdas -> lane-broadcast [4, N]
+        def _lane_lam(lam_b):
+            return jnp.broadcast_to(
+                jnp.asarray(lam_b, jnp.float32).T[:, :, None],
+                (4, B, mb_h)).reshape(4, N)
+
+        lam4N = _lane_lam(i4_search[1])
+        lam16N = _lane_lam(i4_search[2])
 
     def sel_mode(preds, mode):
         """preds [4, s, s, N]; mode [N] -> [s, s, N]."""
@@ -531,14 +631,14 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     use_tr = trellis and i4 is not None
 
     def step(carry, x):
+        base, extra = carry[:18], carry[18:]
+        (By1, By2, Ry, Cy1, Cy2, Cy3,
+         Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
+         Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = base
         if use_tr:
-            (By1, By2, Ry, Cy1, Cy2, Cy3,
-             Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
-             Bv1, Bv2, Rv, Cv1, Cv2, Cv3, Nt1, Nt2, Nl) = carry
-        else:
-            (By1, By2, Ry, Cy1, Cy2, Cy3,
-             Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
-             Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = carry
+            Nt1, Nt2, Nl = extra[:3]
+        if i4_search is not None:
+            Bm1, Bm2, Bml = extra[-3:]
         xcol = x["t"] - sk * yy                                # [N]
         valid = (xcol >= 0) & (xcol < mb_w)
         has_left = valid & (xcol > 0)
@@ -565,24 +665,59 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                 trs = jnp.where((xcol + 1 >= mb_w)[None, :], edge, trs)
             else:
                 trs = jnp.broadcast_to(topY[15:16], (4, N))
+            if i4_search is not None:
+                lam_t = (_seg_select_p(lam4N, x["seg"])
+                         if seg is not None else jnp.float32(i4_search[1]))
+                tbm = jnp.where(has_top,
+                                _shift1_p(Bm2 if sk == 2 else Bm1), 0)
+                lbm = jnp.where(has_left, Bml, 0)
+                s_kw = dict(search=True, lam=lam_t, rt=i4_search[0],
+                            tbm=tbm, lbm=lbm)
+            else:
+                s_kw = {}
             if use_tr:
                 from .trellis import tlam_i4 as _tlam_i4
                 tnz = jnp.where(has_top,
                                 _shift1_p(Nt2 if sk == 2 else Nt1), 0)
                 lnz = jnp.where(has_left, Nl, 0)
                 tlam = _tlam_i4(qp_t["y1"][0])      # [1] or [N]
-                lv_i4, work, t4, l4 = i4_reconstruct_p(
-                    src_y, x["i4m"], topY, leftY, tlY, trs, has_top,
-                    has_left, qp_t["y1"], trellis=True, tlam=tlam,
-                    tnz=tnz, lnz=lnz)
+                lv_i4, work, t4, l4, i4m_out, bm_out, rd4 = \
+                    i4_reconstruct_p(
+                        src_y, x["i4m"], topY, leftY, tlY, trs, has_top,
+                        has_left, qp_t["y1"], trellis=True, tlam=tlam,
+                        tnz=tnz, lnz=lnz, **s_kw)
             else:
-                lv_i4, work, _, _ = i4_reconstruct_p(
+                lv_i4, work, _, _, i4m_out, bm_out, rd4 = i4_reconstruct_p(
                     src_y, x["i4m"], topY, leftY, tlY, trs, has_top,
-                    has_left, qp_t["y1"], rd_drop=rd_drop)
-            sel = x["i4"][None, None, :]
+                    has_left, qp_t["y1"], rd_drop=rd_drop, **s_kw)
+            if i4_search is not None:
+                # Closed-loop I16-vs-I4 split (vp8_enc_loop.cc use_i4
+                # comparison): both reconstructions are in hand, so score
+                # them against true context instead of trusting phase 1.
+                rt_s = i4_search[0]
+                disto16 = ((reconY - src_y) ** 2).sum(axis=(0, 1, 2))
+                rate16 = (approx_rate_p(lv, 1, 0, rt_s).sum(axis=0)
+                          + approx_rate_p(y2lv, 0, 1, rt_s))
+                m = x["m"].astype(jnp.int32)
+                fc16 = jnp.where(m == 0, int(FC16[0]),
+                                 jnp.where(m == 1, int(FC16[1]),
+                                           jnp.where(m == 2, int(FC16[2]),
+                                                     int(FC16[3]))))
+                lam16_t = (_seg_select_p(lam16N, x["seg"])
+                           if seg is not None else jnp.float32(i4_search[2]))
+                score16 = ((rate16 + fc16).astype(jnp.float32) * lam16_t
+                           + 256.0 * disto16.astype(jnp.float32))
+                score4 = ((rd4[0] + 211).astype(jnp.float32) * lam_t
+                          + 256.0 * rd4[1].astype(jnp.float32))
+                ii_mb = score4 < score16
+            else:
+                ii_mb = x["i4"]
+            sel = ii_mb[None, None, :]
             lv = jnp.where(sel, lv_i4, lv)
-            y2lv = jnp.where(x["i4"][None, :], 0, y2lv)
+            y2lv = jnp.where(ii_mb[None, :], 0, y2lv)
             rYp = jnp.where(sel, work, rYp)
+        else:
+            ii_mb = jnp.zeros((N,), bool)
 
         topU = _shift1_p(Bu2 if sk == 2 else Bu1)
         leftU, tlU = Ru, _shift1_p(Cu3 if sk == 2 else Cu2)
@@ -610,11 +745,19 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                      | (nz16[15] << 3))
             l4_16 = (nz16[3] | (nz16[7] << 1) | (nz16[11] << 2)
                      | (nz16[15] << 3))
-            ii = x["i4"]
-            new = new + (jnp.where(ii, t4, t4_16), Nt1,
-                         jnp.where(ii, l4, l4_16))
+            new = new + (jnp.where(ii_mb, t4, t4_16), Nt1,
+                         jnp.where(ii_mb, l4, l4_16))
+        if i4_search is not None:
+            # bmode context chain: I16 MBs propagate their mode value
+            # (vp8_enc_loop.cc top_bmodes update for non-I4 MBs).
+            m16 = jnp.broadcast_to(x["m"].astype(jnp.int32)[None, :], (4, N))
+            new = new + (jnp.where(ii_mb, bm_out[0], m16), Bm1,
+                         jnp.where(ii_mb, bm_out[1], m16))
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=0).astype(jnp.int16)
-        return new, (lv24, y2lv.astype(jnp.int16), rYp[15], rYp[:, 15])
+        ys = (lv24, y2lv.astype(jnp.int16), rYp[15], rYp[:, 15])
+        if i4_search is not None:
+            ys = ys + (i4m_out, ii_mb)
+        return new, ys
 
     zero16 = jnp.zeros((16, N), jnp.int32)
     zero8 = jnp.zeros((8, N), jnp.int32)
@@ -624,13 +767,18 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
               zero8, zero8, zero8, zero1, zero1, zero1)
     if use_tr:
         carry0 = carry0 + (zero1, zero1, zero1)
-    _, (lv_sk, y2_sk, bot_sk, rgt_sk) = jax.lax.scan(step, carry0, xs)
+    if i4_search is not None:
+        zero4 = jnp.zeros((4, N), jnp.int32)
+        carry0 = carry0 + (zero4, zero4, zero4)
+    _, outs = jax.lax.scan(step, carry0, xs)
 
     def unskew(c_sk):
         return _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk)
 
-    lv24 = unskew(lv_sk)                       # [B, n_mb, 24, 16]
-    y2 = unskew(y2_sk)
-    bottom = unskew(bot_sk)
-    right = unskew(rgt_sk)
+    lv24 = unskew(outs[0])                     # [B, n_mb, 24, 16]
+    y2 = unskew(outs[1])
+    bottom = unskew(outs[2])
+    right = unskew(outs[3])
+    if i4_search is not None:
+        return lv24, y2, bottom, right, unskew(outs[4]), unskew(outs[5])
     return lv24, y2, bottom, right
