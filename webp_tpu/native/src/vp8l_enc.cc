@@ -1638,8 +1638,21 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     return std::chrono::duration<double, std::milli>(b - a).count();
   };
   auto s0 = tk();
+  // When the cost-model re-parse will run it needs the full match table
+  // anyway, and its DP rewrites the token stream regardless — so skip the
+  // greedy chain search entirely and derive the seed tokens from the
+  // table (one chain pass instead of two; the seed only feeds cache-size
+  // selection and the trace-lost fallback, both exact-size-compared).
+  static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
+  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64;
   std::vector<Token> base;
-  BackwardReferences(argb, n, xsize, quality, &base);
+  std::vector<uint32_t> shared_mt;
+  if (want_trace) {
+    FillMatchTable(argb, n, xsize, quality, &shared_mt);
+    TokensFromTable(argb, n, shared_mt, &base);
+  } else {
+    BackwardReferences(argb, n, xsize, quality, &base);
+  }
   if (prof2) fprintf(stderr, "[vp8l] greedy=%.0fms\n", msd(s0, tk()));
 
   PlaneMap pm;
@@ -1652,8 +1665,12 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   // LZ77-Box candidate at quality >= 90 (reference encode.go:547-550):
   // cheap-distance matching wins on palette-heavy content.
   if (quality >= 90 && n >= 64) {
-    std::vector<uint32_t> std_mt, box_mt;
-    FillMatchTable(argb, n, xsize, quality, &std_mt);
+    std::vector<uint32_t> std_mt_local, box_mt;
+    const std::vector<uint32_t>& std_mt =
+        shared_mt.empty()
+            ? (FillMatchTable(argb, n, xsize, quality, &std_mt_local),
+               std_mt_local)
+            : shared_mt;
     FillBoxMatchTable(argb, n, xsize, pm, std_mt, &box_mt);
     std::vector<Token> box;
     TokensFromTable(argb, n, box_mt, &box);
@@ -1734,14 +1751,11 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   // where the greedy parse leaves the most on the table (small images) so
   // the large-image throughput path keeps its speed (the reference gates on
   // quality alone, encode_backward.go:773-795).
-  static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
-  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64;
   if (want_trace) {
     const bool prof = std::getenv("WEBPTPU_VP8L_PROF") != nullptr;
     auto tick = [] { return std::chrono::steady_clock::now(); };
     auto t0 = tick();
-    std::vector<uint32_t> mt;
-    FillMatchTable(argb, n, xsize, quality, &mt);
+    const std::vector<uint32_t>& mt = shared_mt;  // filled above
     auto t1 = tick();
     std::vector<Token> traced;
     const bool traced_ok =
@@ -1776,10 +1790,17 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   if (is_level0 && quality >= 25 && n >= 4096 && (n % xsize) == 0) {
     // Snapshot plans (fixed group counts) only where the emission cost is
     // negligible; large images keep the two main clusterings.
-    have_merge = BuildMetaPlanMerge(best_toks, pm, n, xsize, best_cb,
-                                    &mp_merge,
-                                    n <= (1L << 18) ? &snaps : nullptr);
-    have_km = BuildMetaPlanKMeans(best_toks, pm, n, xsize, best_cb, &mp_km);
+    auto tc0 = tk();
+    if (!std::getenv("WEBPTPU_NO_MERGE"))
+      have_merge = BuildMetaPlanMerge(best_toks, pm, n, xsize, best_cb,
+                                      &mp_merge,
+                                      n <= (1L << 18) ? &snaps : nullptr);
+    auto tc1 = tk();
+    if (!std::getenv("WEBPTPU_NO_KMEANS"))
+      have_km = BuildMetaPlanKMeans(best_toks, pm, n, xsize, best_cb, &mp_km);
+    if (prof2)
+      fprintf(stderr, "[vp8l] merge=%.0fms kmeans=%.0fms\n", msd(tc0, tc1),
+              msd(tc1, tk()));
   }
   if (prof2) fprintf(stderr, "[vp8l] clustering=%.0fms\n", msd(s0, tk()));
   std::vector<MetaPlan> cands;
