@@ -823,14 +823,27 @@ bool BuildMetaPlanMerge(const std::vector<Token>& toks,
     const int q3 = std::min(3, (int)((double)cop / n0 * 8.0));
     bin_of[(size_t)t] = (q1 * 4 + q2) * 4 + q3;
   }
+  // Cap members per seed cluster: homogeneous images (photos) land every
+  // tile in one or two entropy bins, which used to collapse the whole
+  // image before pairwise merging could see any structure. Splitting a
+  // full bin into a fresh cluster keeps ~64 raster-local starters for
+  // the greedy merge + remap to refine.
+  // Large images keep the cheap full-bin collapse (their pairwise merge
+  // cost would be quadratic in starters and kmeans covers the fine
+  // structure); small ones afford the 64-starter search.
+  const long kSeedCap =
+      n <= (1L << 16) ? std::max<long>(1, (T + 63) / 64) : (long)T;
+  std::vector<long> cl_members;
   for (long t = 0; t < T; ++t) {
     int& c = bin_cluster[(size_t)bin_of[(size_t)t]];
-    if (c < 0) {
+    if (c < 0 || cl_members[(size_t)c] >= kSeedCap) {
       c = (int)cl.size();
       cl.emplace_back();
       cl.back().Init(cache_bits);
+      cl_members.push_back(0);
     }
     AddHistos(&cl[(size_t)c], th[(size_t)t]);
+    cl_members[(size_t)c]++;
     assign[(size_t)t] = (uint16_t)c;
   }
 
@@ -1806,6 +1819,10 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   std::vector<MetaPlan> cands;
   if (have_merge) cands.push_back(mp_merge);
   if (have_km) cands.push_back(mp_km);
+  if (std::getenv("WEBPTPU_META_DEBUG"))
+    fprintf(stderr, "[meta] snaps=%zu merge=%d km=%d\n", snaps.size(),
+            have_merge ? mp_merge.num_groups : -1,
+            have_km ? mp_km.num_groups : -1);
   for (auto& a : snaps) {
     MetaPlan p;
     p.hb = mp_merge.hb;
