@@ -123,6 +123,16 @@ def main() -> None:
     ll_enc = max(_timed(lambda: webp_tpu.encode(rgb, lossless=True), mpx)
                  for _ in range(2))
     ll_dec = max(_timed(lambda: webp_tpu.decode(ll), mpx) for _ in range(2))
+    # Same-host libwebp (Pillow) comparator: the M5-Max Go baseline is not
+    # comparable for single-core host paths, libwebp on this machine is.
+    import io
+
+    def _libwebp_ll():
+        b = io.BytesIO()
+        src.save(b, format="WEBP", lossless=True, quality=75, method=4)
+        return b
+    lw_size = _libwebp_ll().tell()
+    lw_enc = max(_timed(_libwebp_ll, mpx) for _ in range(2))
     lossy = r.assemble_riff([r.Chunk(r.VP8, out[0])])
     webp_tpu.decode(lossy)
     lossy_dec = max(_timed(lambda: webp_tpu.decode(lossy), mpx)
@@ -154,6 +164,8 @@ def main() -> None:
             "device_compute_mpx_per_s": round(dev_mpx_s, 2),
             "device_compute_vs_baseline": round(dev_mpx_s / BASELINE_MPX_S, 3),
             "lossless_encode_mpx_per_s": round(ll_enc, 2),
+            "lossless_speed_vs_libwebp_same_host": round(ll_enc / lw_enc, 2),
+            "lossless_size_vs_libwebp_m4": round(len(ll) / lw_size, 4),
             "lossless_decode_mpx_per_s": round(ll_dec, 2),
             "lossy_decode_mpx_per_s": round(lossy_dec, 2),
             "lossy_decode_yuv_mpx_per_s": round(lossy_dec_yuv, 2),

@@ -21,9 +21,12 @@ def _mk_inputs(B, mb_w, mb_h, seed=0):
 
 
 @pytest.mark.parametrize("sk,use_i4,rd_drop,segments", [
-    (1, False, 0.0, 1),
-    (1, True, 0.0, 1),
-    (1, True, 1024.0, 4),
+    # One representative config stays in the fast tier (the fullest one:
+    # skew-2, I4 on, rd_drop, 4 segments); the rest are compile-heavy
+    # (~30 s each on the 1-core host) and run in the slow tier.
+    pytest.param(1, False, 0.0, 1, marks=pytest.mark.slow),
+    pytest.param(1, True, 0.0, 1, marks=pytest.mark.slow),
+    pytest.param(1, True, 1024.0, 4, marks=pytest.mark.slow),
     (2, True, 1024.0, 4),
 ])
 def test_phase2_planar_bit_exact(sk, use_i4, rd_drop, segments):

@@ -96,6 +96,7 @@ def test_device_backend_end_to_end(photo):
     assert _psnr(photo, ref) > 25
 
 
+@pytest.mark.slow
 def test_device_backend_method5_skew2(photo):
     """method>=5 device path: skew-2 closed loop, full I4 mode set. The
     stream must stay conformant (our decoder == Pillow — a TR context
@@ -162,6 +163,7 @@ def test_q75_m4_sharpyuv_beats_libwebp(photo):
     assert (op - lp) >= 0.05 * rate_pct, (len(ours), op, lsize, lp)
 
 
+@pytest.mark.slow
 def test_device_backend_method6_search(photo):
     """method>=6 device path: in-scan closed-loop I4 mode search +
     trellis. Conformance (our decoder == Pillow) plus an RD sanity

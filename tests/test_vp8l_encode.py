@@ -52,6 +52,19 @@ def test_dimensions(photo, size):
     assert _roundtrip_exact(im)
 
 
+@pytest.mark.parametrize("method", [0, 1, 2, 3, 5, 6])
+def test_method_ladder_roundtrips(photo, method):
+    """Every method level must stay pixel-exact (lossless is lossless at
+    m0 too); lower methods trade size for speed, bounded here at +30%
+    over m4 (measured spread on photos is ~8%)."""
+    img = photo[..., :3]
+    data = webp_tpu.encode(img, lossless=True, method=method)
+    assert np.array_equal(pil_decode_rgba(data)[..., :3], img)
+    assert np.array_equal(webp_tpu.decode(data), img)
+    base = webp_tpu.encode(img, lossless=True, method=4)
+    assert len(data) <= int(len(base) * 1.3), (method, len(data), len(base))
+
+
 def test_noise_image():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)

@@ -242,12 +242,14 @@ def _histo_cost_bits(hists) -> float:
 
 def _encode_entropy_coded_image(bw: LosslessBitWriter, argb: np.ndarray,
                                 xsize: int, quality: int,
-                                is_level0: bool = False) -> None:
+                                is_level0: bool = False,
+                                method: int = 4) -> None:
     """color-cache bit + (level0: meta-huffman bit) + trees + LZ77 data."""
     try:
         from ..native.api import vp8l_encode_entropy_image
 
-        native = vp8l_encode_entropy_image(argb, xsize, quality, is_level0)
+        native = vp8l_encode_entropy_image(argb, xsize, quality, is_level0,
+                                           method)
     except Exception:
         native = None
     if native is not None:
@@ -535,10 +537,12 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         pal = palette.astype(np.uint32)
         deltas = pal.copy()
         deltas[1:] = _sub_pixels(pal[1:], pal[:-1])
-        _encode_entropy_coded_image(b2, deltas, len(palette), quality)
+        _encode_entropy_coded_image(b2, deltas, len(palette), quality,
+                                    method=method)
         b2.write_bits(0, 1)  # no more transforms
         _encode_entropy_coded_image(b2, packed.reshape(-1),
-                                    packed.shape[1], quality, is_level0=True)
+                                    packed.shape[1], quality, is_level0=True,
+                                    method=method)
         return b2.finish(), b2.bit_position()
 
     use_palette = palette is not None and len(palette) <= 256
@@ -581,7 +585,8 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
             residuals, tile_img = (pred if pred is not None else
                                    predictor_transform(cur, bits, quality))
             _encode_entropy_coded_image(
-                b2, tile_img, sub_sample_size(w, bits), quality)
+                b2, tile_img, sub_sample_size(w, bits), quality,
+                method=method)
             if cc is not None:
                 residuals, cc_tiles, _ = cc
                 b2.write_bits(1, 1)
@@ -589,11 +594,11 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
                 b2.write_bits(bits - 2, 3)
                 _encode_entropy_coded_image(
                     b2, cc_tiles.reshape(-1), sub_sample_size(w, bits),
-                    quality)
+                    quality, method=method)
             cur = residuals
         b2.write_bits(0, 1)  # no more transforms
         _encode_entropy_coded_image(b2, cur.reshape(-1), w, quality,
-                                    is_level0=True)
+                                    is_level0=True, method=method)
         nbits = b2.bit_position()
         return b2.finish(), nbits
 

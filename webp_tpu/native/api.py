@@ -299,14 +299,14 @@ def native_upsample_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def vp8l_encode_entropy_image(argb: np.ndarray, xsize: int, quality: int,
-                              is_level0: bool):
+                              is_level0: bool, method: int = 4):
     """Native entropy-coded-image emit -> (bytes, nbits); None if absent."""
     lib = get()
     if lib is None or not hasattr(lib, "vp8l_encode_entropy_image"):
         return None
     if not getattr(lib, "_vp8l_enc_ready", False):
         lib.vp8l_encode_entropy_image.argtypes = [
-            ct.c_void_p, ct.c_long, ct.c_int, ct.c_int, ct.c_int,
+            ct.c_void_p, ct.c_long, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
             ct.c_void_p, ct.c_long,
         ]
         lib.vp8l_encode_entropy_image.restype = ct.c_long
@@ -315,8 +315,8 @@ def vp8l_encode_entropy_image(argb: np.ndarray, xsize: int, quality: int,
     cap = a.size * 6 + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     bits = lib.vp8l_encode_entropy_image(_ptr(a), a.size, xsize,
-                                         int(quality), int(is_level0),
-                                         _ptr(out), cap)
+                                         int(quality), int(method),
+                                         int(is_level0), _ptr(out), cap)
     if bits < 0:
         return None
     return out[: (bits + 7) // 8].tobytes(), int(bits)

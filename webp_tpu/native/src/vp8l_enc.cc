@@ -1644,7 +1644,7 @@ bool TraceParse(const uint32_t* a, long n, int xsize, int quality,
 }
 
 void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
-                  int quality, bool is_level0) {
+                  int quality, int method, bool is_level0) {
   const bool prof2 = std::getenv("WEBPTPU_VP8L_PROF") != nullptr && n > 100000;
   auto tk = [] { return std::chrono::steady_clock::now(); };
   auto msd = [](auto a, auto b) {
@@ -1656,8 +1656,14 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
   // greedy chain search entirely and derive the seed tokens from the
   // table (one chain pass instead of two; the seed only feeds cache-size
   // selection and the trace-lost fallback, both exact-size-compared).
+  // Method ladder (reference encode.go maps method to search effort): the
+  // full match table + cost-model re-parse only from method 3 up; below
+  // that the one-pass greedy chain is the parse. Methods 0-1 further trim
+  // the cache-size search and the clustering candidates — measured on a
+  // 1.5 Mpx photo this makes m0 ~3x faster than m4 (libwebp's own m0/m4
+  // spread on the same host).
   static const bool kNoTrace = std::getenv("WEBPTPU_NO_TRACE") != nullptr;
-  const bool want_trace = !kNoTrace && quality >= 50 && n >= 64;
+  const bool want_trace = !kNoTrace && method >= 3 && quality >= 50 && n >= 64;
   std::vector<Token> base;
   std::vector<uint32_t> shared_mt;
   if (want_trace) {
@@ -1677,7 +1683,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
 
   // LZ77-Box candidate at quality >= 90 (reference encode.go:547-550):
   // cheap-distance matching wins on palette-heavy content.
-  if (quality >= 90 && n >= 64) {
+  if (quality >= 90 && method >= 3 && n >= 64) {
     std::vector<uint32_t> std_mt_local, box_mt;
     const std::vector<uint32_t>& std_mt =
         shared_mt.empty()
@@ -1702,8 +1708,9 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     constexpr int kNumCbs = 6;
     constexpr int kCbs[kNumCbs] = {1, 2, 4, 6, 8, 10};
     // Small cache sizes only pay off on small/graphic images; skip them on
-    // large ones so the per-token candidate loop stays cheap.
-    const int c0 = n > (1L << 18) ? 3 : 0;
+    // large ones so the per-token candidate loop stays cheap. Low methods
+    // keep only the two big sizes.
+    const int c0 = method <= 1 ? 4 : n > (1L << 18) ? 3 : 0;
     Histos ch[kNumCbs];
     std::vector<int64_t> cache[kNumCbs];
     for (int c = c0; c < kNumCbs; ++c) {
@@ -1805,11 +1812,11 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     // negligible; large images keep the two main clusterings.
     auto tc0 = tk();
     if (!std::getenv("WEBPTPU_NO_MERGE"))
-      have_merge = BuildMetaPlanMerge(best_toks, pm, n, xsize, best_cb,
-                                      &mp_merge,
-                                      n <= (1L << 18) ? &snaps : nullptr);
+      have_merge = BuildMetaPlanMerge(
+          best_toks, pm, n, xsize, best_cb, &mp_merge,
+          (method >= 2 && n <= (1L << 18)) ? &snaps : nullptr);
     auto tc1 = tk();
-    if (!std::getenv("WEBPTPU_NO_KMEANS"))
+    if (method >= 2 && !std::getenv("WEBPTPU_NO_KMEANS"))
       have_km = BuildMetaPlanKMeans(best_toks, pm, n, xsize, best_cb, &mp_km);
     if (prof2)
       fprintf(stderr, "[vp8l] merge=%.0fms kmeans=%.0fms\n", msd(tc0, tc1),
@@ -1867,7 +1874,7 @@ void EncodeStream(BitWriter* bw, const uint32_t* argb, long n, int xsize,
     for (size_t i = 0; i < meta_px.size(); ++i)
       meta_px[i] = 0xFF000000u | ((uint32_t)mp.tile_group[i] << 8);
     EncodeStream(w, meta_px.data(), (long)meta_px.size(), (int)mp.tx,
-                 quality, /*is_level0=*/false);
+                 quality, method, /*is_level0=*/false);
 
     // Per-group histograms + trees.
     std::vector<Histos> gh((size_t)mp.num_groups);
@@ -1922,10 +1929,10 @@ extern "C" {
 // entropy image + trees + LZ77 tokens). Returns number of bits written to
 // `out` (bit 0 = LSB of out[0]), or -1 on overflow.
 long vp8l_encode_entropy_image(const uint32_t* argb, long n, int xsize,
-                               int quality, int is_level0, uint8_t* out,
-                               long cap_bytes) {
+                               int quality, int method, int is_level0,
+                               uint8_t* out, long cap_bytes) {
   BitWriter bw;
-  EncodeStream(&bw, argb, n, xsize, quality, is_level0 != 0);
+  EncodeStream(&bw, argb, n, xsize, quality, method, is_level0 != 0);
   const long bits = bw.BitPos();
   bw.FinishByte();
   if ((long)bw.buf.size() > cap_bytes) return -1;
