@@ -133,10 +133,19 @@ def main() -> None:
         return b
     lw_size = _libwebp_ll().tell()
     lw_enc = max(_timed(_libwebp_ll, mpx) for _ in range(2))
+    _ll_buf = io.BytesIO(ll)
+
+    def _pil_dec(buf):
+        buf.seek(0)
+        np.asarray(Image.open(buf).convert("RGB"))
+    lw_ll_dec = max(_timed(lambda: _pil_dec(_ll_buf), mpx) for _ in range(3))
     lossy = r.assemble_riff([r.Chunk(r.VP8, out[0])])
     webp_tpu.decode(lossy)
     lossy_dec = max(_timed(lambda: webp_tpu.decode(lossy), mpx)
                     for _ in range(2))
+    _lossy_buf = io.BytesIO(lossy)
+    lw_lossy_dec = max(_timed(lambda: _pil_dec(_lossy_buf), mpx)
+                       for _ in range(3))
     # Core native decode (tokens + recon + loop filter, no RGB convert) —
     # the number comparable to the reference's 167 Mpx/s YUV decode.
     from webp_tpu.lossy.decode import decode_vp8_yuv
@@ -167,7 +176,11 @@ def main() -> None:
             "lossless_speed_vs_libwebp_same_host": round(ll_enc / lw_enc, 2),
             "lossless_size_vs_libwebp_m4": round(len(ll) / lw_size, 4),
             "lossless_decode_mpx_per_s": round(ll_dec, 2),
+            "lossless_decode_vs_libwebp_same_host": round(ll_dec / lw_ll_dec,
+                                                          2),
             "lossy_decode_mpx_per_s": round(lossy_dec, 2),
+            "lossy_decode_vs_libwebp_same_host": round(
+                lossy_dec / lw_lossy_dec, 2),
             "lossy_decode_yuv_mpx_per_s": round(lossy_dec_yuv, 2),
             "note": "end-to-end is bound by the dev-harness tunnel "
                     "(~10-30 MB/s to the chip, ~100x below PCIe); "

@@ -36,6 +36,52 @@ def test_decode_composites_match_libwebp(frames_rgba):
         assert dur == 70
 
 
+@pytest.mark.parametrize("dispose", ["none", "background"])
+@pytest.mark.parametrize("blend", ["alpha", "overwrite"])
+def test_dispose_blend_matrix_matches_libwebp(dispose, blend):
+    """Compositing behavior matrix (reference animation.go:190-256
+    compositeFrame): every dispose x blend combination, hand-assembled as
+    offset sub-frames with partial alpha, must composite exactly like
+    libwebp (Pillow oracle) and like our own AnimDecoder."""
+    from webp_tpu.container.riff import BlendMethod, DisposeMethod
+    from webp_tpu.lossless.encode import encode_vp8l
+
+    rng = np.random.default_rng(3)
+    W, H = 40, 26
+    base = rng.integers(0, 256, (H, W, 4)).astype(np.uint8)
+    base[..., 3] = 255  # opaque keyframe
+
+    # Sub-frame: 16x12 at (8, 6) with a mix of alphas (0 / 128 / 255).
+    sub = rng.integers(0, 256, (12, 16, 4)).astype(np.uint8)
+    sub[..., 3] = np.where(sub[..., 3] < 85, 0,
+                           np.where(sub[..., 3] < 170, 128, 255))
+    sub2 = rng.integers(0, 256, (12, 16, 4)).astype(np.uint8)
+    sub2[..., 3] = 255
+
+    m = Muxer()
+    m.loop_count = 1
+    m.bgcolor = 0xFF00FF00  # non-black background so dispose is visible
+    d = (DisposeMethod.NONE if dispose == "none"
+         else DisposeMethod.BACKGROUND)
+    b = BlendMethod.ALPHA if blend == "alpha" else BlendMethod.NONE
+    m.add_frame(MuxFrame(bitstream=encode_vp8l(base), is_lossless=True,
+                         duration_ms=50, dispose=d))
+    m.add_frame(MuxFrame(bitstream=encode_vp8l(sub), is_lossless=True,
+                         x_offset=8, y_offset=6, duration_ms=50,
+                         dispose=d, blend=b))
+    m.add_frame(MuxFrame(bitstream=encode_vp8l(sub2), is_lossless=True,
+                         x_offset=16, y_offset=10, duration_ms=50,
+                         dispose=d, blend=b))
+    data = m.assemble()
+
+    pil = Image.open(io.BytesIO(data))
+    anim = decode_animation(data)
+    for i, (canvas, _) in enumerate(AnimDecoder(anim)):
+        pil.seek(i)
+        assert np.array_equal(canvas, np.array(pil.convert("RGBA"))), (
+            f"frame {i} dispose={dispose} blend={blend}")
+
+
 def test_encode_roundtrip_lossless(frames_rgba):
     data = encode_animation(frames_rgba, 60, lossless=True, loop_count=2)
     pil = Image.open(io.BytesIO(data))
