@@ -424,6 +424,12 @@ def decode_vp8l(data: bytes) -> tuple[np.ndarray, bool]:
 
 def argb_to_rgba(argb: np.ndarray) -> np.ndarray:
     """uint32 ARGB [h,w] → uint8 RGBA [h,w,4]."""
+    if (np.little_endian and argb.dtype.byteorder in ("<", "=")
+            and argb.flags.c_contiguous):
+        # Little-endian u32 0xAARRGGBB is bytes [B,G,R,A] in memory: one
+        # byte-shuffle pass instead of four shift+cast passes.
+        h, w = argb.shape
+        return argb.view(np.uint8).reshape(h, w, 4)[..., [2, 1, 0, 3]]
     a = (argb >> 24).astype(np.uint8)
     r = (argb >> 16).astype(np.uint8)
     g = (argb >> 8).astype(np.uint8)

@@ -10,8 +10,11 @@
 // Python layer maps them to BitstreamError.
 
 #include <algorithm>
+#include <chrono>
 #include <cstddef>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -69,6 +72,19 @@ struct BitReader {
     Fill();
   }
   void Fill() {
+    if (bit_pos < 8) return;  // window already full
+    // Fast path: reload all needed bytes with one unaligned 64-bit load
+    // (the stream is LSB-first, so a little-endian load lands the bytes
+    // exactly where the byte-at-a-time loop would put them).
+    const int k = bit_pos >> 3;
+    if (k && pos + 8 <= n) {
+      uint64_t w;
+      std::memcpy(&w, data + pos, 8);
+      pos += k;
+      bit_pos -= k * 8;
+      val = k == 8 ? w : (val >> (k * 8)) | (w << ((8 - k) * 8));
+      return;  // pos + 8 <= n: nowhere near EOS
+    }
     while (bit_pos >= 8) {
       uint64_t byte = pos < n ? data[pos] : 0;
       ++pos;
@@ -116,11 +132,32 @@ struct HuffTable {
           off + (long)((pre >> kRootBits) & ((1ULL << (nb - kRootBits)) - 1));
       nb = bits[(size_t)sub];
       br->bit_pos += nb;
-      br->CheckEos(0);
+      // consumed > n*8 needs pos > n (Fill leaves bit_pos < 8, nb <= 15).
+      if (br->pos > br->n) br->CheckEos(0);
       return value[(size_t)sub];
     }
     br->bit_pos += nb;
-    br->CheckEos(0);
+    if (br->pos > br->n) br->CheckEos(0);
+    return value[(size_t)idx];
+  }
+
+  // Read without refilling: caller guarantees >= 15 bits are buffered.
+  inline int ReadNF(BitReader* br) const {
+    if (single_symbol >= 0) return single_symbol;
+    const uint64_t pre = br->Prefetch();
+    long idx = (long)(pre & kRootMask);
+    int nb = bits[(size_t)idx];
+    if (nb > kRootBits) {
+      const long off = value[(size_t)idx];
+      const long sub =
+          off + (long)((pre >> kRootBits) & ((1ULL << (nb - kRootBits)) - 1));
+      nb = bits[(size_t)sub];
+      br->bit_pos += nb;
+      if (br->pos > br->n) br->CheckEos(0);
+      return value[(size_t)sub];
+    }
+    br->bit_pos += nb;
+    if (br->pos > br->n) br->CheckEos(0);
     return value[(size_t)idx];
   }
 };
@@ -285,34 +322,56 @@ void PredictorInverse(std::vector<uint32_t>& img, long w, long h, int bits,
   // Row 0: pixel 0 black predictor, rest Left.
   img[0] = AddPixels(img[0], 0xFF000000u);
   for (long x = 1; x < w; ++x) img[(size_t)x] = AddPixels(img[(size_t)x], img[(size_t)x - 1]);
+  const long tile = 1L << bits;
   for (long y = 1; y < h; ++y) {
     uint32_t* cur = img.data() + y * w;
     const uint32_t* top = cur - w;
     const uint32_t* mrow = tiles.data() + (y >> bits) * tx;
     cur[0] = AddPixels(cur[0], top[0]);  // col 0: Top
-    for (long x = 1; x < w; ++x) {
-      const int mode = (int)((mrow[(size_t)(x >> bits)] >> 8) & 0xF);
-      const uint32_t l = cur[x - 1], t = top[x], tl = top[x - 1];
-      const uint32_t tr = (x + 1 < w) ? top[x + 1] : cur[0];
-      uint32_t pred;
+    // Tile-span inner loops: the mode is constant across a tile row, so
+    // hoist the 14-way dispatch out of the per-pixel loop.
+    for (long x0 = 1; x0 < w;) {
+      const long x1 = std::min(((x0 >> bits) + 1) * tile, w);
+      const int mode = (int)((mrow[(size_t)(x0 >> bits)] >> 8) & 0xF);
+      auto span = [&](auto pf) {
+        for (long x = x0; x < x1; ++x) {
+          const uint32_t tr = (x + 1 < w) ? top[x + 1] : cur[0];
+          cur[x] = AddPixels(cur[x], pf(cur[x - 1], top[x], top[x - 1], tr));
+        }
+      };
       switch (mode) {
-        case 0: pred = 0xFF000000u; break;
-        case 1: pred = l; break;
-        case 2: pred = t; break;
-        case 3: pred = tr; break;
-        case 4: pred = tl; break;
-        case 5: pred = Avg2(Avg2(l, tr), t); break;
-        case 6: pred = Avg2(l, tl); break;
-        case 7: pred = Avg2(l, t); break;
-        case 8: pred = Avg2(tl, t); break;
-        case 9: pred = Avg2(t, tr); break;
-        case 10: pred = Avg2(Avg2(l, tl), Avg2(t, tr)); break;
-        case 11: pred = SelectPred(t, l, tl); break;
-        case 12: pred = ClampAddSubFull(l, t, tl); break;
-        case 13: pred = ClampAddSubHalf(l, t, tl); break;
-        default: pred = 0xFF000000u; break;
+        case 0: span([](uint32_t, uint32_t, uint32_t, uint32_t) {
+          return 0xFF000000u; }); break;
+        case 1: span([](uint32_t l, uint32_t, uint32_t, uint32_t) {
+          return l; }); break;
+        case 2: span([](uint32_t, uint32_t t, uint32_t, uint32_t) {
+          return t; }); break;
+        case 3: span([](uint32_t, uint32_t, uint32_t, uint32_t tr) {
+          return tr; }); break;
+        case 4: span([](uint32_t, uint32_t, uint32_t tl, uint32_t) {
+          return tl; }); break;
+        case 5: span([](uint32_t l, uint32_t t, uint32_t, uint32_t tr) {
+          return Avg2(Avg2(l, tr), t); }); break;
+        case 6: span([](uint32_t l, uint32_t, uint32_t tl, uint32_t) {
+          return Avg2(l, tl); }); break;
+        case 7: span([](uint32_t l, uint32_t t, uint32_t, uint32_t) {
+          return Avg2(l, t); }); break;
+        case 8: span([](uint32_t, uint32_t t, uint32_t tl, uint32_t) {
+          return Avg2(tl, t); }); break;
+        case 9: span([](uint32_t, uint32_t t, uint32_t, uint32_t tr) {
+          return Avg2(t, tr); }); break;
+        case 10: span([](uint32_t l, uint32_t t, uint32_t tl, uint32_t tr) {
+          return Avg2(Avg2(l, tl), Avg2(t, tr)); }); break;
+        case 11: span([](uint32_t l, uint32_t t, uint32_t tl, uint32_t) {
+          return SelectPred(t, l, tl); }); break;
+        case 12: span([](uint32_t l, uint32_t t, uint32_t tl, uint32_t) {
+          return ClampAddSubFull(l, t, tl); }); break;
+        case 13: span([](uint32_t l, uint32_t t, uint32_t tl, uint32_t) {
+          return ClampAddSubHalf(l, t, tl); }); break;
+        default: span([](uint32_t, uint32_t, uint32_t, uint32_t) {
+          return 0xFF000000u; }); break;
       }
-      cur[x] = AddPixels(cur[x], pred);
+      x0 = x1;
     }
   }
 }
@@ -320,23 +379,29 @@ void PredictorInverse(std::vector<uint32_t>& img, long w, long h, int bits,
 void ColorSpaceInverse(std::vector<uint32_t>& img, long w, long h, int bits,
                        const std::vector<uint32_t>& tiles) {
   const long tx = SubSampleSize(w, bits);
+  const long tile = 1L << bits;
   for (long y = 0; y < h; ++y) {
     uint32_t* row = img.data() + y * w;
     const uint32_t* trow = tiles.data() + (y >> bits) * tx;
-    for (long x = 0; x < w; ++x) {
-      const uint32_t m = trow[(size_t)(x >> bits)];
+    // Multipliers are constant across each tile span; hoist them.
+    for (long x0 = 0; x0 < w;) {
+      const long x1 = std::min(((x0 >> bits) + 1) * tile, w);
+      const uint32_t m = trow[(size_t)(x0 >> bits)];
       const int g2r = (int8_t)(m & 0xFF);
       const int g2b = (int8_t)((m >> 8) & 0xFF);
       const int r2b = (int8_t)((m >> 16) & 0xFF);
-      const uint32_t px = row[x];
-      const int green = (int8_t)((px >> 8) & 0xFF);
-      int red = (int)((px >> 16) & 0xFF);
-      int blue = (int)(px & 0xFF);
-      red = (red + ((g2r * green) >> 5)) & 0xFF;
-      blue = blue + ((g2b * green) >> 5);
-      const int red_s = (int8_t)red;
-      blue = (blue + ((r2b * red_s) >> 5)) & 0xFF;
-      row[x] = (px & 0xFF00FF00u) | ((uint32_t)red << 16) | (uint32_t)blue;
+      for (long x = x0; x < x1; ++x) {
+        const uint32_t px = row[x];
+        const int green = (int8_t)((px >> 8) & 0xFF);
+        int red = (int)((px >> 16) & 0xFF);
+        int blue = (int)(px & 0xFF);
+        red = (red + ((g2r * green) >> 5)) & 0xFF;
+        blue = blue + ((g2b * green) >> 5);
+        const int red_s = (int8_t)red;
+        blue = (blue + ((r2b * red_s) >> 5)) & 0xFF;
+        row[x] = (px & 0xFF00FF00u) | ((uint32_t)red << 16) | (uint32_t)blue;
+      }
+      x0 = x1;
     }
   }
 }
@@ -600,9 +665,15 @@ int Decoder::DecodeImageData(long w, long h, std::vector<uint32_t>* out) {
     }
     const int g = (*group)[0].Read(&br);
     if (g < kNumLiteral) {
-      const int red = (*group)[1].Read(&br);
-      const int blue = (*group)[2].Read(&br);
-      const int alpha = (*group)[3].Read(&br);
+      // One refill covers red (<= 15 bits past a fresh Fill); top up
+      // once in the middle so blue+alpha (<= 30 more) stay in-window.
+      // (The explicit Fill matters when the green table was
+      // single-symbol: its Read consumed nothing and skipped filling.)
+      br.Fill();
+      const int red = (*group)[1].ReadNF(&br);
+      if (br.bit_pos > 34) br.Fill();
+      const int blue = (*group)[2].ReadNF(&br);
+      const int alpha = (*group)[3].ReadNF(&br);
       const uint32_t px = ((uint32_t)alpha << 24) | ((uint32_t)red << 16) |
                           ((uint32_t)g << 8) | (uint32_t)blue;
       data[pos] = px;
@@ -675,10 +746,19 @@ int vp8l_decode(const uint8_t* payload, long size, uint32_t* out,
   *out_has_alpha = d.has_alpha;
   if (d.width * d.height > cap_px) return -4;
 
+  const bool prof = std::getenv("WEBPTPU_VP8L_PROF") != nullptr &&
+                    d.width * d.height > 100000;
+  const auto t0 = std::chrono::steady_clock::now();
+  auto ms = [&t0] {
+    return std::chrono::duration<double, std::milli>(
+               std::chrono::steady_clock::now() - t0).count();
+  };
   const long tw = d.StreamHeader(d.width, d.height, true);
   if (tw < 0) return d.err;
+  if (prof) fprintf(stderr, "[vp8ldec] header=%.1fms\n", ms());
   std::vector<uint32_t> data;
   if (int e = d.DecodeImageData(tw, d.height, &data)) return e;
+  if (prof) fprintf(stderr, "[vp8ldec] symbols=%.1fms\n", ms());
 
   // Inverse transforms in reverse order.
   long cur_w = tw;
@@ -722,6 +802,7 @@ int vp8l_decode(const uint8_t* payload, long size, uint32_t* out,
       cur_w = out_w2;
     }
   }
+  if (prof) fprintf(stderr, "[vp8ldec] transforms=%.1fms\n", ms());
   if ((long)data.size() != d.width * d.height) return -2;
   std::memcpy(out, data.data(), data.size() * 4);
   return 0;
