@@ -77,7 +77,15 @@ def decode(data: bytes, backend: str = "host") -> np.ndarray:
     """Decodes a WebP file; returns RGBA if the image has alpha, else RGB."""
     rgba = decode_rgba(data, backend=backend)
     f = get_features(data)
-    if f.has_alpha or bool((rgba[..., 3] != 255).any()):
+    if f.has_alpha:
+        return rgba
+    from .container.riff import FormatType
+
+    if f.format == FormatType.VP8:
+        # A simple lossy file cannot carry alpha (ALPH needs a VP8X
+        # container, which reports has_alpha); skip the full-image scan.
+        return rgba[..., :3]
+    if bool((rgba[..., 3] != 255).any()):
         return rgba
     return rgba[..., :3]
 

@@ -95,6 +95,18 @@ struct BoolReader {
   }
 
   inline void refill() {
+    // Fast path: all needed bytes in one big-endian 64-bit load (the
+    // window is MSB-first, so bswap lands them in stream order).
+    if (cbits <= 40 && pos + 8 <= n) {
+      uint64_t w;
+      std::memcpy(&w, data + pos, 8);
+      w = __builtin_bswap64(w);
+      const int k = (48 - cbits) >> 3;
+      value = (value << (8 * k)) | (w >> (64 - 8 * k));
+      pos += (size_t)k;
+      cbits += 8 * k;
+      return;
+    }
     while (cbits <= 40) {
       value = (value << 8) | (pos < n ? data[pos++] : (vbits += 8, 0));
       cbits += 8;
