@@ -407,8 +407,10 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
     rec = getattr(enc, "recY", None)
     if rec is not None and getattr(enc, "srcY", None) is not None \
             and np.any(rec):
-        se = float(((rec.astype(np.int64) - enc.srcY.astype(np.int64)) ** 2
-                    ).sum())
+        # float64 BLAS dot: ~6x cheaper than the int64 square-sum and
+        # exact for these magnitudes (|diff| <= 255, n ~ 1e6 << 2^52).
+        d = (rec.astype(np.float64) - enc.srcY.astype(np.float64)).ravel()
+        se = float(np.dot(d, d))
         npx = rec.size
         psnr = 99.0 if se == 0 else 10.0 * np.log10(255.0 ** 2 * npx / se)
     LAST_STATS = EncStats(psnr=psnr, size=len(vp8), quality=opts.quality,
