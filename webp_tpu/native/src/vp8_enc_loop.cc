@@ -9,9 +9,17 @@
 //
 // All RD arithmetic is int64; transforms match lossy/dsp.py exactly.
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__SSE4_1__)
+#include <immintrin.h>
+#define WEBPTPU_ENC_SIMD 1
+#endif
 
 namespace {
 
@@ -58,32 +66,65 @@ struct Tables {
 
 // Expanded quantizer for one coefficient class (quant.py SegmentQuant).
 struct SQ {
-  const int64_t* q;        // [16]
-  const int64_t* iq;       // [16]
-  const int64_t* bias;     // [16]
-  const int64_t* sharpen;  // [16]
+  // Materialized int32 copies of the int64 quantizer tables: every value
+  // fits easily (q <= 568, iq = 2^17/q <= 32768, bias = B<<9 <= 130560,
+  // sharpen <= q), and int32 keeps QuantizeBlock auto-vectorizable.
+  int32_t q[16], iq[16], bias[16], sharpen[16];
 };
 
 // quantize_block (quant.py:54): raster coeffs -> zigzag levels + raster
-// dequant. Returns nonzero count.
+// dequant. Returns nonzero count. All-int32 arithmetic is exact: the
+// worst-case product is |FWHT coeff|(<=16320) * iq(<=32768) + bias
+// ~= 5.4e8 < 2^31.
 static int QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
                          int32_t* lv_zz, int32_t* dq_raster) {
+#ifdef WEBPTPU_ENC_SIMD
+  int32_t c_zz[16], dq_zz[16];
+  for (int n = 0; n < 16; ++n) c_zz[n] = coeffs[kZigzag[n]];
+  const __m128i kMax = _mm_set1_epi32(kMaxLevel);
+  int nz_mask = 0;
+  for (int k = 0; k < 16; k += 4) {
+    const __m128i c = _mm_loadu_si128((const __m128i*)(c_zz + k));
+    const __m128i s = _mm_srai_epi32(c, 31);  // sign mask
+    const __m128i mag = _mm_add_epi32(
+        _mm_sub_epi32(_mm_xor_si128(c, s), s),
+        _mm_loadu_si128((const __m128i*)(sq.sharpen + k)));
+    __m128i level = _mm_srai_epi32(
+        _mm_add_epi32(
+            _mm_mullo_epi32(mag, _mm_loadu_si128((const __m128i*)(sq.iq + k))),
+            _mm_loadu_si128((const __m128i*)(sq.bias + k))),
+        17);
+    level = _mm_min_epi32(level, kMax);
+    if (first && k == 0) level = _mm_insert_epi32(level, 0, 0);
+    const __m128i l = _mm_sub_epi32(_mm_xor_si128(level, s), s);
+    _mm_storeu_si128((__m128i*)(lv_zz + k), l);
+    _mm_storeu_si128(
+        (__m128i*)(dq_zz + k),
+        _mm_mullo_epi32(l, _mm_loadu_si128((const __m128i*)(sq.q + k))));
+    nz_mask |= _mm_movemask_ps(_mm_castsi128_ps(
+                   _mm_cmpeq_epi32(l, _mm_setzero_si128())))
+               << k;
+  }
+  for (int n = 0; n < 16; ++n) dq_raster[kZigzag[n]] = dq_zz[n];
+  return __builtin_popcount(~nz_mask & 0xFFFF);
+#else
   int nz = 0;
   for (int i = 0; i < 16; ++i) dq_raster[i] = 0;
   for (int n = 0; n < 16; ++n) {
     int zig = kZigzag[n];
-    int64_t c = coeffs[zig];
+    int32_t c = coeffs[zig];
     bool sign = c < 0;
-    int64_t mag = (sign ? -c : c) + sq.sharpen[n];
-    int64_t level = (mag * sq.iq[n] + sq.bias[n]) >> 17;
+    int32_t mag = (sign ? -c : c) + sq.sharpen[n];
+    int32_t level = (mag * sq.iq[n] + sq.bias[n]) >> 17;
     if (level > kMaxLevel) level = kMaxLevel;
     if (first && n == 0) level = 0;
-    int32_t l = (int32_t)(sign ? -level : level);
+    int32_t l = sign ? -level : level;
     lv_zz[n] = l;
-    dq_raster[zig] = l * (int32_t)sq.q[n];
+    dq_raster[zig] = l * sq.q[n];
     nz += (l != 0);
   }
   return nz;
+#endif
 }
 
 // ---------------------------------------------------------------------
@@ -92,34 +133,113 @@ static int QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
 static inline int64_t Mul1(int64_t a) { return ((a * 20091) >> 16) + a; }
 static inline int64_t Mul2(int64_t a) { return (a * 35468) >> 16; }
 
-// fdct4x4 of (src - pred), both raster int32[16] -> int32[16].
+#ifdef WEBPTPU_ENC_SIMD
+// 4x4 int32 transpose: rows r0..r3 -> columns.
+static inline void Transpose4(__m128i& r0, __m128i& r1, __m128i& r2,
+                              __m128i& r3) {
+  const __m128i t0 = _mm_unpacklo_epi32(r0, r1);
+  const __m128i t1 = _mm_unpackhi_epi32(r0, r1);
+  const __m128i t2 = _mm_unpacklo_epi32(r2, r3);
+  const __m128i t3 = _mm_unpackhi_epi32(r2, r3);
+  r0 = _mm_unpacklo_epi64(t0, t2);
+  r1 = _mm_unpackhi_epi64(t0, t2);
+  r2 = _mm_unpacklo_epi64(t1, t3);
+  r3 = _mm_unpackhi_epi64(t1, t3);
+}
+
+// fdct4x4 of (src - pred): same int32 math as the scalar kernel below,
+// vectorized 4 rows (then 4 columns) at a time.
 static void FDCT4x4(const int32_t* src, const int32_t* pred, int32_t* out) {
-  int64_t tmp[16];
+  const __m128i k2217 = _mm_set1_epi32(2217);
+  const __m128i k5352 = _mm_set1_epi32(5352);
+  __m128i d0 = _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(src + 0)),
+                             _mm_loadu_si128((const __m128i*)(pred + 0)));
+  __m128i d1 = _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(src + 4)),
+                             _mm_loadu_si128((const __m128i*)(pred + 4)));
+  __m128i d2 = _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(src + 8)),
+                             _mm_loadu_si128((const __m128i*)(pred + 8)));
+  __m128i d3 = _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(src + 12)),
+                             _mm_loadu_si128((const __m128i*)(pred + 12)));
+  // Lanes = rows; vectors = in-row elements.
+  Transpose4(d0, d1, d2, d3);
+  __m128i a0 = _mm_add_epi32(d0, d3), a1 = _mm_add_epi32(d1, d2);
+  __m128i a2 = _mm_sub_epi32(d1, d2), a3 = _mm_sub_epi32(d0, d3);
+  __m128i t0 = _mm_slli_epi32(_mm_add_epi32(a0, a1), 3);
+  __m128i t2 = _mm_slli_epi32(_mm_sub_epi32(a0, a1), 3);
+  __m128i t1 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_add_epi32(_mm_mullo_epi32(a2, k2217),
+                                  _mm_mullo_epi32(a3, k5352)),
+                    _mm_set1_epi32(1812)), 9);
+  __m128i t3 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_sub_epi32(_mm_mullo_epi32(a3, k2217),
+                                  _mm_mullo_epi32(a2, k5352)),
+                    _mm_set1_epi32(937)), 9);
+  // tmp[i][k]: lanes = rows i, vectors tk = columns k. Pass 2 needs
+  // lanes = columns j, vectors = rows m; transpose again.
+  Transpose4(t0, t1, t2, t3);
+  a0 = _mm_add_epi32(t0, t3);
+  a1 = _mm_add_epi32(t1, t2);
+  a2 = _mm_sub_epi32(t1, t2);
+  a3 = _mm_sub_epi32(t0, t3);
+  const __m128i k7 = _mm_set1_epi32(7);
+  __m128i o0 = _mm_srai_epi32(_mm_add_epi32(_mm_add_epi32(a0, a1), k7), 4);
+  __m128i o2 = _mm_srai_epi32(_mm_add_epi32(_mm_sub_epi32(a0, a1), k7), 4);
+  __m128i nz3 = _mm_andnot_si128(_mm_cmpeq_epi32(a3, _mm_setzero_si128()),
+                                 _mm_set1_epi32(1));
+  __m128i o1 = _mm_add_epi32(
+      _mm_srai_epi32(
+          _mm_add_epi32(_mm_add_epi32(_mm_mullo_epi32(a2, k2217),
+                                      _mm_mullo_epi32(a3, k5352)),
+                        _mm_set1_epi32(12000)), 16),
+      nz3);
+  __m128i o3 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_sub_epi32(_mm_mullo_epi32(a3, k2217),
+                                  _mm_mullo_epi32(a2, k5352)),
+                    _mm_set1_epi32(51000)), 16);
+  _mm_storeu_si128((__m128i*)(out + 0), o0);
+  _mm_storeu_si128((__m128i*)(out + 4), o1);
+  _mm_storeu_si128((__m128i*)(out + 8), o2);
+  _mm_storeu_si128((__m128i*)(out + 12), o3);
+}
+#endif  // WEBPTPU_ENC_SIMD
+
+// fdct4x4 of (src - pred), both raster int32[16] -> int32[16].
+// All-int32 arithmetic is exact: |src-pred| <= 255, so pass-1 values stay
+// <= 8160 and the largest pass-2 product is |a|(<=16320) * 5352 ~= 8.7e7.
+#ifdef WEBPTPU_ENC_SIMD
+static void FDCT4x4_Scalar(const int32_t* src, const int32_t* pred,
+                           int32_t* out) {
+#else
+static void FDCT4x4(const int32_t* src, const int32_t* pred, int32_t* out) {
+#endif
+  int32_t tmp[16];
   for (int i = 0; i < 4; ++i) {
-    int64_t d0 = src[i * 4 + 0] - pred[i * 4 + 0];
-    int64_t d1 = src[i * 4 + 1] - pred[i * 4 + 1];
-    int64_t d2 = src[i * 4 + 2] - pred[i * 4 + 2];
-    int64_t d3 = src[i * 4 + 3] - pred[i * 4 + 3];
-    int64_t a0 = d0 + d3, a1 = d1 + d2, a2 = d1 - d2, a3 = d0 - d3;
+    int32_t d0 = src[i * 4 + 0] - pred[i * 4 + 0];
+    int32_t d1 = src[i * 4 + 1] - pred[i * 4 + 1];
+    int32_t d2 = src[i * 4 + 2] - pred[i * 4 + 2];
+    int32_t d3 = src[i * 4 + 3] - pred[i * 4 + 3];
+    int32_t a0 = d0 + d3, a1 = d1 + d2, a2 = d1 - d2, a3 = d0 - d3;
     tmp[i * 4 + 0] = (a0 + a1) * 8;
     tmp[i * 4 + 1] = (a2 * 2217 + a3 * 5352 + 1812) >> 9;
     tmp[i * 4 + 2] = (a0 - a1) * 8;
     tmp[i * 4 + 3] = (a3 * 2217 - a2 * 5352 + 937) >> 9;
   }
   for (int j = 0; j < 4; ++j) {
-    int64_t m0 = tmp[0 * 4 + j], m1 = tmp[1 * 4 + j];
-    int64_t m2 = tmp[2 * 4 + j], m3 = tmp[3 * 4 + j];
-    int64_t a0 = m0 + m3, a1 = m1 + m2, a2 = m1 - m2, a3 = m0 - m3;
-    out[0 * 4 + j] = (int32_t)((a0 + a1 + 7) >> 4);
-    out[2 * 4 + j] = (int32_t)((a0 - a1 + 7) >> 4);
-    out[1 * 4 + j] =
-        (int32_t)(((a2 * 2217 + a3 * 5352 + 12000) >> 16) + (a3 != 0));
-    out[3 * 4 + j] = (int32_t)((a3 * 2217 - a2 * 5352 + 51000) >> 16);
+    int32_t m0 = tmp[0 * 4 + j], m1 = tmp[1 * 4 + j];
+    int32_t m2 = tmp[2 * 4 + j], m3 = tmp[3 * 4 + j];
+    int32_t a0 = m0 + m3, a1 = m1 + m2, a2 = m1 - m2, a3 = m0 - m3;
+    out[0 * 4 + j] = (a0 + a1 + 7) >> 4;
+    out[2 * 4 + j] = (a0 - a1 + 7) >> 4;
+    out[1 * 4 + j] = ((a2 * 2217 + a3 * 5352 + 12000) >> 16) + (a3 != 0);
+    out[3 * 4 + j] = (a3 * 2217 - a2 * 5352 + 51000) >> 16;
   }
 }
 
 // idct4x4: raster dequant int32[16] -> raster residuals int32[16].
-static void IDCT4x4(const int32_t* c, int32_t* out) {
+static inline int32_t Mul1i(int32_t a) { return ((a * 20091) >> 16) + a; }
+static inline int32_t Mul2i(int32_t a) { return (a * 35468) >> 16; }
+
+static void IDCT4x4_Slow(const int32_t* c, int32_t* out) {
   int64_t tmp[16];
   for (int j = 0; j < 4; ++j) {
     int64_t i0 = c[0 * 4 + j], i1 = c[1 * 4 + j];
@@ -143,52 +263,167 @@ static void IDCT4x4(const int32_t* c, int32_t* out) {
   }
 }
 
+static void IDCT4x4(const int32_t* c, int32_t* out) {
+  // int32 fast path: exact whenever max|c| <= 14000 (pass-1 values stay
+  // <= 3.85*max|c| = 53.9k, largest pass-2 product 53.9k*35468 ~= 1.9e9
+  // < 2^31). Dequantized coefficients exceed this only for extreme
+  // level*q combinations; those fall back to the int64 kernel.
+  uint32_t mag = 0;
+  for (int i = 0; i < 16; ++i) {
+    const int32_t v = c[i];
+    mag |= (uint32_t)(v < 0 ? -v : v);
+  }
+  if (mag > 14000u) {
+    IDCT4x4_Slow(c, out);
+    return;
+  }
+#ifdef WEBPTPU_ENC_SIMD
+  const __m128i k20091 = _mm_set1_epi32(20091);
+  const __m128i k35468 = _mm_set1_epi32(35468);
+  auto mul1 = [&](__m128i v) {
+    return _mm_add_epi32(
+        _mm_srai_epi32(_mm_mullo_epi32(v, k20091), 16), v);
+  };
+  auto mul2 = [&](__m128i v) {
+    return _mm_srai_epi32(_mm_mullo_epi32(v, k35468), 16);
+  };
+  // Pass 1 vectorizes over columns j (lane = j): rows load directly.
+  __m128i i0 = _mm_loadu_si128((const __m128i*)(c + 0));
+  __m128i i1 = _mm_loadu_si128((const __m128i*)(c + 4));
+  __m128i i2 = _mm_loadu_si128((const __m128i*)(c + 8));
+  __m128i i3 = _mm_loadu_si128((const __m128i*)(c + 12));
+  __m128i a = _mm_add_epi32(i0, i2), b = _mm_sub_epi32(i0, i2);
+  __m128i cc = _mm_sub_epi32(mul2(i1), mul1(i3));
+  __m128i d = _mm_add_epi32(mul1(i1), mul2(i3));
+  __m128i t0 = _mm_add_epi32(a, d);
+  __m128i t1 = _mm_add_epi32(b, cc);
+  __m128i t2 = _mm_sub_epi32(b, cc);
+  __m128i t3 = _mm_sub_epi32(a, d);
+  // Pass 2 vectorizes over rows r: transpose in, transpose out.
+  Transpose4(t0, t1, t2, t3);
+  __m128i dc = _mm_add_epi32(t0, _mm_set1_epi32(4));
+  a = _mm_add_epi32(dc, t2);
+  b = _mm_sub_epi32(dc, t2);
+  cc = _mm_sub_epi32(mul2(t1), mul1(t3));
+  d = _mm_add_epi32(mul1(t1), mul2(t3));
+  __m128i o0 = _mm_srai_epi32(_mm_add_epi32(a, d), 3);
+  __m128i o1 = _mm_srai_epi32(_mm_add_epi32(b, cc), 3);
+  __m128i o2 = _mm_srai_epi32(_mm_sub_epi32(b, cc), 3);
+  __m128i o3 = _mm_srai_epi32(_mm_sub_epi32(a, d), 3);
+  Transpose4(o0, o1, o2, o3);
+  _mm_storeu_si128((__m128i*)(out + 0), o0);
+  _mm_storeu_si128((__m128i*)(out + 4), o1);
+  _mm_storeu_si128((__m128i*)(out + 8), o2);
+  _mm_storeu_si128((__m128i*)(out + 12), o3);
+#else
+  int32_t tmp[16];
+  for (int j = 0; j < 4; ++j) {
+    int32_t i0 = c[0 * 4 + j], i1 = c[1 * 4 + j];
+    int32_t i2 = c[2 * 4 + j], i3 = c[3 * 4 + j];
+    int32_t a = i0 + i2, b = i0 - i2;
+    int32_t cc = Mul2i(i1) - Mul1i(i3), d = Mul1i(i1) + Mul2i(i3);
+    tmp[0 * 4 + j] = a + d;
+    tmp[1 * 4 + j] = b + cc;
+    tmp[2 * 4 + j] = b - cc;
+    tmp[3 * 4 + j] = a - d;
+  }
+  for (int r = 0; r < 4; ++r) {
+    int32_t dc = tmp[r * 4 + 0] + 4;
+    int32_t a = dc + tmp[r * 4 + 2], b = dc - tmp[r * 4 + 2];
+    int32_t cc = Mul2i(tmp[r * 4 + 1]) - Mul1i(tmp[r * 4 + 3]);
+    int32_t d = Mul1i(tmp[r * 4 + 1]) + Mul2i(tmp[r * 4 + 3]);
+    out[r * 4 + 0] = (a + d) >> 3;
+    out[r * 4 + 1] = (b + cc) >> 3;
+    out[r * 4 + 2] = (b - cc) >> 3;
+    out[r * 4 + 3] = (a - d) >> 3;
+  }
+#endif
+}
+
 // fwht4x4 over the 16 sub-block DCs (raster [16]) -> int32[16].
+// int32 exact: inputs are FDCT DCs (|.| <= 2040), outputs <= 16320.
 static void FWHT4x4(const int32_t* d, int32_t* out) {
-  int64_t tmp[16];
+  int32_t tmp[16];
   for (int i = 0; i < 4; ++i) {
-    int64_t c0 = d[i * 4 + 0], c1 = d[i * 4 + 1];
-    int64_t c2 = d[i * 4 + 2], c3 = d[i * 4 + 3];
-    int64_t a0 = c0 + c2, a1 = c1 + c3, a2 = c1 - c3, a3 = c0 - c2;
+    int32_t c0 = d[i * 4 + 0], c1 = d[i * 4 + 1];
+    int32_t c2 = d[i * 4 + 2], c3 = d[i * 4 + 3];
+    int32_t a0 = c0 + c2, a1 = c1 + c3, a2 = c1 - c3, a3 = c0 - c2;
     tmp[i * 4 + 0] = a0 + a1;
     tmp[i * 4 + 1] = a3 + a2;
     tmp[i * 4 + 2] = a3 - a2;
     tmp[i * 4 + 3] = a0 - a1;
   }
   for (int j = 0; j < 4; ++j) {
-    int64_t r0 = tmp[0 * 4 + j], r1 = tmp[1 * 4 + j];
-    int64_t r2 = tmp[2 * 4 + j], r3 = tmp[3 * 4 + j];
-    int64_t a0 = r0 + r2, a1 = r1 + r3, a2 = r1 - r3, a3 = r0 - r2;
-    out[0 * 4 + j] = (int32_t)((a0 + a1) >> 1);
-    out[1 * 4 + j] = (int32_t)((a3 + a2) >> 1);
-    out[2 * 4 + j] = (int32_t)((a3 - a2) >> 1);
-    out[3 * 4 + j] = (int32_t)((a0 - a1) >> 1);
+    int32_t r0 = tmp[0 * 4 + j], r1 = tmp[1 * 4 + j];
+    int32_t r2 = tmp[2 * 4 + j], r3 = tmp[3 * 4 + j];
+    int32_t a0 = r0 + r2, a1 = r1 + r3, a2 = r1 - r3, a3 = r0 - r2;
+    out[0 * 4 + j] = (a0 + a1) >> 1;
+    out[1 * 4 + j] = (a3 + a2) >> 1;
+    out[2 * 4 + j] = (a3 - a2) >> 1;
+    out[3 * 4 + j] = (a0 - a1) >> 1;
   }
 }
 
 // Inverse WHT: raster [16] -> 16 sub-block DC values (raster).
+// int32 exact: no multiplies; |input| <= level_max*q_y2 < 1e6, and the
+// butterflies only scale by <= 8x.
 static void WHT4x4(const int32_t* c, int32_t* out) {
-  int64_t tmp[16];
+  int32_t tmp[16];
   for (int j = 0; j < 4; ++j) {
-    int64_t i0 = c[0 * 4 + j], i1 = c[1 * 4 + j];
-    int64_t i2 = c[2 * 4 + j], i3 = c[3 * 4 + j];
-    int64_t a0 = i0 + i3, a1 = i1 + i2, a2 = i1 - i2, a3 = i0 - i3;
+    int32_t i0 = c[0 * 4 + j], i1 = c[1 * 4 + j];
+    int32_t i2 = c[2 * 4 + j], i3 = c[3 * 4 + j];
+    int32_t a0 = i0 + i3, a1 = i1 + i2, a2 = i1 - i2, a3 = i0 - i3;
     tmp[0 * 4 + j] = a0 + a1;
     tmp[1 * 4 + j] = a3 + a2;
     tmp[2 * 4 + j] = a0 - a1;
     tmp[3 * 4 + j] = a3 - a2;
   }
   for (int r = 0; r < 4; ++r) {
-    int64_t dc = tmp[r * 4 + 0] + 3;
-    int64_t a0 = dc + tmp[r * 4 + 3];
-    int64_t a1 = tmp[r * 4 + 1] + tmp[r * 4 + 2];
-    int64_t a2 = tmp[r * 4 + 1] - tmp[r * 4 + 2];
-    int64_t a3 = dc - tmp[r * 4 + 3];
-    out[r * 4 + 0] = (int32_t)((a0 + a1) >> 3);
-    out[r * 4 + 1] = (int32_t)((a3 + a2) >> 3);
-    out[r * 4 + 2] = (int32_t)((a0 - a1) >> 3);
-    out[r * 4 + 3] = (int32_t)((a3 - a2) >> 3);
+    int32_t dc = tmp[r * 4 + 0] + 3;
+    int32_t a0 = dc + tmp[r * 4 + 3];
+    int32_t a1 = tmp[r * 4 + 1] + tmp[r * 4 + 2];
+    int32_t a2 = tmp[r * 4 + 1] - tmp[r * 4 + 2];
+    int32_t a3 = dc - tmp[r * 4 + 3];
+    out[r * 4 + 0] = (a0 + a1) >> 3;
+    out[r * 4 + 1] = (a3 + a2) >> 3;
+    out[r * 4 + 2] = (a0 - a1) >> 3;
+    out[r * 4 + 3] = (a3 - a2) >> 3;
   }
+}
+
+// ---------------------------------------------------------------------
+// Reconstruction + SSE accumulation: rec = clip255(pred + res), returns
+// sum((src - rec)^2) over the 16-px block.
+// ---------------------------------------------------------------------
+static inline int64_t ReconDisto(const int32_t* pred, const int32_t* res,
+                                 const int32_t* src, int32_t* rec) {
+#ifdef WEBPTPU_ENC_SIMD
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i v255 = _mm_set1_epi32(255);
+  __m128i acc = zero;
+  for (int k = 0; k < 16; k += 4) {
+    __m128i v = _mm_add_epi32(_mm_loadu_si128((const __m128i*)(pred + k)),
+                              _mm_loadu_si128((const __m128i*)(res + k)));
+    v = _mm_min_epi32(_mm_max_epi32(v, zero), v255);
+    _mm_storeu_si128((__m128i*)(rec + k), v);
+    const __m128i d =
+        _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(src + k)), v);
+    acc = _mm_add_epi32(acc, _mm_mullo_epi32(d, d));  // <= 16*255^2 per lane
+  }
+  acc = _mm_add_epi32(acc, _mm_srli_si128(acc, 8));
+  acc = _mm_add_epi32(acc, _mm_srli_si128(acc, 4));
+  return (int64_t)_mm_cvtsi128_si32(acc);
+#else
+  int64_t disto = 0;
+  for (int i = 0; i < 16; ++i) {
+    const int v = pred[i] + res[i];
+    const int r = v < 0 ? 0 : (v > 255 ? 255 : v);
+    rec[i] = r;
+    const int64_t d = src[i] - r;
+    disto += d * d;
+  }
+  return disto;
+#endif
 }
 
 // ---------------------------------------------------------------------
@@ -666,7 +901,14 @@ void vp8_encode_mbs(
     const int64_t* base = quant + (size_t)s * 3 * 4 * 16;
     auto cls = [&](int c) {
       const int64_t* f = base + (size_t)c * 4 * 16;
-      return SQ{f, f + 16, f + 32, f + 48};
+      SQ sq;
+      for (int i = 0; i < 16; ++i) {
+        sq.q[i] = (int32_t)f[i];
+        sq.iq[i] = (int32_t)f[16 + i];
+        sq.bias[i] = (int32_t)f[32 + i];
+        sq.sharpen[i] = (int32_t)f[48 + i];
+      }
+      return sq;
     };
     SEG[s].y1 = cls(0);
     SEG[s].y2 = cls(1);
@@ -685,6 +927,15 @@ void vp8_encode_mbs(
   std::vector<uint8_t> top_dc(mb_w, 0);
   std::vector<uint8_t> top_bmodes(mb_w * 4, 0);
   uint8_t left_bmodes[4];
+
+  // Per-phase wall-clock accumulation (WEBPTPU_MB_PROF=1).
+  static const bool kProf = std::getenv("WEBPTPU_MB_PROF") != nullptr;
+  double ph[4] = {0, 0, 0, 0};  // i16, i4, uv, rest
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto acc = [&](int k, auto a, auto b) {
+    ph[k] += std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto tmb0 = now();
 
   for (int mb_y = 0; mb_y < mb_h; ++mb_y) {
     uint32_t left_nz = 0;
@@ -718,6 +969,7 @@ void vp8_encode_mbs(
       const int tdc = top_dc[mb_x], ldc = left_dc;
 
       // ---- I16: full RD over 4 whole-block modes.
+      auto tp0 = now();
       int64_t i16_score = 0;
       int i16_mode = 0;
       int32_t i16_lv[16][16], i16_y2lv[16];
@@ -750,12 +1002,7 @@ void vp8_encode_mbs(
           dq[bi][0] = rdcs[bi];
           int32_t res[16];
           IDCT4x4(dq[bi], res);
-          for (int i = 0; i < 16; ++i) {
-            int v = Clip255(pred_b[bi][i] + res[i]);
-            rec[bi][i] = v;
-            int64_t d = src_b[bi][i] - v;
-            disto += d * d;
-          }
+          disto += ReconDisto(pred_b[bi], res, src_b[bi], rec[bi]);
         }
         int64_t rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
         rate += LumaRate(lv, 1, 0, tnz, lnz, T);
@@ -802,6 +1049,8 @@ void vp8_encode_mbs(
       }
 
       // ---- I4 pick (encode.py _pick_i4): sequential 4x4 RD search.
+      auto tp1 = now();
+      if (kProf) acc(0, tp0, tp1);
       bool use_i4 = false;
       uint8_t i4_modes[16];
       int32_t i4_levels[16][16];
@@ -848,13 +1097,8 @@ void vp8_encode_mbs(
             FDCT4x4(sblk, pred, coeffs);
             QuantizeBlock(coeffs, Q.y1, 0, lv, dq);
             IDCT4x4(dq, res);
-            int64_t disto = 0;
             int32_t rec[16];
-            for (int i = 0; i < 16; ++i) {
-              rec[i] = Clip255(pred[i] + res[i]);
-              int64_t d = sblk[i] - rec[i];
-              disto += d * d;
-            }
+            const int64_t disto = ReconDisto(pred, res, sblk, rec);
             int64_t rate = ResidualCost(lv, 0, ctx, 3, T);
             rate += fixed_costs_i4[(tmode * 10 + lmode) * 10 + mode];
             int64_t score = rate * Q.lam_i4 + 256 * disto;
@@ -906,6 +1150,8 @@ void vp8_encode_mbs(
         }
       }
 
+      auto tp2 = now();
+      if (kProf) acc(1, tp1, tp2);
       int32_t* mb_levels = levels + (size_t)mb * 24 * 16;
       int luma_nz = 0;
       if (use_i4) {
@@ -998,11 +1244,7 @@ void vp8_encode_mbs(
             FDCT4x4(sb[bi], pb, coeffs);
             QuantizeBlock(coeffs, Q.uv, 0, lv[bi], dq);
             IDCT4x4(dq, res);
-            for (int i = 0; i < 16; ++i) {
-              rc[bi][i] = Clip255(pb[i] + res[i]);
-              int64_t d = sb[bi][i] - rc[bi][i];
-              disto += d * d;
-            }
+            disto += ReconDisto(pb, res, sb[bi], rc[bi]);
           }
           rate += UVRate(lv, pl == 0 ? 0 : 2, tnz, lnz, T);
         }
@@ -1017,6 +1259,7 @@ void vp8_encode_mbs(
           memcpy(best_recV, rV, sizeof(rV));
         }
       }
+      if (kProf) acc(2, tp2, now());
       uvmode[mb] = (uint8_t)best_uv_mode;
       int uv_nz = 0;
       for (int bi = 0; bi < 4; ++bi) {
@@ -1093,6 +1336,12 @@ void vp8_encode_mbs(
         left_nz = out_lnz;
       }
     }
+  }
+  if (kProf) {
+    const double total =
+        std::chrono::duration<double, std::milli>(now() - tmb0).count();
+    fprintf(stderr, "[mbloop] i16=%.0fms i4=%.0fms uv=%.0fms rest=%.0fms\n",
+            ph[0], ph[1], ph[2], total - ph[0] - ph[1] - ph[2]);
   }
 }
 
