@@ -260,7 +260,7 @@ def test_native_mb_loop_matches_python_oracle(monkeypatch):
     for rgb in imgs.values():
         h, w = rgb.shape[:2]
         y, u, v = rgb_to_yuv420(rgb)
-        for method, segs in ((3, 1), (4, 4), (5, 4)):
+        for method, segs in ((0, 1), (1, 4), (3, 1), (4, 4), (5, 4)):
             cfg = LossyConfig(quality=75, method=method, segments=segs,
                               sns_strength=50)
             monkeypatch.delenv("WEBPTPU_PY_LOOP", raising=False)

@@ -217,10 +217,24 @@ class VP8Encoder:
         lnz = int(self.left_nz)
         tdc, ldc = int(self.top_nz_dc[mb_x]), int(self.left_nz_dc)
 
-        # ---- I16: full RD over the 4 whole-block modes.
+        # ---- I16: full RD over the 4 whole-block modes. Methods 0-1 pick
+        # the mode by prediction-domain SSE and only encode the winner
+        # (reference encode.go: low methods run without rd-opt).
         src_b = src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        if self.cfg.method <= 1:
+            best_sse = None
+            pick = 0
+            for mode in range(4):
+                m = self._check_mode(mb_x, mb_y, mode)
+                pred = dsp.pred_block(m, 16, top, left, topleft)
+                sse = int(((src - pred) ** 2).sum())
+                if best_sse is None or sse < best_sse:
+                    best_sse, pick = sse, mode
+            mode_range = range(pick, pick + 1)
+        else:
+            mode_range = range(4)
         best = None
-        for mode in range(4):
+        for mode in mode_range:
             m = self._check_mode(mb_x, mb_y, mode)
             pred = dsp.pred_block(m, 16, top, left, topleft)
             pred_b = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
@@ -294,8 +308,23 @@ class VP8Encoder:
         srcV = self.srcV[yc0 : yc0 + 8, xc0 : xc0 + 8].astype(np.int32)
         Bu = self._mb_halo(self.recU, xc0, yc0, 8, mb_x, mb_y, 0)
         Bv = self._mb_halo(self.recV, xc0, yc0, 8, mb_x, mb_y, 0)
+        if self.cfg.method <= 1:
+            # Prediction-domain SSE pick (same shortcut as I16 above).
+            best_sse = None
+            pick = 0
+            for mode in range(4):
+                m = self._check_mode(mb_x, mb_y, mode)
+                pu = dsp.pred_block(m, 8, Bu[0, 1:9], Bu[1:9, 0], int(Bu[0, 0]))
+                pv = dsp.pred_block(m, 8, Bv[0, 1:9], Bv[1:9, 0], int(Bv[0, 0]))
+                sse = int(((srcU - pu) ** 2).sum()) + \
+                    int(((srcV - pv) ** 2).sum())
+                if best_sse is None or sse < best_sse:
+                    best_sse, pick = sse, mode
+            uv_range = range(pick, pick + 1)
+        else:
+            uv_range = range(4)
         best = None
-        for mode in range(4):
+        for mode in uv_range:
             m = self._check_mode(mb_x, mb_y, mode)
             pu = dsp.pred_block(m, 8, Bu[0, 1:9], Bu[1:9, 0], int(Bu[0, 0]))
             pv = dsp.pred_block(m, 8, Bv[0, 1:9], Bv[1:9, 0], int(Bv[0, 0]))

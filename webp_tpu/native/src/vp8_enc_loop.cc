@@ -968,7 +968,10 @@ void vp8_encode_mbs(
       const uint32_t lnz = left_nz;
       const int tdc = top_dc[mb_x], ldc = left_dc;
 
-      // ---- I16: full RD over 4 whole-block modes.
+      // ---- I16: full RD over 4 whole-block modes. Methods 0-1 skip the
+      // per-mode transform pipeline: the mode is picked by
+      // prediction-domain SSE and only the winner is encoded (reference
+      // encode.go maps low methods to rd_opt=none the same way).
       auto tp0 = now();
       int64_t i16_score = 0;
       int i16_mode = 0;
@@ -976,7 +979,31 @@ void vp8_encode_mbs(
       int32_t i16_coeffs[16][16], i16_pred[256], i16_rec_dcs[16];
       int32_t rec16[16][16];  // per sub-block raster
       bool have_best = false;
-      for (int mode = 0; mode < 4; ++mode) {
+      int mode_lo = 0, mode_hi = 4;
+      if (method <= 1) {
+        int64_t best_sse = 0;
+        int best_m = 0;
+        for (int mode = 0; mode < 4; ++mode) {
+          int m = CheckMode(mb_x, mb_y, mode);
+          int32_t pred[256];
+          PredBlock(m, 16, topY, leftY, tlY, pred);
+          int64_t sse = 0;
+          for (int r = 0; r < 16; ++r)
+            for (int cidx = 0; cidx < 16; ++cidx) {
+              const int32_t d =
+                  (int32_t)srcY[(size_t)(y0 + r) * ys + x0 + cidx] -
+                  pred[r * 16 + cidx];
+              sse += d * d;
+            }
+          if (mode == 0 || sse < best_sse) {
+            best_sse = sse;
+            best_m = mode;
+          }
+        }
+        mode_lo = best_m;
+        mode_hi = best_m + 1;
+      }
+      for (int mode = mode_lo; mode < mode_hi; ++mode) {
         int m = CheckMode(mb_x, mb_y, mode);
         int32_t pred[256];
         PredBlock(m, 16, topY, leftY, tlY, pred);
@@ -1004,10 +1031,13 @@ void vp8_encode_mbs(
           IDCT4x4(dq[bi], res);
           disto += ReconDisto(pred_b[bi], res, src_b[bi], rec[bi]);
         }
-        int64_t rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
-        rate += LumaRate(lv, 1, 0, tnz, lnz, T);
-        rate += kFixedCostsI16[mode];
-        int64_t score = rate * Q.lam_i16 + 256 * disto;
+        int64_t score = 0;
+        if (method >= 2) {  // single-candidate at m<=1: rate not needed
+          int64_t rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
+          rate += LumaRate(lv, 1, 0, tnz, lnz, T);
+          rate += kFixedCostsI16[mode];
+          score = rate * Q.lam_i16 + 256 * disto;
+        }
         if (!have_best || score < i16_score) {
           have_best = true;
           i16_score = score;
@@ -1222,7 +1252,36 @@ void vp8_encode_mbs(
       int32_t best_lvU[4][16], best_lvV[4][16];
       int32_t best_recU[4][16], best_recV[4][16];
       bool have_uv = false;
-      for (int mode = 0; mode < 4; ++mode) {
+      int uv_lo = 0, uv_hi = 4;
+      if (method <= 1) {
+        // Prediction-domain SSE pick (same shortcut as I16 above).
+        int64_t best_sse = 0;
+        int best_m = 0;
+        for (int mode = 0; mode < 4; ++mode) {
+          int m = CheckMode(mb_x, mb_y, mode);
+          int32_t pu[64], pv[64];
+          PredBlock(m, 8, topU, leftU, Bu[0], pu);
+          PredBlock(m, 8, topV, leftV, Bv[0], pv);
+          int64_t sse = 0;
+          for (int r = 0; r < 8; ++r)
+            for (int cidx = 0; cidx < 8; ++cidx) {
+              const int32_t du =
+                  (int32_t)srcU[(size_t)(yc0 + r) * cs + xc0 + cidx] -
+                  pu[r * 8 + cidx];
+              const int32_t dv =
+                  (int32_t)srcV[(size_t)(yc0 + r) * cs + xc0 + cidx] -
+                  pv[r * 8 + cidx];
+              sse += (int64_t)du * du + (int64_t)dv * dv;
+            }
+          if (mode == 0 || sse < best_sse) {
+            best_sse = sse;
+            best_m = mode;
+          }
+        }
+        uv_lo = best_m;
+        uv_hi = best_m + 1;
+      }
+      for (int mode = uv_lo; mode < uv_hi; ++mode) {
         int m = CheckMode(mb_x, mb_y, mode);
         int32_t pu[64], pv[64];
         PredBlock(m, 8, topU, leftU, Bu[0], pu);
@@ -1246,7 +1305,7 @@ void vp8_encode_mbs(
             IDCT4x4(dq, res);
             disto += ReconDisto(pb, res, sb[bi], rc[bi]);
           }
-          rate += UVRate(lv, pl == 0 ? 0 : 2, tnz, lnz, T);
+          if (method >= 2) rate += UVRate(lv, pl == 0 ? 0 : 2, tnz, lnz, T);
         }
         int64_t score = rate * Q.lam_uv + 256 * disto;
         if (!have_uv || score < best_uv_score) {
