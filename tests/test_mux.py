@@ -32,6 +32,52 @@ def _lossy_frame(w, h, seed=0):
                     is_lossless=False)
 
 
+def test_muxer_accessors_and_clamping():
+    """API-surface parity (mux.go:85-185): duration/loop clamping, blend
+    accessor, num_frames, add_chunk routing, canvas priority."""
+    m = Muxer()
+    m.add_frame(_lossless_frame(8, 8, 10))
+    m.add_frame(_lossless_frame(8, 8, 20))
+    assert m.num_frames() == 2
+    m.set_frame_duration(0, -5)
+    assert m.frame_duration(0) == 0
+    m.set_frame_duration(1, 1 << 30)
+    assert m.frame_duration(1) == (1 << 24) - 1
+    assert m.frame_blend_mode(0) == BlendMethod.ALPHA
+    m.set_loop_count(1 << 20)
+    assert m.loop_count == (1 << 16) - 1
+    m.add_chunk(b"ICCP", b"icc")
+    m.add_chunk(b"EXIF", b"Exif\x00\x00x")
+    m.add_chunk(b"XMP ", b"<x/>")
+    assert (m.iccp, m.exif, m.xmp) == (b"icc", b"Exif\x00\x00x", b"<x/>")
+    with pytest.raises(WebPError):
+        m.add_chunk(b"JUNK", b"zz")
+    # Explicit canvas takes priority over frame extents...
+    m.set_canvas_size(32, 32)
+    data = m.assemble()
+    d = Demuxer(data)
+    assert (d.features.width, d.features.height) == (32, 32)
+    # ...and a frame exceeding the explicit canvas fails validation.
+    m.set_canvas_size(4, 4)
+    with pytest.raises(WebPError):
+        m.assemble()
+
+
+def test_demuxer_loop_count_background_color():
+    m = Muxer()
+    for c in (10, 80):
+        m.add_frame(_lossless_frame(8, 8, c))
+    m.set_loop_count(7)
+    m.bgcolor = 0x80FF00FF
+    d = Demuxer(m.assemble())
+    assert d.loop_count() == 7
+    assert d.background_color() == 0x80FF00FF
+    still = Muxer()
+    still.add_frame(_lossless_frame(8, 8, 10))
+    d2 = Demuxer(still.assemble())
+    assert d2.loop_count() == 0 and d2.background_color() == 0
+
+
 def test_single_lossless_simple_format():
     m = Muxer()
     m.add_frame(_lossless_frame(16, 16, 30))

@@ -61,6 +61,10 @@ class Muxer:
         self.exif = b""
         self.xmp = b""
 
+    MAX_DURATION_MS = (1 << 24) - 1
+    MAX_LOOP_COUNT = (1 << 16) - 1
+    MAX_METADATA_SIZE = 1 << 24
+
     def add_frame(self, frame: MuxFrame) -> int:
         if len(self.frames) >= r.MAX_FRAMES:
             raise WebPError("webp: too many frames")
@@ -69,10 +73,52 @@ class Muxer:
         self.frames.append(frame)
         return len(self.frames) - 1
 
+    def num_frames(self) -> int:
+        return len(self.frames)
+
     def set_frame_dispose(self, index: int, dispose: DisposeMethod) -> None:
         self.frames[index].dispose = dispose
 
+    def set_frame_duration(self, index: int, duration_ms: int) -> None:
+        """Clamped to the 24-bit ANMF field (mux.go:154 SetFrameDuration)."""
+        self.frames[index].duration_ms = max(
+            0, min(int(duration_ms), self.MAX_DURATION_MS))
+
+    def frame_duration(self, index: int) -> int:
+        return self.frames[index].duration_ms
+
+    def frame_blend_mode(self, index: int) -> BlendMethod:
+        return self.frames[index].blend
+
+    def set_loop_count(self, count: int) -> None:
+        """Clamped to the 16-bit ANIM field (mux.go:85 SetLoopCount)."""
+        self.loop_count = max(0, min(int(count), self.MAX_LOOP_COUNT))
+
+    def set_canvas_size(self, width: int, height: int) -> None:
+        """Explicit canvas dimensions; when both are > 0 they take priority
+        over the extent inferred from frames (mux.go:100 SetCanvasSize).
+        Clamped to the 24-bit VP8X maximum."""
+        self.canvas_width = min(int(width), r.MAX_DIMENSION + 1)
+        self.canvas_height = min(int(height), r.MAX_DIMENSION + 1)
+
+    def add_chunk(self, fourcc: bytes, data: bytes) -> None:
+        """Attach a metadata chunk by fourcc (mux.go:185 AddChunk):
+        ICCP/EXIF/XMP route to their dedicated slots. Unknown fourccs
+        raise (the reference silently drops them; an error is kinder)."""
+        if len(data) > self.MAX_METADATA_SIZE:
+            raise WebPError("webp: chunk data too large")
+        if fourcc == r.ICCP:
+            self.iccp = data
+        elif fourcc == r.EXIF:
+            self.exif = data
+        elif fourcc == r.XMP:
+            self.xmp = data
+        else:
+            raise WebPError("webp: unsupported chunk fourcc")
+
     def _infer_canvas(self) -> tuple[int, int]:
+        if self.canvas_width > 0 and self.canvas_height > 0:
+            return self.canvas_width, self.canvas_height
         w = self.canvas_width
         h = self.canvas_height
         for f in self.frames:
@@ -81,9 +127,23 @@ class Muxer:
             h = max(h, f.y_offset + fh)
         return w, h
 
-    def assemble(self) -> bytes:
+    def validate(self) -> None:
+        """Consistency checks before assembly (mux.go:233 validate /
+        libwebp MuxValidate): frames exist and every frame rectangle fits
+        the canvas. (A single frame always assembles as a still image
+        here; the reference instead treats duration>0 as animated.)"""
         if not self.frames:
             raise WebPError("webp: no frames to assemble")
+        w, h = self._infer_canvas()
+        for i, f in enumerate(self.frames):
+            fw, fh = f.dimensions()
+            if f.x_offset + fw > w or f.y_offset + fh > h:
+                raise WebPError(
+                    f"webp: frame {i} ({fw}x{fh} at {f.x_offset},"
+                    f"{f.y_offset}) exceeds canvas ({w}x{h})")
+
+    def assemble(self) -> bytes:
+        self.validate()
         animated = len(self.frames) > 1
         has_meta = bool(self.iccp or self.exif or self.xmp)
         any_alpha = any(f.has_alpha() for f in self.frames)
@@ -188,6 +248,14 @@ class Demuxer:
             if c.tag == fourcc:
                 return c.payload
         return None
+
+    def loop_count(self) -> int:
+        """ANIM loop count, 0 when not animated (demux.go:178)."""
+        return self._parser.features.loop_count
+
+    def background_color(self) -> int:
+        """ANIM background color as packed BGRA u32 (demux.go:183)."""
+        return self._parser.features.bgcolor
 
     @property
     def iccp(self) -> bytes:
