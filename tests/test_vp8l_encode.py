@@ -65,6 +65,40 @@ def test_method_ladder_roundtrips(photo, method):
     assert len(data) <= int(len(base) * 1.3), (method, len(data), len(base))
 
 
+@pytest.mark.parametrize("filtering", [0, 1, 2])
+@pytest.mark.parametrize("compression", [0, 1])
+def test_alpha_filter_matrix(photo, filtering, compression):
+    """ALPH behavior matrix (reference testc/alpha): every prediction
+    filter mode x compression method must round-trip the alpha plane
+    bit-exactly through libwebp. filtering: 0=none, 1=fast(auto),
+    2=best-of-all; alpha_compression: 0=raw, 1=VP8L."""
+    a = photo.copy()
+    a[..., 3] = ((np.arange(a.shape[0])[:, None] * 7
+                  + np.arange(a.shape[1])[None, :] * 3) % 256).astype(np.uint8)
+    data = webp_tpu.encode(a, quality=75, alpha_compression=compression,
+                           alpha_filtering=filtering)
+    got = pil_decode_rgba(data)
+    assert np.array_equal(got[..., 3], a[..., 3])
+    assert np.array_equal(webp_tpu.decode_rgba(data), got)
+
+
+@pytest.mark.parametrize("level", [0, 40, 80])
+def test_near_lossless_levels(photo, level):
+    """near_lossless < 100 quantizes residuals progressively: still a
+    valid stream libwebp decodes, pixels within the level's error bound,
+    and lower levels never produce larger files than lossless."""
+    img = photo[..., :3]
+    data = webp_tpu.encode(img, lossless=True, near_lossless=level)
+    got = pil_decode_rgba(data)[..., :3]
+    assert np.array_equal(webp_tpu.decode(data), got)
+    # Quantization bits = ceil((100-level)/20): 80 -> 1 bit (+-1),
+    # 40 -> 3 bits (+-4), 0 -> 5 bits (+-16).
+    maxdiff = {80: 2, 40: 4, 0: 16}[level]
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= maxdiff
+    exact = webp_tpu.encode(img, lossless=True)
+    assert len(data) <= len(exact) * 1.02
+
+
 def test_noise_image():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
