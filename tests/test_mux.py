@@ -78,6 +78,42 @@ def test_demuxer_loop_count_background_color():
     assert d2.loop_count() == 0 and d2.background_color() == 0
 
 
+@pytest.mark.parametrize("lossless", [False, True])
+def test_encode_with_metadata(lossless):
+    """Encoder-level metadata (reference webp_test.go
+    TestEncodeWithMetadata_Lossy/_Lossless): iccp/exif/xmp ride the VP8X
+    container, flags are set, blobs round-trip, and Pillow still decodes
+    the pixels and reads the ICC profile."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    icc = b"\x00\x00\x02\x00fake-icc" + bytes(500)
+    exif = b"Exif\x00\x00II*\x00" + bytes(16)
+    xmp = b"<x:xmpmeta xmlns:x='adobe:ns:meta/'/>"
+    data = webp_tpu.encode(img, lossless=lossless, quality=80,
+                           iccp=icc, exif=exif, xmp=xmp)
+    f = webp_tpu.get_features(data)
+    assert f.has_iccp and f.has_exif and f.has_xmp
+    d = Demuxer(data)
+    assert (d.iccp, d.exif, d.xmp) == (icc, exif, xmp)
+    pil = Image.open(io.BytesIO(data))
+    assert pil.info.get("icc_profile") == icc
+    got = np.array(pil.convert("RGB"))
+    if lossless:
+        assert np.array_equal(got, img)
+    else:
+        assert got.shape == img.shape
+
+
+def test_encode_with_large_icc():
+    """1 MB ICC blob (webp_test.go TestEncodeWithMetadata_LargeICC)."""
+    img = np.full((16, 16, 3), 77, np.uint8)
+    icc = bytes(range(256)) * 4096  # 1 MiB
+    data = webp_tpu.encode(img, lossless=True, iccp=icc)
+    assert Demuxer(data).iccp == icc
+    assert np.array_equal(np.array(Image.open(io.BytesIO(data))
+                                   .convert("RGB")), img)
+
+
 def test_single_lossless_simple_format():
     m = Muxer()
     m.add_frame(_lossless_frame(16, 16, 30))
