@@ -73,3 +73,44 @@ def test_color_index_inverse(bits):
     got = np.asarray(D.color_index_inverse(jnp.asarray(packed), bits,
                                            jnp.asarray(palette), out_w))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("bits", [3, 4, 5])
+def test_predictor_search_matches_native(bits):
+    """The device per-tile predictor search (ops/lossless.py
+    predictor_search, SURVEY P4) is bit-identical to the host C++
+    vp8l_predictor_transform: same tile modes, same residual image."""
+    from PIL import Image
+
+    from webp_tpu.lossless.encode import rgba_to_argb, subtract_green
+    from webp_tpu.native.api import vp8l_predictor_transform
+    from webp_tpu.ops.lossless import predictor_search
+
+    rng = np.random.default_rng(bits)
+    imgs = [
+        np.asarray(Image.open("/root/reference/testdata/test_color.png")
+                   .convert("RGB").resize((130, 94))),
+        rng.integers(0, 256, (37, 61, 4)).astype(np.uint8),
+        np.full((16, 16, 3), 200, np.uint8),  # flat: all ties -> mode 0|1
+    ]
+    for img in imgs:
+        sg = subtract_green(rgba_to_argb(img))
+        host_out, host_modes = vp8l_predictor_transform(sg, bits)
+        dev_out, dev_modes = predictor_search(jnp.asarray(sg), bits)
+        assert np.array_equal(np.asarray(dev_modes).reshape(-1),
+                              host_modes.reshape(-1))
+        assert np.array_equal(np.asarray(dev_out), host_out)
+
+
+def test_predictor_search_env_wiring(monkeypatch):
+    """WEBPTPU_VP8L_DEVICE=1 routes predictor_transform through the
+    device kernel and the encoded stream stays byte-identical."""
+    import webp_tpu
+
+    img = np.random.default_rng(3).integers(
+        0, 256, (48, 64, 3)).astype(np.uint8)
+    monkeypatch.delenv("WEBPTPU_VP8L_DEVICE", raising=False)
+    host = webp_tpu.encode(img, lossless=True)
+    monkeypatch.setenv("WEBPTPU_VP8L_DEVICE", "1")
+    dev = webp_tpu.encode(img, lossless=True)
+    assert host == dev

@@ -13,6 +13,7 @@ bit emission are host-side (native C++ fast path planned).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -395,6 +396,24 @@ def predictor_transform(img: np.ndarray, bits: int, quality: int):
     residual selection via take_along_axis (no per-tile Python loop)."""
     h, w = img.shape
     tx, ty = sub_sample_size(w, bits), sub_sample_size(h, bits)
+    if os.getenv("WEBPTPU_VP8L_DEVICE"):
+        # TPU path (SURVEY §2.7 P4): bit-identical to the host search
+        # (tests/test_ops_lossless.py). Opt-in — on this dev harness the
+        # tunnel transfer outweighs the chip win; on a PCIe-attached chip
+        # it is the default-worthy path.
+        try:
+            import jax.numpy as jnp
+
+            from ..ops.lossless import predictor_search
+
+            out_d, modes_d = predictor_search(jnp.asarray(img), bits)
+            out = np.asarray(out_d)
+            tile_img = (np.uint32(0xFF000000)
+                        | (np.asarray(modes_d).astype(np.uint32)
+                           << np.uint32(8))).reshape(-1)
+            return out, tile_img
+        except Exception:
+            pass
     try:
         from ..native.api import vp8l_predictor_transform
 
