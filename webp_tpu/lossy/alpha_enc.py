@@ -133,12 +133,20 @@ def encode_alpha(alpha: np.ndarray, quality: int = 100, method: int = 1,
         candidates = [FILTER_NONE, FILTER_HORIZONTAL, FILTER_VERTICAL,
                       FILTER_GRADIENT]
 
+    # VP8L effort for the alpha plane (reference alpha.go:488-497): full
+    # quality only at effort 6 with no level reduction; otherwise the
+    # cheap q = 8*effort search (the plane is a single channel — deep
+    # LZ77/cost-model passes buy little and cost a full-image encode).
+    if quality >= 100 and effort == 6:
+        vq = 100
+    else:
+        vq = min(100, 8 * effort)
     best = None
     for f in candidates:
         filtered = FILTERS[f](alpha)
         argb = (np.uint32(0xFF000000)
                 | (filtered.astype(np.uint32) << np.uint32(8)))
-        payload = encode_vp8l_argb(argb, quality=min(quality, 100),
+        payload = encode_vp8l_argb(argb, quality=vq,
                                    method=max(1, effort), with_header=False)
         header = 1 | (f << 2)  # lossless compression | filter
         blob = bytes([header]) + payload
