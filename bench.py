@@ -32,10 +32,20 @@ def _timed(f, mpx: float) -> float:
 
 
 def _device_available() -> bool:
-    try:
-        import jax
+    """True only when a real accelerator answers. Probed in a subprocess
+    with a timeout: a dead tunnel can hang jax init indefinitely, and a
+    CPU-only jax should take the host fallback, not compile the device
+    program on one CPU core."""
+    import subprocess
 
-        return len(jax.devices()) > 0
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=300, text=True)
+        if r.returncode != 0 or not r.stdout.strip():
+            return False
+        return r.stdout.strip().splitlines()[-1] != "cpu"
     except Exception:
         return False
 
@@ -45,21 +55,38 @@ def main() -> None:
         "RGB").resize((1536, 1024))
     device = _device_available()
     if not device:
-        # Host-only fallback: honest but small tile.
+        # Host-only fallback (tunnel down): full-size host C++ path, with
+        # same-host libwebp comparators so the number is interpretable.
+        # The chip-side numbers measured when the tunnel was up are in
+        # README.md ("Measured on 1536x1024": 215/160 Mpx/s device).
+        import io
+
         import webp_tpu
 
-        rgb = np.asarray(src.resize((384, 256)))
+        rgb = np.asarray(src)
         h, w = rgb.shape[:2]
+        mpx = w * h / 1e6
         data = webp_tpu.encode(rgb, quality=75, method=4)
         assert len(data) > 0
-        t0 = time.perf_counter()
-        webp_tpu.encode(rgb, quality=75, method=4)
-        value = w * h / 1e6 / (time.perf_counter() - t0)
+        value = max(_timed(lambda: webp_tpu.encode(rgb, quality=75, method=4),
+                           mpx) for _ in range(3))
+
+        def _pil_enc():
+            b = io.BytesIO()
+            src.save(b, format="WEBP", quality=75, method=4)
+            return b
+        lw = _pil_enc()
+        lw_speed = max(_timed(_pil_enc, mpx) for _ in range(3))
         print(json.dumps({
             "metric": "lossy_encode_q75_mpx_per_s",
             "value": round(value, 4),
-            "unit": f"Mpx/s ({w}x{h}, q75, host numpy path, no device)",
+            "unit": f"Mpx/s ({w}x{h}, q75 m4, host C++ path — no device "
+                    "reachable this run; see README for chip numbers)",
             "vs_baseline": round(value / BASELINE_MPX_S, 4),
+            "detail": {
+                "speed_vs_libwebp_same_host": round(value / lw_speed, 2),
+                "size_vs_libwebp_m4": round(len(data) / lw.tell(), 4),
+            },
         }))
         return
 
