@@ -334,6 +334,63 @@ def test_minimize_size_no_keyframes():
     assert len(b) <= len(a)
 
 
+def test_demux_pillow_animation():
+    """Cross-implementation read: a Pillow(libwebp)-authored animation
+    demuxes with correct frame table, durations, and loop count."""
+    rng = np.random.default_rng(9)
+    ims = [Image.fromarray(rng.integers(0, 256, (30, 44, 3), np.uint8))
+           for _ in range(3)]
+    buf = io.BytesIO()
+    ims[0].save(buf, format="WEBP", save_all=True, append_images=ims[1:],
+                duration=[40, 50, 60], loop=4, lossless=True)
+    d = Demuxer(buf.getvalue())
+    assert d.num_frames() == 3
+    assert d.loop_count() == 4
+    assert [f.duration_ms for f in d.frames()] == [40, 50, 60]
+    f = webp_tpu.get_features(buf.getvalue())
+    assert f.has_anim and (f.width, f.height) == (44, 30)
+
+
+def test_truncated_animation_rejected(frames_rgba):
+    """Cutting an animated file mid-ANMF must raise, not decode junk."""
+    data = encode_animation(frames_rgba, 50, lossless=True)
+    from webp_tpu.container.riff import WebPError
+
+    for frac in (0.3, 0.6, 0.9):
+        cut = data[: int(len(data) * frac)]
+        try:
+            anim = decode_animation(cut)
+            for _ in AnimDecoder(anim):
+                pass
+        except WebPError:
+            continue
+        # A clean prefix of whole frames is acceptable; junk pixels are
+        # not distinguishable here, so just require no crash.
+
+
+def test_anim_frame_exceeding_canvas_rejected():
+    """A sub-frame whose rect exceeds the declared canvas must be
+    rejected at decode (container-level DoS check)."""
+    from webp_tpu.container.riff import WebPError
+    from webp_tpu.lossless.encode import encode_vp8l
+
+    img = np.full((20, 20, 3), 128, np.uint8)
+    m = Muxer()
+    m.add_frame(MuxFrame(bitstream=encode_vp8l(img), is_lossless=True,
+                         duration_ms=40))
+    m.add_frame(MuxFrame(bitstream=encode_vp8l(img), is_lossless=True,
+                         x_offset=12, y_offset=12, duration_ms=40))
+    data = bytearray(m.assemble())
+    # Shrink the VP8X canvas to 20x20 (bytes 4..9 of the VP8X payload).
+    idx = data.find(b"VP8X") + 8 + 4
+    data[idx:idx + 3] = (19).to_bytes(3, "little")
+    data[idx + 3:idx + 6] = (19).to_bytes(3, "little")
+    with pytest.raises(WebPError):
+        anim = decode_animation(bytes(data))
+        for _ in AnimDecoder(anim):
+            pass
+
+
 def test_duration_overflow_filler():
     """Merged identical frames beyond the 24-bit duration cap spill into a
     transparent filler frame (reference increasePreviousDuration)."""

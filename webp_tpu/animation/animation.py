@@ -75,6 +75,16 @@ def decode_animation(data: bytes) -> Animation:
     if anim.canvas_width == 0:
         anim.canvas_width = anim.frames[0].rgba.shape[1]
         anim.canvas_height = anim.frames[0].rgba.shape[0]
+    # Frame rectangles must fit the declared canvas (reference
+    # animation.go frame validation / libwebp demux CreateRawImageDemuxer
+    # checks) — numpy slice-clipping would otherwise composite silently
+    # truncated frames from a corrupt file.
+    for i, fr in enumerate(anim.frames):
+        fh, fw = fr.rgba.shape[:2]
+        if (fr.x_offset + fw > anim.canvas_width
+                or fr.y_offset + fh > anim.canvas_height):
+            raise WebPError(
+                f"webp: animation frame {i} exceeds canvas")
     return anim
 
 
