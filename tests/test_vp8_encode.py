@@ -97,6 +97,19 @@ def test_device_backend_end_to_end(photo):
 
 
 @pytest.mark.slow
+def test_encode_batch_matches_single(photo):
+    """encode_batch (one device launch for N same-sized images) must be
+    conformant and bit-identical to the single-image device encode."""
+    imgs = [photo, photo[::-1].copy(), np.roll(photo, 5, axis=1)]
+    batch = webp_tpu.encode_batch(imgs, quality=75)
+    for img, data in zip(imgs, batch):
+        ref = pil_decode_rgba(data)[..., :3]
+        assert np.array_equal(webp_tpu.decode(data), ref)
+        single = webp_tpu.encode(img, quality=75, backend="device")
+        assert data == single
+
+
+@pytest.mark.slow
 def test_device_backend_method5_skew2(photo):
     """method>=5 device path: skew-2 closed loop, full I4 mode set. The
     stream must stay conformant (our decoder == Pillow — a TR context
