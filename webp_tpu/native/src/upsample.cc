@@ -7,6 +7,12 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
+
+#if defined(__SSE4_1__)
+#include <immintrin.h>
+#define WEBPTPU_UPS_SIMD 1
+#endif
 
 using std::size_t;
 
@@ -84,8 +90,52 @@ void yuv420_to_rgb_fancy(const uint8_t* Y, int y_stride, const uint8_t* U,
                 bufv);
     const uint8_t* yrow = Y + (size_t)r * y_stride;
     uint8_t* orow = out + (size_t)r * w * nch;
-    for (int x = 0; x < w; ++x)
-      StorePixel(orow + (size_t)x * nch, yrow[x], bufu[x], bufv[x], nch);
+    // Specialized per-nch loops (constant stride + unconditional alpha
+    // store) so the compiler can vectorize the fixed-point math.
+    if (nch == 4) {
+      int x = 0;
+#ifdef WEBPTPU_UPS_SIMD
+      // 4 px per step: int32 lanes through the BT.601 fixed-point math,
+      // then each RGBA packs as one u32 (r | g<<8 | b<<16 | a<<24).
+      const __m128i zero = _mm_setzero_si128();
+      const __m128i v255 = _mm_set1_epi32(255);
+      for (; x + 4 <= w; x += 4) {
+        uint32_t y4;
+        std::memcpy(&y4, yrow + x, 4);
+        const __m128i yv = _mm_cvtepu8_epi32(_mm_cvtsi32_si128((int)y4));
+        const __m128i uv = _mm_loadu_si128((const __m128i*)(bufu + x));
+        const __m128i vv = _mm_loadu_si128((const __m128i*)(bufv + x));
+        const __m128i yy = _mm_srai_epi32(
+            _mm_mullo_epi32(yv, _mm_set1_epi32(kYScale)), 8);
+        __m128i r = _mm_srai_epi32(
+            _mm_sub_epi32(_mm_add_epi32(yy, _mm_srai_epi32(
+                _mm_mullo_epi32(vv, _mm_set1_epi32(kRCr)), 8)),
+                _mm_set1_epi32(kRBias)), 6);
+        __m128i g = _mm_srai_epi32(
+            _mm_add_epi32(_mm_sub_epi32(_mm_sub_epi32(yy, _mm_srai_epi32(
+                _mm_mullo_epi32(uv, _mm_set1_epi32(kGCb)), 8)),
+                _mm_srai_epi32(_mm_mullo_epi32(vv, _mm_set1_epi32(kGCr)), 8)),
+                _mm_set1_epi32(kGBias)), 6);
+        __m128i b = _mm_srai_epi32(
+            _mm_sub_epi32(_mm_add_epi32(yy, _mm_srai_epi32(
+                _mm_mullo_epi32(uv, _mm_set1_epi32(kBCb)), 8)),
+                _mm_set1_epi32(kBBias)), 6);
+        r = _mm_min_epi32(_mm_max_epi32(r, zero), v255);
+        g = _mm_min_epi32(_mm_max_epi32(g, zero), v255);
+        b = _mm_min_epi32(_mm_max_epi32(b, zero), v255);
+        const __m128i px = _mm_or_si128(
+            _mm_or_si128(r, _mm_slli_epi32(g, 8)),
+            _mm_or_si128(_mm_slli_epi32(b, 16),
+                         _mm_set1_epi32((int)0xFF000000u)));
+        _mm_storeu_si128((__m128i*)(orow + (size_t)x * 4), px);
+      }
+#endif
+      for (; x < w; ++x)
+        StorePixel(orow + (size_t)x * 4, yrow[x], bufu[x], bufv[x], 4);
+    } else {
+      for (int x = 0; x < w; ++x)
+        StorePixel(orow + (size_t)x * 3, yrow[x], bufu[x], bufv[x], 3);
+    }
   }
 }
 
