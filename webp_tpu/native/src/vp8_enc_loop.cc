@@ -1022,22 +1022,26 @@ void vp8_encode_mbs(
         QuantizeBlock(wht, Q.y2, 0, y2lv, y2dq);
         WHT4x4(y2dq, rdcs);
         int32_t lv[16][16], dq[16][16];
-        int64_t disto = 0;
-        int32_t rec[16][16];
         for (int bi = 0; bi < 16; ++bi) {
           QuantizeBlock(coeffs[bi], Q.y1, 1, lv[bi], dq[bi]);
           dq[bi][0] = rdcs[bi];
+        }
+        int64_t rate = 0;
+        if (method >= 2) {  // single-candidate at m<=1: rate not needed
+          rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
+          rate += LumaRate(lv, 1, 0, tnz, lnz, T);
+          rate += kFixedCostsI16[mode];
+          // disto >= 0: a rate-only loss needs no reconstruction.
+          if (have_best && rate * Q.lam_i16 >= i16_score) continue;
+        }
+        int64_t disto = 0;
+        int32_t rec[16][16];
+        for (int bi = 0; bi < 16; ++bi) {
           int32_t res[16];
           IDCT4x4(dq[bi], res);
           disto += ReconDisto(pred_b[bi], res, src_b[bi], rec[bi]);
         }
-        int64_t score = 0;
-        if (method >= 2) {  // single-candidate at m<=1: rate not needed
-          int64_t rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
-          rate += LumaRate(lv, 1, 0, tnz, lnz, T);
-          rate += kFixedCostsI16[mode];
-          score = rate * Q.lam_i16 + 256 * disto;
-        }
+        int64_t score = method >= 2 ? rate * Q.lam_i16 + 256 * disto : 0;
         if (!have_best || score < i16_score) {
           have_best = true;
           i16_score = score;
@@ -1126,11 +1130,14 @@ void vp8_encode_mbs(
             PredLuma4(mode, top, left, tl, tr, pred);
             FDCT4x4(sblk, pred, coeffs);
             QuantizeBlock(coeffs, Q.y1, 0, lv, dq);
+            int64_t rate = ResidualCost(lv, 0, ctx, 3, T);
+            rate += fixed_costs_i4[(tmode * 10 + lmode) * 10 + mode];
+            // disto >= 0, so rate alone losing means the mode loses:
+            // skip the IDCT + reconstruction + SSE (exact, same winner).
+            if (have && rate * Q.lam_i4 >= best_score) continue;
             IDCT4x4(dq, res);
             int32_t rec[16];
             const int64_t disto = ReconDisto(pred, res, sblk, rec);
-            int64_t rate = ResidualCost(lv, 0, ctx, 3, T);
-            rate += fixed_costs_i4[(tmode * 10 + lmode) * 10 + mode];
             int64_t score = rate * Q.lam_i4 + 256 * disto;
             if (!have || score < best_score) {
               have = true;
