@@ -99,3 +99,68 @@ def test_lossless_writer_buffer_splice():
     assert br.read_bits(3) == 0b101
     assert br.read_bits(8) == 0x5A
     assert br.read_bits(1) == 1
+
+
+# --- Huffman encode units (reference tier: encode_huffman_test.go) ------
+
+def _assert_valid_code(counts, limit=15):
+    from webp_tpu.lossless.huffman_enc import build_code_lengths, \
+        canonical_codes
+
+    lengths = build_code_lengths(counts, limit)
+    assert len(lengths) == len(counts)
+    nz = [l for c, l in zip(counts, lengths) if c > 0]
+    assert all(l == 0 for c, l in zip(counts, lengths) if c == 0)
+    assert all(1 <= l <= limit for l in nz)
+    if len(nz) >= 2:
+        # Kraft equality: a complete prefix code.
+        assert sum(1 << (limit - l) for l in nz) == 1 << limit
+        codes = canonical_codes(lengths)
+        seen = set()
+        for l, c in zip(lengths, codes):
+            if l == 0:
+                continue
+            # Prefix-freeness of the canonical assignment (bit-reversed
+            # codes): check uniqueness of (length, code) and no prefix
+            # relation among the unreversed codewords.
+            rev = int(format(c, f"0{l}b")[::-1], 2)
+            word = format(rev, f"0{l}b")
+            for s in seen:
+                assert not s.startswith(word) and not word.startswith(s)
+            seen.add(word)
+
+
+def test_huffman_lengths_uniform():
+    _assert_valid_code([10] * 256)
+
+
+def test_huffman_lengths_skewed():
+    # Fibonacci-ish counts force the length limit to engage.
+    counts = [0] * 40
+    a, b = 1, 1
+    for i in range(40):
+        counts[i] = a
+        a, b = b, a + b
+    _assert_valid_code(counts)
+
+
+def test_huffman_lengths_few_symbols():
+    _assert_valid_code([0, 7, 0, 0, 3] + [0] * 27)
+    _assert_valid_code([0, 0, 5] + [0] * 10)   # single symbol
+    _assert_valid_code([0] * 16)               # empty
+
+
+def test_huffman_rle_tree_roundtrip_via_decoder():
+    """write_huffman_code's RLE tree serialization must be readable by
+    the strict decoder table builder: full VP8L round-trip already covers
+    it, here a pathological run-heavy length set round-trips alone."""
+    import numpy as np
+    import webp_tpu
+    from tests.conftest import pil_decode_rgba
+
+    # An image engineered for long code-length runs: 200 distinct colors.
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (200, 3), np.uint8)
+    img = pal[rng.integers(0, 200, (40, 50))]
+    data = webp_tpu.encode(img, lossless=True)
+    assert np.array_equal(pil_decode_rgba(data)[..., :3], img)
