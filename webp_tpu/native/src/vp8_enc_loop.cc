@@ -1293,26 +1293,36 @@ void vp8_encode_mbs(
         int32_t pu[64], pv[64];
         PredBlock(m, 8, topU, leftU, Bu[0], pu);
         PredBlock(m, 8, topV, leftV, Bv[0], pv);
-        int64_t disto = 0;
         int64_t rate = kFixedCostsUV[mode];
         int32_t lvU[4][16], lvV[4][16], rU[4][16], rV[4][16];
+        int32_t pbs[2][4][16], dqs[2][4][16];
+        // Quantize both planes first: the rate is then known before any
+        // reconstruction, so a rate-only loss skips the IDCT+SSE work.
         for (int pl = 0; pl < 2; ++pl) {
           const int32_t(*sb)[16] = pl == 0 ? srcUb : srcVb;
           const int32_t* pred8 = pl == 0 ? pu : pv;
           int32_t(*lv)[16] = pl == 0 ? lvU : lvV;
-          int32_t(*rc)[16] = pl == 0 ? rU : rV;
           for (int bi = 0; bi < 4; ++bi) {
             int by = bi >> 1, bx = bi & 1;
-            int32_t pb[16], coeffs[16], dq[16], res[16];
+            int32_t coeffs[16];
             for (int r = 0; r < 4; ++r)
               for (int c = 0; c < 4; ++c)
-                pb[r * 4 + c] = pred8[(by * 4 + r) * 8 + bx * 4 + c];
-            FDCT4x4(sb[bi], pb, coeffs);
-            QuantizeBlock(coeffs, Q.uv, 0, lv[bi], dq);
-            IDCT4x4(dq, res);
-            disto += ReconDisto(pb, res, sb[bi], rc[bi]);
+                pbs[pl][bi][r * 4 + c] = pred8[(by * 4 + r) * 8 + bx * 4 + c];
+            FDCT4x4(sb[bi], pbs[pl][bi], coeffs);
+            QuantizeBlock(coeffs, Q.uv, 0, lv[bi], dqs[pl][bi]);
           }
           if (method >= 2) rate += UVRate(lv, pl == 0 ? 0 : 2, tnz, lnz, T);
+        }
+        if (have_uv && rate * Q.lam_uv >= best_uv_score) continue;
+        int64_t disto = 0;
+        for (int pl = 0; pl < 2; ++pl) {
+          const int32_t(*sb)[16] = pl == 0 ? srcUb : srcVb;
+          int32_t(*rc)[16] = pl == 0 ? rU : rV;
+          for (int bi = 0; bi < 4; ++bi) {
+            int32_t res[16];
+            IDCT4x4(dqs[pl][bi], res);
+            disto += ReconDisto(pbs[pl][bi], res, sb[bi], rc[bi]);
+          }
         }
         int64_t score = rate * Q.lam_uv + 256 * disto;
         if (!have_uv || score < best_uv_score) {
