@@ -20,6 +20,9 @@
 #include <immintrin.h>
 #define WEBPTPU_ENC_SIMD 1
 #endif
+#if defined(__AVX2__)
+#define WEBPTPU_ENC_AVX2 1
+#endif
 
 namespace {
 
@@ -73,16 +76,17 @@ struct SQ {
 };
 
 // quantize_block (quant.py:54): raster coeffs -> zigzag levels + raster
-// dequant. Returns nonzero count. All-int32 arithmetic is exact: the
-// worst-case product is |FWHT coeff|(<=16320) * iq(<=32768) + bias
-// ~= 5.4e8 < 2^31.
-static int QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
-                         int32_t* lv_zz, int32_t* dq_raster) {
+// dequant. Returns the zigzag-position nonzero bitmask (bit n set iff
+// lv_zz[n] != 0), so callers get `last` and nz flags without rescanning.
+// All-int32 arithmetic is exact: the worst-case product is
+// |FWHT coeff|(<=16320) * iq(<=32768) + bias ~= 5.4e8 < 2^31.
+static uint32_t QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
+                              int32_t* lv_zz, int32_t* dq_raster) {
 #ifdef WEBPTPU_ENC_SIMD
   int32_t c_zz[16], dq_zz[16];
   for (int n = 0; n < 16; ++n) c_zz[n] = coeffs[kZigzag[n]];
   const __m128i kMax = _mm_set1_epi32(kMaxLevel);
-  int nz_mask = 0;
+  int z_mask = 0;
   for (int k = 0; k < 16; k += 4) {
     const __m128i c = _mm_loadu_si128((const __m128i*)(c_zz + k));
     const __m128i s = _mm_srai_epi32(c, 31);  // sign mask
@@ -101,14 +105,14 @@ static int QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
     _mm_storeu_si128(
         (__m128i*)(dq_zz + k),
         _mm_mullo_epi32(l, _mm_loadu_si128((const __m128i*)(sq.q + k))));
-    nz_mask |= _mm_movemask_ps(_mm_castsi128_ps(
-                   _mm_cmpeq_epi32(l, _mm_setzero_si128())))
-               << k;
+    z_mask |= _mm_movemask_ps(_mm_castsi128_ps(
+                  _mm_cmpeq_epi32(l, _mm_setzero_si128())))
+              << k;
   }
   for (int n = 0; n < 16; ++n) dq_raster[kZigzag[n]] = dq_zz[n];
-  return __builtin_popcount(~nz_mask & 0xFFFF);
+  return ~z_mask & 0xFFFFu;
 #else
-  int nz = 0;
+  uint32_t mask = 0;
   for (int i = 0; i < 16; ++i) dq_raster[i] = 0;
   for (int n = 0; n < 16; ++n) {
     int zig = kZigzag[n];
@@ -121,11 +125,73 @@ static int QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
     int32_t l = sign ? -level : level;
     lv_zz[n] = l;
     dq_raster[zig] = l * sq.q[n];
-    nz += (l != 0);
+    if (l) mask |= 1u << n;
   }
-  return nz;
+  return mask;
 #endif
 }
+
+#ifdef WEBPTPU_ENC_AVX2
+// Two independent blocks quantized at once: block A rides the low 128-bit
+// lane, block B the high lane (the quantizer tables are lane-broadcast).
+// Same arithmetic as QuantizeBlock, so identical levels/dequant/masks.
+static void QuantizeBlock2(const int32_t* cA, const int32_t* cB, const SQ& sq,
+                           int first, int32_t* lvA, int32_t* lvB, int32_t* dqA,
+                           int32_t* dqB, uint32_t* maskA, uint32_t* maskB) {
+  int32_t zzA[16], zzB[16], dqzA[16], dqzB[16];
+  for (int n = 0; n < 16; ++n) {
+    zzA[n] = cA[kZigzag[n]];
+    zzB[n] = cB[kZigzag[n]];
+  }
+  const __m256i kMax = _mm256_set1_epi32(kMaxLevel);
+  uint32_t zA = 0, zB = 0;
+  for (int k = 0; k < 16; k += 4) {
+    const __m256i c = _mm256_inserti128_si256(
+        _mm256_castsi128_si256(_mm_loadu_si128((const __m128i*)(zzA + k))),
+        _mm_loadu_si128((const __m128i*)(zzB + k)), 1);
+    const __m128i sh128 = _mm_loadu_si128((const __m128i*)(sq.sharpen + k));
+    const __m128i iq128 = _mm_loadu_si128((const __m128i*)(sq.iq + k));
+    const __m128i bi128 = _mm_loadu_si128((const __m128i*)(sq.bias + k));
+    const __m128i q128 = _mm_loadu_si128((const __m128i*)(sq.q + k));
+    const __m256i s = _mm256_srai_epi32(c, 31);
+    const __m256i mag = _mm256_add_epi32(
+        _mm256_sub_epi32(_mm256_xor_si256(c, s), s),
+        _mm256_broadcastsi128_si256(sh128));
+    __m256i level = _mm256_srai_epi32(
+        _mm256_add_epi32(
+            _mm256_mullo_epi32(mag, _mm256_broadcastsi128_si256(iq128)),
+            _mm256_broadcastsi128_si256(bi128)),
+        17);
+    level = _mm256_min_epi32(level, kMax);
+    if (first && k == 0)
+      level = _mm256_blend_epi32(level, _mm256_setzero_si256(), 0x11);
+    const __m256i l = _mm256_sub_epi32(_mm256_xor_si256(level, s), s);
+    _mm_storeu_si128((__m128i*)(lvA + k), _mm256_castsi256_si128(l));
+    _mm_storeu_si128((__m128i*)(lvB + k), _mm256_extracti128_si256(l, 1));
+    const __m256i dq =
+        _mm256_mullo_epi32(l, _mm256_broadcastsi128_si256(q128));
+    _mm_storeu_si128((__m128i*)(dqzA + k), _mm256_castsi256_si128(dq));
+    _mm_storeu_si128((__m128i*)(dqzB + k), _mm256_extracti128_si256(dq, 1));
+    const uint32_t zm = (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(
+        _mm256_cmpeq_epi32(l, _mm256_setzero_si256())));
+    zA |= (zm & 0xF) << k;
+    zB |= ((zm >> 4) & 0xF) << k;
+  }
+  for (int n = 0; n < 16; ++n) {
+    dqA[kZigzag[n]] = dqzA[n];
+    dqB[kZigzag[n]] = dqzB[n];
+  }
+  *maskA = ~zA & 0xFFFFu;
+  *maskB = ~zB & 0xFFFFu;
+}
+#else
+static void QuantizeBlock2(const int32_t* cA, const int32_t* cB, const SQ& sq,
+                           int first, int32_t* lvA, int32_t* lvB, int32_t* dqA,
+                           int32_t* dqB, uint32_t* maskA, uint32_t* maskB) {
+  *maskA = QuantizeBlock(cA, sq, first, lvA, dqA);
+  *maskB = QuantizeBlock(cB, sq, first, lvB, dqB);
+}
+#endif
 
 // ---------------------------------------------------------------------
 // Transforms (lossy/dsp.py exact integer math).
@@ -234,6 +300,93 @@ static void FDCT4x4(const int32_t* src, const int32_t* pred, int32_t* out) {
     out[3 * 4 + j] = (a3 * 2217 - a2 * 5352 + 51000) >> 16;
   }
 }
+
+#ifdef WEBPTPU_ENC_AVX2
+// 4x4 transpose in each 128-bit lane (two independent blocks at once).
+static inline void Transpose4x2(__m256i& r0, __m256i& r1, __m256i& r2,
+                                __m256i& r3) {
+  const __m256i t0 = _mm256_unpacklo_epi32(r0, r1);
+  const __m256i t1 = _mm256_unpackhi_epi32(r0, r1);
+  const __m256i t2 = _mm256_unpacklo_epi32(r2, r3);
+  const __m256i t3 = _mm256_unpackhi_epi32(r2, r3);
+  r0 = _mm256_unpacklo_epi64(t0, t2);
+  r1 = _mm256_unpackhi_epi64(t0, t2);
+  r2 = _mm256_unpacklo_epi64(t1, t3);
+  r3 = _mm256_unpackhi_epi64(t1, t3);
+}
+
+// fdct4x4 of two independent (src - pred) blocks: A in the low lane, B in
+// the high lane. Identical arithmetic to FDCT4x4, so identical outputs.
+static void FDCT4x4_2(const int32_t* srcA, const int32_t* predA, int32_t* outA,
+                      const int32_t* srcB, const int32_t* predB,
+                      int32_t* outB) {
+  const __m256i k2217 = _mm256_set1_epi32(2217);
+  const __m256i k5352 = _mm256_set1_epi32(5352);
+  auto load2 = [](const int32_t* a, const int32_t* b) {
+    return _mm256_inserti128_si256(
+        _mm256_castsi128_si256(_mm_loadu_si128((const __m128i*)a)),
+        _mm_loadu_si128((const __m128i*)b), 1);
+  };
+  __m256i d0 = _mm256_sub_epi32(load2(srcA + 0, srcB + 0),
+                                load2(predA + 0, predB + 0));
+  __m256i d1 = _mm256_sub_epi32(load2(srcA + 4, srcB + 4),
+                                load2(predA + 4, predB + 4));
+  __m256i d2 = _mm256_sub_epi32(load2(srcA + 8, srcB + 8),
+                                load2(predA + 8, predB + 8));
+  __m256i d3 = _mm256_sub_epi32(load2(srcA + 12, srcB + 12),
+                                load2(predA + 12, predB + 12));
+  Transpose4x2(d0, d1, d2, d3);
+  __m256i a0 = _mm256_add_epi32(d0, d3), a1 = _mm256_add_epi32(d1, d2);
+  __m256i a2 = _mm256_sub_epi32(d1, d2), a3 = _mm256_sub_epi32(d0, d3);
+  __m256i t0 = _mm256_slli_epi32(_mm256_add_epi32(a0, a1), 3);
+  __m256i t2 = _mm256_slli_epi32(_mm256_sub_epi32(a0, a1), 3);
+  __m256i t1 = _mm256_srai_epi32(
+      _mm256_add_epi32(_mm256_add_epi32(_mm256_mullo_epi32(a2, k2217),
+                                        _mm256_mullo_epi32(a3, k5352)),
+                       _mm256_set1_epi32(1812)), 9);
+  __m256i t3 = _mm256_srai_epi32(
+      _mm256_add_epi32(_mm256_sub_epi32(_mm256_mullo_epi32(a3, k2217),
+                                        _mm256_mullo_epi32(a2, k5352)),
+                       _mm256_set1_epi32(937)), 9);
+  Transpose4x2(t0, t1, t2, t3);
+  a0 = _mm256_add_epi32(t0, t3);
+  a1 = _mm256_add_epi32(t1, t2);
+  a2 = _mm256_sub_epi32(t1, t2);
+  a3 = _mm256_sub_epi32(t0, t3);
+  const __m256i k7 = _mm256_set1_epi32(7);
+  __m256i o0 =
+      _mm256_srai_epi32(_mm256_add_epi32(_mm256_add_epi32(a0, a1), k7), 4);
+  __m256i o2 =
+      _mm256_srai_epi32(_mm256_add_epi32(_mm256_sub_epi32(a0, a1), k7), 4);
+  __m256i nz3 = _mm256_andnot_si256(
+      _mm256_cmpeq_epi32(a3, _mm256_setzero_si256()), _mm256_set1_epi32(1));
+  __m256i o1 = _mm256_add_epi32(
+      _mm256_srai_epi32(
+          _mm256_add_epi32(_mm256_add_epi32(_mm256_mullo_epi32(a2, k2217),
+                                            _mm256_mullo_epi32(a3, k5352)),
+                           _mm256_set1_epi32(12000)), 16),
+      nz3);
+  __m256i o3 = _mm256_srai_epi32(
+      _mm256_add_epi32(_mm256_sub_epi32(_mm256_mullo_epi32(a3, k2217),
+                                        _mm256_mullo_epi32(a2, k5352)),
+                       _mm256_set1_epi32(51000)), 16);
+  _mm_storeu_si128((__m128i*)(outA + 0), _mm256_castsi256_si128(o0));
+  _mm_storeu_si128((__m128i*)(outA + 4), _mm256_castsi256_si128(o1));
+  _mm_storeu_si128((__m128i*)(outA + 8), _mm256_castsi256_si128(o2));
+  _mm_storeu_si128((__m128i*)(outA + 12), _mm256_castsi256_si128(o3));
+  _mm_storeu_si128((__m128i*)(outB + 0), _mm256_extracti128_si256(o0, 1));
+  _mm_storeu_si128((__m128i*)(outB + 4), _mm256_extracti128_si256(o1, 1));
+  _mm_storeu_si128((__m128i*)(outB + 8), _mm256_extracti128_si256(o2, 1));
+  _mm_storeu_si128((__m128i*)(outB + 12), _mm256_extracti128_si256(o3, 1));
+}
+#else
+static void FDCT4x4_2(const int32_t* srcA, const int32_t* predA, int32_t* outA,
+                      const int32_t* srcB, const int32_t* predB,
+                      int32_t* outB) {
+  FDCT4x4(srcA, predA, outA);
+  FDCT4x4(srcB, predB, outB);
+}
+#endif  // WEBPTPU_ENC_AVX2
 
 // idct4x4: raster dequant int32[16] -> raster residuals int32[16].
 static inline int32_t Mul1i(int32_t a) { return ((a * 20091) >> 16) + a; }
@@ -479,119 +632,116 @@ static void PredBlock(int mode, int size, const int32_t* top,
   }
 }
 
-// 4x4 predictor, 10 modes. top/left/topright int; out raster int32[16].
-static void PredLuma4(int mode, const int32_t* top, const int32_t* left,
-                      int tl, const int32_t* tr, int32_t* o) {
-  int t0 = top[0], t1 = top[1], t2 = top[2], t3 = top[3];
-  int l0 = left[0], l1 = left[1], l2 = left[2], l3 = left[3];
-  int t4 = tr[0], t5 = tr[1], t6 = tr[2], t7 = tr[3];
-  switch (mode) {
-    case 0: {  // B_DC
-      int dc = (t0 + t1 + t2 + t3 + l0 + l1 + l2 + l3 + 4) >> 3;
-      for (int i = 0; i < 16; ++i) o[i] = dc;
-      break;
-    }
-    case 1:  // B_TM
-      for (int r = 0; r < 4; ++r)
-        for (int c = 0; c < 4; ++c)
-          o[r * 4 + c] = Clip255(left[r] + top[c] - tl);
-      break;
-    case 2: {  // B_VE
-      int v0 = Avg3(tl, t0, t1), v1 = Avg3(t0, t1, t2);
-      int v2 = Avg3(t1, t2, t3), v3 = Avg3(t2, t3, t4);
-      for (int r = 0; r < 4; ++r) {
-        o[r * 4 + 0] = v0; o[r * 4 + 1] = v1;
-        o[r * 4 + 2] = v2; o[r * 4 + 3] = v3;
-      }
-      break;
-    }
-    case 3: {  // B_HE
-      int v0 = Avg3(tl, l0, l1), v1 = Avg3(l0, l1, l2);
-      int v2 = Avg3(l1, l2, l3), v3 = Avg3(l2, l3, l3);
-      for (int c = 0; c < 4; ++c) {
-        o[0 * 4 + c] = v0; o[1 * 4 + c] = v1;
-        o[2 * 4 + c] = v2; o[3 * 4 + c] = v3;
-      }
-      break;
-    }
-    case 4:  // B_RD
-      o[3 * 4 + 0] = Avg3(l3, l2, l1);
-      o[2 * 4 + 0] = o[3 * 4 + 1] = Avg3(l2, l1, l0);
-      o[1 * 4 + 0] = o[2 * 4 + 1] = o[3 * 4 + 2] = Avg3(l1, l0, tl);
-      o[0 * 4 + 0] = o[1 * 4 + 1] = o[2 * 4 + 2] = o[3 * 4 + 3] =
-          Avg3(l0, tl, t0);
-      o[0 * 4 + 1] = o[1 * 4 + 2] = o[2 * 4 + 3] = Avg3(tl, t0, t1);
-      o[0 * 4 + 2] = o[1 * 4 + 3] = Avg3(t0, t1, t2);
-      o[0 * 4 + 3] = Avg3(t1, t2, t3);
-      break;
-    case 5:  // B_VR
-      o[0 * 4 + 0] = o[2 * 4 + 1] = Avg2(tl, t0);
-      o[0 * 4 + 1] = o[2 * 4 + 2] = Avg2(t0, t1);
-      o[0 * 4 + 2] = o[2 * 4 + 3] = Avg2(t1, t2);
-      o[0 * 4 + 3] = Avg2(t2, t3);
-      o[1 * 4 + 0] = o[3 * 4 + 1] = Avg3(l0, tl, t0);
-      o[1 * 4 + 1] = o[3 * 4 + 2] = Avg3(tl, t0, t1);
-      o[1 * 4 + 2] = o[3 * 4 + 3] = Avg3(t0, t1, t2);
-      o[1 * 4 + 3] = Avg3(t1, t2, t3);
-      o[2 * 4 + 0] = Avg3(l1, l0, tl);
-      o[3 * 4 + 0] = Avg3(l2, l1, l0);
-      break;
-    case 6:  // B_LD
-      o[0 * 4 + 0] = Avg3(t0, t1, t2);
-      o[0 * 4 + 1] = o[1 * 4 + 0] = Avg3(t1, t2, t3);
-      o[0 * 4 + 2] = o[1 * 4 + 1] = o[2 * 4 + 0] = Avg3(t2, t3, t4);
-      o[0 * 4 + 3] = o[1 * 4 + 2] = o[2 * 4 + 1] = o[3 * 4 + 0] =
-          Avg3(t3, t4, t5);
-      o[1 * 4 + 3] = o[2 * 4 + 2] = o[3 * 4 + 1] = Avg3(t4, t5, t6);
-      o[2 * 4 + 3] = o[3 * 4 + 2] = Avg3(t5, t6, t7);
-      o[3 * 4 + 3] = Avg3(t6, t7, t7);
-      break;
-    case 7:  // B_VL
-      o[0 * 4 + 0] = Avg2(t0, t1);
-      o[0 * 4 + 1] = o[2 * 4 + 0] = Avg2(t1, t2);
-      o[0 * 4 + 2] = o[2 * 4 + 1] = Avg2(t2, t3);
-      o[0 * 4 + 3] = o[2 * 4 + 2] = Avg2(t3, t4);
-      o[1 * 4 + 0] = Avg3(t0, t1, t2);
-      o[1 * 4 + 1] = o[3 * 4 + 0] = Avg3(t1, t2, t3);
-      o[1 * 4 + 2] = o[3 * 4 + 1] = Avg3(t2, t3, t4);
-      o[1 * 4 + 3] = o[3 * 4 + 2] = Avg3(t3, t4, t5);
-      o[2 * 4 + 3] = Avg3(t4, t5, t6);
-      o[3 * 4 + 3] = Avg3(t5, t6, t7);
-      break;
-    case 8:  // B_HD
-      o[0 * 4 + 0] = Avg2(tl, l0);
-      o[0 * 4 + 1] = Avg3(l0, tl, t0);
-      o[0 * 4 + 2] = Avg3(tl, t0, t1);
-      o[0 * 4 + 3] = Avg3(t0, t1, t2);
-      o[1 * 4 + 0] = Avg2(l0, l1);
-      o[1 * 4 + 1] = Avg3(tl, l0, l1);
-      o[1 * 4 + 2] = o[0 * 4 + 0];
-      o[1 * 4 + 3] = o[0 * 4 + 1];
-      o[2 * 4 + 0] = Avg2(l1, l2);
-      o[2 * 4 + 1] = Avg3(l0, l1, l2);
-      o[2 * 4 + 2] = o[1 * 4 + 0];
-      o[2 * 4 + 3] = o[1 * 4 + 1];
-      o[3 * 4 + 0] = Avg2(l2, l3);
-      o[3 * 4 + 1] = Avg3(l1, l2, l3);
-      o[3 * 4 + 2] = o[2 * 4 + 0];
-      o[3 * 4 + 3] = o[2 * 4 + 1];
-      break;
-    default:  // 9: B_HU
-      o[0 * 4 + 0] = Avg2(l0, l1);
-      o[0 * 4 + 1] = Avg3(l0, l1, l2);
-      o[0 * 4 + 2] = Avg2(l1, l2);
-      o[0 * 4 + 3] = Avg3(l1, l2, l3);
-      o[1 * 4 + 0] = o[0 * 4 + 2];
-      o[1 * 4 + 1] = o[0 * 4 + 3];
-      o[1 * 4 + 2] = Avg2(l2, l3);
-      o[1 * 4 + 3] = Avg3(l2, l3, l3);
-      o[2 * 4 + 0] = o[1 * 4 + 2];
-      o[2 * 4 + 1] = o[1 * 4 + 3];
-      o[2 * 4 + 2] = l3;
-      o[2 * 4 + 3] = l3;
-      for (int c = 0; c < 4; ++c) o[3 * 4 + c] = l3;
-      break;
+// All ten 4x4 predictors at once (same per-mode values as lossy/dsp.py
+// pred_luma4). The Avg3/Avg2 chains are shared across modes — Avg3 is
+// symmetric in its outer arguments, so e.g. B_RD's Avg3(l1,l0,tl) is
+// B_HD's Avg3(tl,l0,l1). Mode order: DC,TM,VE,HE,RD,VR,LD,VL,HD,HU.
+static void PredLuma4All(const int32_t* top, const int32_t* left, int tl,
+                         const int32_t* tr, int32_t preds[][16]) {
+  const int t0 = top[0], t1 = top[1], t2 = top[2], t3 = top[3];
+  const int l0 = left[0], l1 = left[1], l2 = left[2], l3 = left[3];
+  const int t4 = tr[0], t5 = tr[1], t6 = tr[2], t7 = tr[3];
+  // Shared 3-tap chains.
+  const int a_tl01 = Avg3(tl, t0, t1), a_t012 = Avg3(t0, t1, t2);
+  const int a_t123 = Avg3(t1, t2, t3), a_t234 = Avg3(t2, t3, t4);
+  const int a_t345 = Avg3(t3, t4, t5), a_t456 = Avg3(t4, t5, t6);
+  const int a_t567 = Avg3(t5, t6, t7), a_t677 = Avg3(t6, t7, t7);
+  const int a_tll01 = Avg3(tl, l0, l1), a_l012 = Avg3(l0, l1, l2);
+  const int a_l123 = Avg3(l1, l2, l3), a_l233 = Avg3(l2, l3, l3);
+  const int a_l0tlt0 = Avg3(l0, tl, t0);
+  // Shared 2-tap values.
+  const int h_tlt0 = Avg2(tl, t0), h_t01 = Avg2(t0, t1);
+  const int h_t12 = Avg2(t1, t2), h_t23 = Avg2(t2, t3), h_t34 = Avg2(t3, t4);
+  const int h_tll0 = Avg2(tl, l0), h_l01 = Avg2(l0, l1);
+  const int h_l12 = Avg2(l1, l2), h_l23 = Avg2(l2, l3);
+  int32_t* o;
+  o = preds[0];  // B_DC
+  {
+    const int dc = (t0 + t1 + t2 + t3 + l0 + l1 + l2 + l3 + 4) >> 3;
+    for (int i = 0; i < 16; ++i) o[i] = dc;
   }
+  o = preds[1];  // B_TM
+  for (int r = 0; r < 4; ++r)
+    for (int c = 0; c < 4; ++c) o[r * 4 + c] = Clip255(left[r] + top[c] - tl);
+  o = preds[2];  // B_VE
+  for (int r = 0; r < 4; ++r) {
+    o[r * 4 + 0] = a_tl01; o[r * 4 + 1] = a_t012;
+    o[r * 4 + 2] = a_t123; o[r * 4 + 3] = a_t234;
+  }
+  o = preds[3];  // B_HE
+  for (int c = 0; c < 4; ++c) {
+    o[0 * 4 + c] = a_tll01; o[1 * 4 + c] = a_l012;
+    o[2 * 4 + c] = a_l123;  o[3 * 4 + c] = a_l233;
+  }
+  o = preds[4];  // B_RD
+  o[3 * 4 + 0] = a_l123;  // Avg3(l3,l2,l1)
+  o[2 * 4 + 0] = o[3 * 4 + 1] = a_l012;   // Avg3(l2,l1,l0)
+  o[1 * 4 + 0] = o[2 * 4 + 1] = o[3 * 4 + 2] = a_tll01;  // Avg3(l1,l0,tl)
+  o[0 * 4 + 0] = o[1 * 4 + 1] = o[2 * 4 + 2] = o[3 * 4 + 3] = a_l0tlt0;
+  o[0 * 4 + 1] = o[1 * 4 + 2] = o[2 * 4 + 3] = a_tl01;
+  o[0 * 4 + 2] = o[1 * 4 + 3] = a_t012;
+  o[0 * 4 + 3] = a_t123;
+  o = preds[5];  // B_VR
+  o[0 * 4 + 0] = o[2 * 4 + 1] = h_tlt0;
+  o[0 * 4 + 1] = o[2 * 4 + 2] = h_t01;
+  o[0 * 4 + 2] = o[2 * 4 + 3] = h_t12;
+  o[0 * 4 + 3] = h_t23;
+  o[1 * 4 + 0] = o[3 * 4 + 1] = a_l0tlt0;
+  o[1 * 4 + 1] = o[3 * 4 + 2] = a_tl01;
+  o[1 * 4 + 2] = o[3 * 4 + 3] = a_t012;
+  o[1 * 4 + 3] = a_t123;
+  o[2 * 4 + 0] = a_tll01;  // Avg3(l1,l0,tl)
+  o[3 * 4 + 0] = a_l012;   // Avg3(l2,l1,l0)
+  o = preds[6];  // B_LD
+  o[0 * 4 + 0] = a_t012;
+  o[0 * 4 + 1] = o[1 * 4 + 0] = a_t123;
+  o[0 * 4 + 2] = o[1 * 4 + 1] = o[2 * 4 + 0] = a_t234;
+  o[0 * 4 + 3] = o[1 * 4 + 2] = o[2 * 4 + 1] = o[3 * 4 + 0] = a_t345;
+  o[1 * 4 + 3] = o[2 * 4 + 2] = o[3 * 4 + 1] = a_t456;
+  o[2 * 4 + 3] = o[3 * 4 + 2] = a_t567;
+  o[3 * 4 + 3] = a_t677;
+  o = preds[7];  // B_VL
+  o[0 * 4 + 0] = h_t01;
+  o[0 * 4 + 1] = o[2 * 4 + 0] = h_t12;
+  o[0 * 4 + 2] = o[2 * 4 + 1] = h_t23;
+  o[0 * 4 + 3] = o[2 * 4 + 2] = h_t34;
+  o[1 * 4 + 0] = a_t012;
+  o[1 * 4 + 1] = o[3 * 4 + 0] = a_t123;
+  o[1 * 4 + 2] = o[3 * 4 + 1] = a_t234;
+  o[1 * 4 + 3] = o[3 * 4 + 2] = a_t345;
+  o[2 * 4 + 3] = a_t456;
+  o[3 * 4 + 3] = a_t567;
+  o = preds[8];  // B_HD
+  o[0 * 4 + 0] = h_tll0;
+  o[0 * 4 + 1] = a_l0tlt0;  // Avg3(l0,tl,t0)
+  o[0 * 4 + 2] = a_tl01;
+  o[0 * 4 + 3] = a_t012;
+  o[1 * 4 + 0] = h_l01;
+  o[1 * 4 + 1] = a_tll01;
+  o[1 * 4 + 2] = o[0 * 4 + 0];
+  o[1 * 4 + 3] = o[0 * 4 + 1];
+  o[2 * 4 + 0] = h_l12;
+  o[2 * 4 + 1] = a_l012;
+  o[2 * 4 + 2] = o[1 * 4 + 0];
+  o[2 * 4 + 3] = o[1 * 4 + 1];
+  o[3 * 4 + 0] = h_l23;
+  o[3 * 4 + 1] = a_l123;
+  o[3 * 4 + 2] = o[2 * 4 + 0];
+  o[3 * 4 + 3] = o[2 * 4 + 1];
+  o = preds[9];  // B_HU
+  o[0 * 4 + 0] = h_l01;
+  o[0 * 4 + 1] = a_l012;
+  o[0 * 4 + 2] = h_l12;
+  o[0 * 4 + 3] = a_l123;
+  o[1 * 4 + 0] = o[0 * 4 + 2];
+  o[1 * 4 + 1] = o[0 * 4 + 3];
+  o[1 * 4 + 2] = h_l23;
+  o[1 * 4 + 3] = a_l233;
+  o[2 * 4 + 0] = o[1 * 4 + 2];
+  o[2 * 4 + 1] = o[1 * 4 + 3];
+  o[2 * 4 + 2] = l3;
+  o[2 * 4 + 3] = l3;
+  for (int c = 0; c < 4; ++c) o[3 * 4 + c] = l3;
 }
 
 // mode adjusted for frame borders (encode.py _check_mode).
@@ -606,16 +756,15 @@ static int CheckMode(int mb_x, int mb_y, int mode) {
 // ---------------------------------------------------------------------
 // Rate estimation (cost.py residual_cost / variable_level_cost).
 // ---------------------------------------------------------------------
-static int64_t ResidualCost(const int32_t* lv, int first, int ctx0, int ptype,
-                            const Tables& T) {
+// nzmask: zigzag nonzero bitmask of lv (bits below `first` are zero by
+// construction — QuantizeBlock forces position 0 off when first=1).
+static int64_t ResidualCost(const int32_t* lv, uint32_t nzmask, int first,
+                            int ctx0, int ptype, const Tables& T) {
   int n = first;
   int p0 = T.p(ptype, kBands[n], ctx0)[0];
   int64_t cost = ctx0 == 0 ? T.bit_cost(1, p0) : 0;
-  int last = -1;
-  for (int i = 15; i >= first; --i) {
-    if (lv[i]) { last = i; break; }
-  }
-  if (last < 0) return T.bit_cost(0, p0);
+  if (!nzmask) return T.bit_cost(0, p0);
+  const int last = 31 - __builtin_clz(nzmask);
   const int32_t* t = T.ct(ptype, kBands[n], ctx0);
   while (n < last) {
     int v = lv[n] < 0 ? -lv[n] : lv[n];
@@ -656,8 +805,10 @@ static int64_t VariableLevelCost(int v, const uint8_t* p, const Tables& T) {
 }
 
 // Luma-block rate with intra-MB nz chaining (encode.py _luma_rate).
-static int64_t LumaRate(const int32_t (*lv)[16], int first, int ptype,
-                        uint32_t tnz, uint32_t lnz, const Tables& T) {
+// masks: per-block zigzag nonzero bitmasks from QuantizeBlock.
+static int64_t LumaRate(const int32_t (*lv)[16], const uint32_t* masks,
+                        int first, int ptype, uint32_t tnz, uint32_t lnz,
+                        const Tables& T) {
   int64_t rate = 0;
   tnz &= 0x0F;
   lnz &= 0x0F;
@@ -667,10 +818,8 @@ static int64_t LumaRate(const int32_t (*lv)[16], int first, int ptype,
     for (int x = 0; x < 4; ++x) {
       int bi = y * 4 + x;
       int ctx = l + (tnz & 1);
-      rate += ResidualCost(lv[bi], first, ctx, ptype, T);
-      l = 0;
-      for (int i = first; i < 16; ++i)
-        if (lv[bi][i]) { l = 1; break; }
+      rate += ResidualCost(lv[bi], masks[bi], first, ctx, ptype, T);
+      l = masks[bi] != 0;
       tnz = (tnz >> 1) | ((uint32_t)l << 7);
     }
     tnz >>= 4;
@@ -680,8 +829,8 @@ static int64_t LumaRate(const int32_t (*lv)[16], int first, int ptype,
 }
 
 // Chroma rate for one plane's 4 blocks (encode.py _uv_rate).
-static int64_t UVRate(const int32_t (*lv)[16], int ch, uint32_t tnz_in,
-                      uint32_t lnz_in, const Tables& T) {
+static int64_t UVRate(const int32_t (*lv)[16], const uint32_t* masks, int ch,
+                      uint32_t tnz_in, uint32_t lnz_in, const Tables& T) {
   int64_t rate = 0;
   uint32_t tnz = tnz_in >> (4 + ch);
   uint32_t lnz = lnz_in >> (4 + ch);
@@ -691,10 +840,8 @@ static int64_t UVRate(const int32_t (*lv)[16], int ch, uint32_t tnz_in,
     for (int x = 0; x < 2; ++x) {
       int bi = y * 2 + x;
       int ctx = l + (tnz & 1);
-      rate += ResidualCost(lv[bi], 0, ctx, 2, T);
-      l = 0;
-      for (int i = 0; i < 16; ++i)
-        if (lv[bi][i]) { l = 1; break; }
+      rate += ResidualCost(lv[bi], masks[bi], 0, ctx, 2, T);
+      l = masks[bi] != 0;
       tnz = (tnz >> 1) | ((uint32_t)l << 3);
     }
     tnz >>= 2;
@@ -706,10 +853,12 @@ static int64_t UVRate(const int32_t (*lv)[16], int ch, uint32_t tnz_in,
 // ---------------------------------------------------------------------
 // Trellis quantization (quant.py trellis_quantize_block, Viterbi).
 // ---------------------------------------------------------------------
-static void TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
-                                 int first, int ctx_type, int ctx0,
-                                 int64_t lam, const Tables& T, int32_t* out_zz,
-                                 int32_t* dq_raster) {
+// Returns the zigzag nonzero bitmask of out_zz (same convention as
+// QuantizeBlock).
+static uint32_t TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
+                                     int first, int ctx_type, int ctx0,
+                                     int64_t lam, const Tables& T,
+                                     int32_t* out_zz, int32_t* dq_raster) {
   constexpr int64_t INF = (int64_t)1 << 62;
   if (ctx0 > 2) ctx0 = 2;
   int64_t prev_score[3] = {INF, INF, INF};
@@ -725,7 +874,19 @@ static void TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
   int64_t best_terminal = (int64_t)T.entropy_cost[p00] * lam;
   int best_last_n = -1, best_last_ctx = -1;
 
+  // Positions past the last one with any nonzero candidate (thresh >= 1)
+  // cannot change the DP result: the candidate set is empty there, so the
+  // ctx-1/2 scores all go to INF and the terminal update (which needs
+  // ctx >= 1) can never fire again. Stopping at last_cand is exact.
+  int last_cand = first - 1;
   for (int n = first; n < 16; ++n) {
+    int64_t c = coeffs[kZigzag[n]];
+    if (c < 0) c = -c;
+    c += sq.sharpen[n];
+    if (((c * sq.iq[n] + 65536) >> 17) >= 1) last_cand = n;
+  }
+
+  for (int n = first; n <= last_cand; ++n) {
     int zig = kZigzag[n];
     int band_next = kBands[n + 1];
     int64_t raw = coeffs[zig];
@@ -828,9 +989,13 @@ static void TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
       }
     }
   }
+  uint32_t mask = 0;
   for (int i = 0; i < 16; ++i) dq_raster[i] = 0;
-  for (int n = 0; n < 16; ++n)
+  for (int n = 0; n < 16; ++n) {
     dq_raster[kZigzag[n]] = out_zz[n] * (int32_t)sq.q[n];
+    if (out_zz[n]) mask |= 1u << n;
+  }
+  return mask;
 }
 
 // ---------------------------------------------------------------------
@@ -1014,22 +1179,30 @@ void vp8_encode_mbs(
           for (int r = 0; r < 4; ++r)
             for (int c = 0; c < 4; ++c)
               pred_b[bi][r * 4 + c] = pred[(by * 4 + r) * 16 + bx * 4 + c];
-          FDCT4x4(src_b[bi], pred_b[bi], coeffs[bi]);
+        }
+        for (int bi = 0; bi < 16; bi += 2) {
+          FDCT4x4_2(src_b[bi], pred_b[bi], coeffs[bi],
+                    src_b[bi + 1], pred_b[bi + 1], coeffs[bi + 1]);
           dcs[bi] = coeffs[bi][0];
+          dcs[bi + 1] = coeffs[bi + 1][0];
         }
         int32_t wht[16], y2lv[16], y2dq[16], rdcs[16];
         FWHT4x4(dcs, wht);
-        QuantizeBlock(wht, Q.y2, 0, y2lv, y2dq);
+        const uint32_t y2mask = QuantizeBlock(wht, Q.y2, 0, y2lv, y2dq);
         WHT4x4(y2dq, rdcs);
         int32_t lv[16][16], dq[16][16];
-        for (int bi = 0; bi < 16; ++bi) {
-          QuantizeBlock(coeffs[bi], Q.y1, 1, lv[bi], dq[bi]);
+        uint32_t lvm[16];
+        for (int bi = 0; bi < 16; bi += 2) {
+          QuantizeBlock2(coeffs[bi], coeffs[bi + 1], Q.y1, 1, lv[bi],
+                         lv[bi + 1], dq[bi], dq[bi + 1], &lvm[bi],
+                         &lvm[bi + 1]);
           dq[bi][0] = rdcs[bi];
+          dq[bi + 1][0] = rdcs[bi + 1];
         }
         int64_t rate = 0;
         if (method >= 2) {  // single-candidate at m<=1: rate not needed
-          rate = ResidualCost(y2lv, 0, tdc + ldc, 1, T);
-          rate += LumaRate(lv, 1, 0, tnz, lnz, T);
+          rate = ResidualCost(y2lv, y2mask, 0, tdc + ldc, 1, T);
+          rate += LumaRate(lv, lvm, 1, 0, tnz, lnz, T);
           rate += kFixedCostsI16[mode];
           // disto >= 0: a rate-only loss needs no reconstruction.
           if (have_best && rate * Q.lam_i16 >= i16_score) continue;
@@ -1119,49 +1292,63 @@ void vp8_encode_mbs(
                   srcY[(size_t)(y0 + r * 4 + rr) * ys + x0 + c * 4 + cc];
           int ctx = ((l4 >> r) & 1) + ((t4 >> c) & 1);
           int tmode = tmodes[c], lmode = lmodes[r];
-          // 10-mode search.
+          // 10-mode search. The rate of every mode is needed before the
+          // rate-only skip can fire, so predictions, transforms, and
+          // quantization run for all modes up front — in pairs, so the
+          // AVX2 kernels process two modes per pass. Selection order and
+          // arithmetic are unchanged from the sequential form: same
+          // winner, bit for bit.
+          const int32_t* fc_row = fixed_costs_i4 + (tmode * 10 + lmode) * 10;
+          int32_t preds[10][16], coefs[10][16], lvs[10][16], dqs4[10][16];
+          uint32_t msks[10];
+          int64_t rates[10];
+          PredLuma4All(top, left, tl, tr, preds);
+          for (int mode = 0; mode < 10; mode += 2)
+            FDCT4x4_2(sblk, preds[mode], coefs[mode],
+                      sblk, preds[mode + 1], coefs[mode + 1]);
+          for (int mode = 0; mode < 10; mode += 2)
+            QuantizeBlock2(coefs[mode], coefs[mode + 1], Q.y1, 0, lvs[mode],
+                           lvs[mode + 1], dqs4[mode], dqs4[mode + 1],
+                           &msks[mode], &msks[mode + 1]);
+          for (int mode = 0; mode < 10; ++mode)
+            rates[mode] =
+                ResidualCost(lvs[mode], msks[mode], 0, ctx, 3, T) +
+                fc_row[mode];
           int64_t best_score = 0;
           int best_mode = 0;
-          int32_t best_lv[16], best_rec[16];
+          int32_t best_rec[16];
           int64_t best_disto = 0, best_rate = 0;
           bool have = false;
           for (int mode = 0; mode < 10; ++mode) {
-            int32_t pred[16], coeffs[16], lv[16], dq[16], res[16];
-            PredLuma4(mode, top, left, tl, tr, pred);
-            FDCT4x4(sblk, pred, coeffs);
-            QuantizeBlock(coeffs, Q.y1, 0, lv, dq);
-            int64_t rate = ResidualCost(lv, 0, ctx, 3, T);
-            rate += fixed_costs_i4[(tmode * 10 + lmode) * 10 + mode];
             // disto >= 0, so rate alone losing means the mode loses:
             // skip the IDCT + reconstruction + SSE (exact, same winner).
-            if (have && rate * Q.lam_i4 >= best_score) continue;
-            IDCT4x4(dq, res);
-            int32_t rec[16];
-            const int64_t disto = ReconDisto(pred, res, sblk, rec);
-            int64_t score = rate * Q.lam_i4 + 256 * disto;
+            if (have && rates[mode] * Q.lam_i4 >= best_score) continue;
+            int32_t res[16], rec[16];
+            IDCT4x4(dqs4[mode], res);
+            const int64_t disto = ReconDisto(preds[mode], res, sblk, rec);
+            int64_t score = rates[mode] * Q.lam_i4 + 256 * disto;
             if (!have || score < best_score) {
               have = true;
               best_score = score;
               best_mode = mode;
-              memcpy(best_lv, lv, sizeof(lv));
               memcpy(best_rec, rec, sizeof(rec));
               best_disto = disto;
-              best_rate = rate;
+              best_rate = rates[mode];
             }
           }
+          int32_t* best_lv = lvs[best_mode];
           if (method >= 4) {
-            // Trellis re-quantization of the winning mode.
-            int32_t pred[16], coeffs[16], dq_t[16], res[16];
-            PredLuma4(best_mode, top, left, tl, tr, pred);
-            FDCT4x4(sblk, pred, coeffs);
-            TrellisQuantizeBlock(coeffs, Q.y1, 0, 3, ctx, Q.tlam_i4, T,
-                                 best_lv, dq_t);
+            // Trellis re-quantization of the winning mode (prediction and
+            // coefficients are already on hand).
+            int32_t dq_t[16], res[16];
+            TrellisQuantizeBlock(coefs[best_mode], Q.y1, 0, 3, ctx,
+                                 Q.tlam_i4, T, best_lv, dq_t);
             IDCT4x4(dq_t, res);
             for (int i = 0; i < 16; ++i)
-              best_rec[i] = Clip255(pred[i] + res[i]);
+              best_rec[i] = Clip255(preds[best_mode][i] + res[i]);
           }
           i4_modes[n] = (uint8_t)best_mode;
-          memcpy(i4_levels[n], best_lv, sizeof(best_lv));
+          memcpy(i4_levels[n], best_lv, sizeof(i4_levels[n]));
           for (int rr = 0; rr < 4; ++rr)
             for (int cc = 0; cc < 4; ++cc)
               work[(1 + r * 4 + rr) * 21 + 1 + c * 4 + cc] =
@@ -1296,22 +1483,29 @@ void vp8_encode_mbs(
         int64_t rate = kFixedCostsUV[mode];
         int32_t lvU[4][16], lvV[4][16], rU[4][16], rV[4][16];
         int32_t pbs[2][4][16], dqs[2][4][16];
+        uint32_t uvm[2][4];
         // Quantize both planes first: the rate is then known before any
         // reconstruction, so a rate-only loss skips the IDCT+SSE work.
         for (int pl = 0; pl < 2; ++pl) {
           const int32_t(*sb)[16] = pl == 0 ? srcUb : srcVb;
           const int32_t* pred8 = pl == 0 ? pu : pv;
           int32_t(*lv)[16] = pl == 0 ? lvU : lvV;
+          int32_t coeffs[4][16];
           for (int bi = 0; bi < 4; ++bi) {
             int by = bi >> 1, bx = bi & 1;
-            int32_t coeffs[16];
             for (int r = 0; r < 4; ++r)
               for (int c = 0; c < 4; ++c)
                 pbs[pl][bi][r * 4 + c] = pred8[(by * 4 + r) * 8 + bx * 4 + c];
-            FDCT4x4(sb[bi], pbs[pl][bi], coeffs);
-            QuantizeBlock(coeffs, Q.uv, 0, lv[bi], dqs[pl][bi]);
           }
-          if (method >= 2) rate += UVRate(lv, pl == 0 ? 0 : 2, tnz, lnz, T);
+          for (int bi = 0; bi < 4; bi += 2) {
+            FDCT4x4_2(sb[bi], pbs[pl][bi], coeffs[bi],
+                      sb[bi + 1], pbs[pl][bi + 1], coeffs[bi + 1]);
+            QuantizeBlock2(coeffs[bi], coeffs[bi + 1], Q.uv, 0, lv[bi],
+                           lv[bi + 1], dqs[pl][bi], dqs[pl][bi + 1],
+                           &uvm[pl][bi], &uvm[pl][bi + 1]);
+          }
+          if (method >= 2)
+            rate += UVRate(lv, uvm[pl], pl == 0 ? 0 : 2, tnz, lnz, T);
         }
         if (have_uv && rate * Q.lam_uv >= best_uv_score) continue;
         int64_t disto = 0;
