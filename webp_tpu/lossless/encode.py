@@ -587,16 +587,17 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         return None
 
     def _body(use_pred: bool, bits: int = 4, pred=None,
-              cc=None) -> tuple[bytes, int]:
-        """Encodes one transform-config candidate (subtract-green
-        always; predictor at the given tile granularity + optional
+              cc=None, use_sg: bool = True) -> tuple[bytes, int]:
+        """Encodes one transform-config candidate (optional subtract-
+        green; predictor at the given tile granularity + optional
         cross-color) into its own bit buffer so configs can be compared
         by exact coded size. pred/cc: precomputed transform outputs
         (shared between the with- and without-cross-color variants)."""
         b2 = LosslessBitWriter()
-        b2.write_bits(1, 1)
-        b2.write_bits(2, 2)  # SUBTRACT_GREEN
-        cur = sg
+        if use_sg:
+            b2.write_bits(1, 1)
+            b2.write_bits(2, 2)  # SUBTRACT_GREEN
+        cur = sg if use_sg else argb
         if use_pred:
             b2.write_bits(1, 1)
             b2.write_bits(0, 2)  # PREDICTOR
@@ -621,16 +622,16 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         nbits = b2.bit_position()
         return b2.finish(), nbits
 
-    def _pred_cands(bits):
+    def _pred_cands(bits, use_sg=True):
         """With- and without-cross-color candidates sharing one
         predictor pass (cross-color included only when its gain
         estimate clears the reference threshold)."""
-        pred = predictor_transform(sg, bits, quality)
+        pred = predictor_transform(sg if use_sg else argb, bits, quality)
         cc = _cross_color(pred[0], bits)
         out = []
         if cc is not None and cc[2] > 1024.0:
-            out.append(_body(True, bits, pred, cc))
-        out.append(_body(True, bits, pred))
+            out.append(_body(True, bits, pred, cc, use_sg))
+        out.append(_body(True, bits, pred, None, use_sg))
         return out
 
     # Transform-config search: the predictor helps photographs but hurts
@@ -642,7 +643,15 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
     # multi-encode; large images keep the single spatial config the
     # reference always picks for them.
     if h * w <= (1 << 16) and quality >= 50 and method >= 4:
-        cands = [c for b in (3, 4, 5) for c in _pred_cands(b)]
+        # Single-tile granularity: one predictor for the whole image wins
+        # on smooth content (a gradient's constant residual costs ~0 bits
+        # with a one-symbol histogram, and the tile image vanishes).
+        b1 = max(3, min(9, int(max(w, h) - 1).bit_length()))
+        bits_set = sorted({3, 4, 5, b1})
+        cands = [c for b in bits_set for c in _pred_cands(b)]
+        # No-subtract-green variants: SG hurts channels that are already
+        # one-direction predictable (it mixes G's gradient into R/B).
+        cands += [c for b in {4, b1} for c in _pred_cands(b, use_sg=False)]
         cands.append(_body(False))
     elif h * w <= (1 << 18) and quality >= 50 and method >= 4:
         pred = predictor_transform(sg, 4, quality)
