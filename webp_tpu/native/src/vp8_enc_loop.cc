@@ -132,6 +132,41 @@ static uint32_t QuantizeBlock(const int32_t* coeffs, const SQ& sq, int first,
 }
 
 #ifdef WEBPTPU_ENC_AVX2
+// Zigzag gather/scatter as cross-lane permutes (6 vector ops instead of
+// 16 scalar moves). zz[0..7] draws from raster[0..7] except position 3
+// (raster[8]); zz[8..15] draws from raster[8..15] except position 4
+// (raster[7]) — one blend each way. The scatter uses the inverse
+// permutation {0,1,5,6,2,4,7,12, 3,8,11,13,9,10,14,15}.
+static inline void ZigzagGather(const int32_t* raster, int32_t* zz) {
+  const __m256i lo = _mm256_loadu_si256((const __m256i*)raster);
+  const __m256i hi = _mm256_loadu_si256((const __m256i*)(raster + 8));
+  __m256i out_lo = _mm256_permutevar8x32_epi32(
+      lo, _mm256_setr_epi32(0, 1, 4, 0, 5, 2, 3, 6));
+  out_lo = _mm256_blend_epi32(
+      out_lo, _mm256_permutevar8x32_epi32(hi, _mm256_setzero_si256()), 0x08);
+  __m256i out_hi = _mm256_permutevar8x32_epi32(
+      hi, _mm256_setr_epi32(1, 4, 5, 2, 2, 3, 6, 7));
+  out_hi = _mm256_blend_epi32(
+      out_hi, _mm256_permutevar8x32_epi32(lo, _mm256_set1_epi32(7)), 0x10);
+  _mm256_storeu_si256((__m256i*)zz, out_lo);
+  _mm256_storeu_si256((__m256i*)(zz + 8), out_hi);
+}
+
+static inline void ZigzagScatter(const int32_t* zz, int32_t* raster) {
+  const __m256i lo = _mm256_loadu_si256((const __m256i*)zz);
+  const __m256i hi = _mm256_loadu_si256((const __m256i*)(zz + 8));
+  __m256i out_lo = _mm256_permutevar8x32_epi32(
+      lo, _mm256_setr_epi32(0, 1, 5, 6, 2, 4, 7, 7));
+  out_lo = _mm256_blend_epi32(
+      out_lo, _mm256_permutevar8x32_epi32(hi, _mm256_set1_epi32(4)), 0x80);
+  __m256i out_hi = _mm256_permutevar8x32_epi32(
+      hi, _mm256_setr_epi32(0, 0, 3, 5, 1, 2, 6, 7));
+  out_hi = _mm256_blend_epi32(
+      out_hi, _mm256_permutevar8x32_epi32(lo, _mm256_set1_epi32(3)), 0x01);
+  _mm256_storeu_si256((__m256i*)raster, out_lo);
+  _mm256_storeu_si256((__m256i*)(raster + 8), out_hi);
+}
+
 // Two independent blocks quantized at once: block A rides the low 128-bit
 // lane, block B the high lane (the quantizer tables are lane-broadcast).
 // Same arithmetic as QuantizeBlock, so identical levels/dequant/masks.
@@ -139,10 +174,8 @@ static void QuantizeBlock2(const int32_t* cA, const int32_t* cB, const SQ& sq,
                            int first, int32_t* lvA, int32_t* lvB, int32_t* dqA,
                            int32_t* dqB, uint32_t* maskA, uint32_t* maskB) {
   int32_t zzA[16], zzB[16], dqzA[16], dqzB[16];
-  for (int n = 0; n < 16; ++n) {
-    zzA[n] = cA[kZigzag[n]];
-    zzB[n] = cB[kZigzag[n]];
-  }
+  ZigzagGather(cA, zzA);
+  ZigzagGather(cB, zzB);
   const __m256i kMax = _mm256_set1_epi32(kMaxLevel);
   uint32_t zA = 0, zB = 0;
   for (int k = 0; k < 16; k += 4) {
@@ -177,10 +210,8 @@ static void QuantizeBlock2(const int32_t* cA, const int32_t* cB, const SQ& sq,
     zA |= (zm & 0xF) << k;
     zB |= ((zm >> 4) & 0xF) << k;
   }
-  for (int n = 0; n < 16; ++n) {
-    dqA[kZigzag[n]] = dqzA[n];
-    dqB[kZigzag[n]] = dqzB[n];
-  }
+  ZigzagScatter(dqzA, dqA);
+  ZigzagScatter(dqzB, dqB);
   *maskA = ~zA & 0xFFFFu;
   *maskB = ~zB & 0xFFFFu;
 }
@@ -783,26 +814,6 @@ static int64_t ResidualCost(const int32_t* lv, uint32_t nzmask, int first,
   return cost;
 }
 
-static int64_t VariableLevelCost(int v, const uint8_t* p, const Tables& T) {
-  int64_t c = 0;
-  if (v == 1) return T.bit_cost(0, p[2]);
-  c += T.bit_cost(1, p[2]);
-  if (v <= 4) {
-    c += T.bit_cost(0, p[3]);
-    c += T.bit_cost(v == 2 ? 0 : 1, p[4]);
-  } else if (v <= 10) {
-    c += T.bit_cost(1, p[3]);
-    c += T.bit_cost(0, p[6]);
-    c += T.bit_cost(v <= 6 ? 0 : 1, p[7]);
-  } else {
-    c += T.bit_cost(1, p[3]);
-    c += T.bit_cost(1, p[6]);
-    int cat = v <= 18 ? 0 : (v <= 34 ? 1 : (v <= 66 ? 2 : 3));
-    c += T.bit_cost(cat >> 1, p[8]);
-    c += T.bit_cost(cat & 1, p[9 + (cat >> 1)]);
-  }
-  return c;
-}
 
 // Luma-block rate with intra-MB nz chaining (encode.py _luma_rate).
 // masks: per-block zigzag nonzero bitmasks from QuantizeBlock.
@@ -930,9 +941,14 @@ static uint32_t TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
     for (int pc = 0; pc < 3; ++pc) {
       if (prev_score[pc] >= INF) continue;
       const uint8_t* p = T.p(ctx_type, kBands[n], pc);
-      int64_t not_eob = T.entropy_cost[255 - p[0]];
-      int64_t rate0 = not_eob + T.entropy_cost[p[1]];
-      int64_t ts = prev_score[pc] + rate0 * lam;
+      // The precomputed ct rows already fold in the not-EOB bit (ctx > 0
+      // rows) and the zero/nonzero bit, so a level's rate is a
+      // level_cost lookup plus — for ctx 0 rows only, where the table
+      // omits it — the not-EOB correction (cost.py
+      // compute_level_cost_tables `cost0`).
+      const int32_t* row = T.ct(ctx_type, kBands[n], pc);
+      const int64_t corr = pc == 0 ? T.entropy_cost[255 - p[0]] : 0;
+      int64_t ts = prev_score[pc] + (row[0] + corr) * lam;
       if (ts < cur_score[0]) {
         cur_score[0] = ts;
         cur_lv[0] = 0;
@@ -940,11 +956,9 @@ static uint32_t TrellisQuantizeBlock(const int32_t* coeffs, const SQ& sq,
         cur_set[0] = true;
       }
       if (n_cand) {
-        int64_t nonzero = not_eob + T.entropy_cost[255 - p[1]];
         for (int k = 0; k < n_cand; ++k) {
           int64_t L = cand_L[k];
-          int64_t rate = nonzero + T.level_fixed[L < kMaxLevel ? L : kMaxLevel]
-                         + VariableLevelCost((int)L, p, T);
+          int64_t rate = T.level_cost(row, (int)L) + corr;
           int64_t ts2 = prev_score[pc] + rate * lam + 256 * cand_dd[k];
           int nc = cand_nc[k];
           if (ts2 < cur_score[nc]) {
