@@ -194,8 +194,9 @@ class Parser:
             raise TruncatedError("webp: invalid VP8X chunk")
         (flags,) = struct.unpack_from("<I", payload, 0)
         if flags & ~r.ALL_VALID_FLAGS:
-            # Reserved bits set: tolerated per spec ("readers should ignore").
-            flags &= r.ALL_VALID_FLAGS
+            # Reserved bits set: rejected (reference parser.go:161
+            # ErrInvalidFlags).
+            raise WebPError("webp: invalid VP8X flags")
         f.format = FormatType.VP8X
         f.has_anim = bool(flags & r.FLAG_ANIMATION)
         f.has_xmp = bool(flags & r.FLAG_XMP)
