@@ -577,7 +577,10 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
     sg = subtract_green(argb)
 
     def _cross_color(residuals, bits):
-        if quality >= 25 and method >= 2:
+        # Cross-color only at quality >= 50 (reference encode.go:277
+        # useCrossColor): below that the multiplier search costs more
+        # than it saves — notably the ALPH path encodes at q = 8*effort.
+        if quality >= 50 and method >= 2:
             try:
                 from ..native.api import vp8l_cross_color
 

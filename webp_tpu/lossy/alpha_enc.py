@@ -110,6 +110,41 @@ def _alpha_levels_for_quality(quality: int) -> int:
     return 16 + (quality - 70) * 8
 
 
+def _estimate_best_filter(a: np.ndarray) -> int:
+    """Cheap best-filter estimate (reference alpha.go:321
+    estimateBestFilter / libwebp WebPEstimateBestFilter): on a 2x-
+    subsampled grid, bin |pred residual| >> 4 per filter as presence
+    flags; the filter whose occupied bins have the smallest index sum
+    wins. The NONE filter scores against a running row mean."""
+    h, w = a.shape
+    if h < 4 or w < 4:
+        return FILTER_GRADIENT
+    ai = a.astype(np.int32)
+    cur = ai[2:h - 1:2, 2:w - 1:2]
+    left = ai[2:h - 1:2, 1:w - 2:2]
+    up = ai[1:h - 2:2, 2:w - 1:2]
+    upleft = ai[1:h - 2:2, 1:w - 2:2]
+    grad = np.clip(left + up - upleft, 0, 255)
+    # Row-mean recurrence (mean' = (3*mean + cur + 2) >> 4ths): serial in
+    # x, vectorized over rows; ~w/2 tiny vector steps.
+    mean = ai[2:h - 1:2, 0].copy()
+    d0 = np.empty_like(cur)
+    for k in range(cur.shape[1]):
+        d0[:, k] = np.abs(cur[:, k] - mean)
+        mean = (3 * mean + cur[:, k] + 2) >> 2
+    diffs = [d0 >> 4, np.abs(cur - left) >> 4, np.abs(cur - up) >> 4,
+             np.abs(cur - grad) >> 4]
+    order = [FILTER_NONE, FILTER_HORIZONTAL, FILTER_VERTICAL,
+             FILTER_GRADIENT]
+    best_f, best_score = FILTER_NONE, 1 << 30
+    for f, d in zip(order, diffs):
+        present = np.bincount(d.reshape(-1), minlength=16)[:16] > 0
+        score = int(np.arange(16)[present].sum())
+        if score < best_score:
+            best_score, best_f = score, f
+    return best_f
+
+
 def encode_alpha(alpha: np.ndarray, quality: int = 100, method: int = 1,
                  filtering: int = 1, effort: int = 4) -> bytes:
     """Encodes a uint8 [h, w] alpha plane into an ALPH chunk payload."""
@@ -124,11 +159,20 @@ def encode_alpha(alpha: np.ndarray, quality: int = 100, method: int = 1,
 
     from ..lossless.encode import encode_vp8l_argb
 
-    # Pick filters to try: 0=none only, 1=fast (none+gradient), 2=best (all).
+    # Pick filters to try (reference alpha.go:271 getFilterMap):
+    # 0=none only; 1=fast (estimate the best candidate, adding NONE at
+    # effort > 3 or for many-color planes); 2=best (all four).
     if filtering == 0:
         candidates = [FILTER_NONE]
     elif filtering == 1:
-        candidates = [FILTER_NONE, FILTER_GRADIENT]
+        num_colors = int(np.unique(alpha).size)
+        if num_colors <= 16:  # kMinColorsForFilterNone
+            best_f = FILTER_NONE
+        else:
+            best_f = _estimate_best_filter(alpha)
+        candidates = [best_f]
+        if (effort > 3 or num_colors > 192) and best_f != FILTER_NONE:
+            candidates.append(FILTER_NONE)
     else:
         candidates = [FILTER_NONE, FILTER_HORIZONTAL, FILTER_VERTICAL,
                       FILTER_GRADIENT]

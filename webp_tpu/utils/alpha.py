@@ -89,19 +89,26 @@ def cleanup_transparent_lossy(rgba: np.ndarray) -> np.ndarray:
     B = 8
     nby, nbx = h // B, w // B
     if nby and nbx:
-        core = out[:nby * B, :nbx * B, :3].astype(np.int32)
-        rgb = core.reshape(nby, B, nbx, B, 3)
-        al = alpha[:nby * B, :nbx * B].reshape(nby, B, nbx, B)
-        op = al != 0
-        cnt = op.sum(axis=(1, 3))                              # [nby, nbx]
-        sums = (rgb * op[..., None]).sum(axis=(1, 3))          # [nby, nbx, 3]
-        avg = sums // np.maximum(cnt, 1)[..., None]
+        # Block views ([nby, nbx, B, B, ...]) so only blocks that contain
+        # transparent pixels are materialized — the all-opaque majority
+        # costs one uint8 per-block count and nothing else.
+        rgbv = out[:nby * B, :nbx * B, :3].reshape(
+            nby, B, nbx, B, 3).transpose(0, 2, 1, 3, 4)
+        op = (alpha[:nby * B, :nbx * B].reshape(nby, B, nbx, B)
+              .transpose(0, 2, 1, 3) != 0)
+        cnt = op.sum(axis=(2, 3), dtype=np.int32)              # [nby, nbx]
         ft = cnt == 0
-        # Mixed blocks: transparent pixels -> block average.
-        mixed = (~op) & (~ft)[:, None, :, None]
-        rgb = np.where(mixed[..., None],
-                       np.broadcast_to(avg[:, None, :, None, :], rgb.shape),
-                       rgb)
+        mixed_blk = (cnt > 0) & (cnt < B * B)
+        if mixed_blk.any():
+            ys, xs = np.nonzero(mixed_blk)
+            blk = rgbv[ys, xs]                                 # [K, B, B, 3]
+            opb = op[ys, xs]                                   # [K, B, B]
+            # uint8 * bool stays uint8; widen only in the reduction.
+            sums = (blk * opb[..., None]).sum(axis=(1, 2), dtype=np.int32)
+            avg = (sums // cnt[ys, xs, None]).astype(np.uint8)
+            ti = np.nonzero(~opb)
+            blk[ti] = avg[ti[0]]
+            rgbv[ys, xs] = blk
         if ft.any():
             # Fully-transparent runs flatten to the run-start block's
             # original top-left pixel (the "carry" in the reference).
@@ -113,11 +120,8 @@ def cleanup_transparent_lossy(rgba: np.ndarray) -> np.ndarray:
             tl = rgba[:nby * B:B, :nbx * B:B, :3]              # originals
             carry = np.take_along_axis(
                 tl, np.maximum(run_start, 0)[..., None], axis=1)
-            rgb = np.where(ft[:, None, :, None, None],
-                           np.broadcast_to(carry[:, None, :, None, :],
-                                           rgb.shape), rgb)
-        out[:nby * B, :nbx * B, :3] = rgb.reshape(
-            nby * B, nbx * B, 3).astype(np.uint8)
+            ys, xs = np.nonzero(ft)
+            rgbv[ys, xs] = carry[ys, xs][:, None, None, :]
     # Edge remainders get smoothing only (no flatten/carry), as in the
     # reference.
     if w % B:
