@@ -15,6 +15,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Deregister non-CPU PJRT plugins outright: backend discovery still probes
+# every registered factory, and the axon plugin's dial RETRIES FOREVER when
+# its relay is half-dead (accepting but not answering), hanging the whole
+# suite at the first jax.devices(). CPU-only tests have no business touching
+# an accelerator plugin at all.
+try:
+    from jax._src import xla_bridge as _xb
+
+    for _name in [k for k in _xb._backend_factories if k != "cpu"]:
+        _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass  # private API moved: fall back to JAX_PLATFORMS alone
+
 import io
 import numpy as np
 import pytest
