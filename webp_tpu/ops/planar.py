@@ -288,6 +288,88 @@ def pred4_all_p(t, l, tl, tr):
     return [p_dc, p_tm, p_ve, p_he, p_rd, p_vr, p_ld, p_vl, p_hd, p_hu]
 
 
+def _exact_rate_tables():
+    """Static tables for exact_rate_p, built once from the default probas
+    (the same source as the host cost tables, lossy/cost.py)."""
+    from ..lossy.cost import (ENTROPY_COST, LEVEL_FIXED_COSTS,
+                              compute_level_cost_tables)
+
+    proba = np.asarray(T.COEFFS_PROBA0)
+    ct = compute_level_cost_tables(proba)                  # [4, 8, 3, 68]
+    bands = np.asarray(T.BANDS[:16])
+    # Per-position flat gather table: G[pt, n*204 + ctx*68 + vv].
+    g = ct[:, bands].reshape(4, 16 * 3 * 68).astype(np.int32)
+    p0 = proba[..., 0].astype(np.int64)                    # [4, 8, 3]
+    ec = np.asarray(ENTROPY_COST, np.int64)
+    eob0 = ec[p0][:, bands].astype(np.int32)               # [4,16,3] bit0 @ n
+    # Band of position n+1 for the trailing EOB term (n+1 <= 15).
+    bands_next = np.asarray(T.BANDS[1:17])[:16]
+    eob_next = ec[p0][:, bands_next].astype(np.int32)      # [4,16,3]
+    first_bit = ec[255 - p0][:, bands, 0].astype(np.int32)  # [4,16] bit1@ctx0
+    lf = np.asarray(LEVEL_FIXED_COSTS, np.int32)
+    return g, eob0, eob_next, first_bit, lf
+
+
+_ERT = _exact_rate_tables()
+
+
+def exact_rate_p(levels, first: int, pt: int, ctx0):
+    """Exact residual rate of zigzag level blocks (host parity with
+    lossy/cost.py residual_cost / vp8_enc_loop.cc ResidualCost, default
+    probas). levels: [..., 16, N] int; ctx0: broadcastable [..., N] int32
+    in {0,1,2}. Returns int32 [..., N].
+
+    The band/context chain is non-recursive (ctx_n = min(|lv[n-1]|, 2)),
+    so the whole cost is one fused gather over a static [16*204] table
+    plus elementwise masking — unlike approx_rate_p this charges the true
+    per-(band, ctx) prices, which the I4 search and the I16/I4 split are
+    sensitive to."""
+    g, eob0, eob_next, first_bit, lf = _ERT
+    v = jnp.abs(levels.astype(jnp.int32))                  # [..., 16, N]
+    pos = jnp.arange(16)[:, None]
+    nzv = (v != 0) & (pos >= first)
+    has = nzv.any(axis=-2)                                 # [..., N]
+    last = 15 - jnp.argmax(nzv[..., ::-1, :], axis=-2)     # [..., N]
+    last = jnp.where(has, last, first)
+    vv = jnp.minimum(v, 67)
+    vf = jnp.minimum(v, 2047)
+    ctx = jnp.minimum(jnp.roll(v, 1, axis=-2), 2)
+    ctx = ctx.at[..., first, :].set(jnp.broadcast_to(ctx0, ctx.shape[:-2]
+                                                     + ctx.shape[-1:]))
+    idx = pos * 204 + ctx * 68 + vv
+    cost_n = (jnp.asarray(g[pt])[idx]
+              + jnp.asarray(lf)[vf])                       # [..., 16, N]
+    in_run = (pos >= first) & (pos <= last[..., None, :])
+    total = jnp.where(in_run, cost_n, 0).sum(axis=-2)
+    # Trailing not-EOB -> EOB bit at band(last+1), ctx from the last level.
+    v_last = jnp.take_along_axis(v, last[..., None, :], axis=-2)[..., 0, :]
+    eob_ctx = jnp.where(v_last == 1, 1, 2)
+    eob_term = jnp.where(
+        last < 15, jnp.asarray(eob_next[pt])[last, eob_ctx], 0)
+    fb = jnp.where(jnp.asarray(ctx0) == 0, int(first_bit[pt, first]), 0)
+    empty = jnp.asarray(eob0[pt, first])[ctx0]
+    return jnp.where(has, fb + total + eob_term, empty).astype(jnp.int32)
+
+
+def luma_rate16_p(lv, tnz, lnz):
+    """Exact I16 luma AC rate with the intra-MB nonzero chain
+    (vp8_enc_loop.cc LumaRate): lv [16, 16, N] zigzag (first=1, pt=0),
+    tnz/lnz [N] 4-bit masks from the above/left MBs."""
+    nz = (lv[:, 1:] != 0).any(axis=1)                      # [16, N] bool
+    rate = jnp.zeros(lv.shape[-1:], jnp.int32)
+    t = [(tnz >> c) & 1 for c in range(4)]
+    l = [(lnz >> r) & 1 for r in range(4)]
+    for r in range(4):
+        for c in range(4):
+            bi = r * 4 + c
+            ctx0 = t[c] + l[r]
+            rate = rate + exact_rate_p(lv[bi], 1, 0, ctx0)
+            b = nz[bi].astype(jnp.int32)
+            t[c] = b
+            l[r] = b
+    return rate
+
+
 def approx_rate_p(levels, first, pt, rt):
     """Planar fastpath.approx_block_rate: levels [..., 16, N] zigzag ->
     rate [..., N]. Same fused select-chains, coefficient axis at -2."""
@@ -434,7 +516,13 @@ def i4_reconstruct_p(src_b, modes, topY, leftY, tlY, trs, has_top, has_left,
                      + np.arange(10))                       # [g, N, 10]
             hdr = jnp.asarray(np.asarray(FIXED_COSTS_I4).reshape(-1),
                               jnp.int32)[idx10]
-            rate = approx_rate_p(lv_s, 0, 3, rt) + jnp.moveaxis(hdr, -1, 0)
+            # Exact chained residual rates against the live nonzero-
+            # context chain (t4/l4 pre-update, like vp8_enc_loop.cc's
+            # `int ctx = ((l4 >> r) & 1) + ((t4 >> c) & 1)`).
+            ctx0_g = jnp.stack([((l4 >> r) & 1) + ((t4 >> c) & 1)
+                                for (r, c) in group], axis=0)   # [g, N]
+            rate = (exact_rate_p(lv_s, 0, 3, ctx0_g)
+                    + jnp.moveaxis(hdr, -1, 0))
             score = (rate.astype(jnp.float32) * lam
                      + 256.0 * disto.astype(jnp.float32))
             mode_sel = jnp.argmin(score, axis=0)            # [g, N]
@@ -638,6 +726,7 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         if use_tr:
             Nt1, Nt2, Nl = extra[:3]
         if i4_search is not None:
+            Dt1, Dt2, Dl = extra[-6:-3]   # y2 DC nonzero-context chain
             Bm1, Bm2, Bml = extra[-3:]
         xcol = x["t"] - sk * yy                                # [N]
         valid = (xcol >= 0) & (xcol < mb_w)
@@ -694,10 +783,18 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                 # Closed-loop I16-vs-I4 split (vp8_enc_loop.cc use_i4
                 # comparison): both reconstructions are in hand, so score
                 # them against true context instead of trusting phase 1.
-                rt_s = i4_search[0]
                 disto16 = ((reconY - src_y) ** 2).sum(axis=(0, 1, 2))
-                rate16 = (approx_rate_p(lv, 1, 0, rt_s).sum(axis=0)
-                          + approx_rate_p(y2lv, 0, 1, rt_s))
+                # Exact I16 rate: AC chain across the 16 subblocks plus
+                # the y2 DC block under its own carried dc-nz context
+                # (vp8_enc_loop.cc's rate = ResidualCost(y2) + LumaRate).
+                z1 = jnp.zeros((N,), jnp.int32)
+                tnz16 = tnz if use_tr else z1
+                lnz16 = lnz if use_tr else z1
+                tdc = jnp.where(has_top,
+                                _shift1_p(Dt2 if sk == 2 else Dt1), 0)
+                ldc = jnp.where(has_left, Dl, 0)
+                rate16 = (luma_rate16_p(lv, tnz16, lnz16)
+                          + exact_rate_p(y2lv, 0, 1, tdc + ldc))
                 m = x["m"].astype(jnp.int32)
                 fc16 = jnp.where(m == 0, int(FC16[0]),
                                  jnp.where(m == 1, int(FC16[1]),
@@ -748,6 +845,12 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
             new = new + (jnp.where(ii_mb, t4, t4_16), Nt1,
                          jnp.where(ii_mb, l4, l4_16))
         if i4_search is not None:
+            # y2 DC nonzero chain: I16 MBs record any(y2); I4 MBs keep
+            # the stale value, like vp8_enc_loop.cc's top_dc/left_dc
+            # which update only in the !is_i4 branch.
+            y2nz = (y2lv != 0).any(axis=0).astype(jnp.int32)
+            new = new + (jnp.where(ii_mb, tdc, y2nz), Dt1,
+                         jnp.where(ii_mb, ldc, y2nz))
             # bmode context chain: I16 MBs propagate their mode value
             # (vp8_enc_loop.cc top_bmodes update for non-I4 MBs).
             m16 = jnp.broadcast_to(x["m"].astype(jnp.int32)[None, :], (4, N))
@@ -769,7 +872,7 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         carry0 = carry0 + (zero1, zero1, zero1)
     if i4_search is not None:
         zero4 = jnp.zeros((4, N), jnp.int32)
-        carry0 = carry0 + (zero4, zero4, zero4)
+        carry0 = carry0 + (zero1, zero1, zero1) + (zero4, zero4, zero4)
     _, outs = jax.lax.scan(step, carry0, xs)
 
     def unskew(c_sk):
