@@ -787,6 +787,16 @@ static int CheckMode(int mb_x, int mb_y, int mode) {
 // ---------------------------------------------------------------------
 // Rate estimation (cost.py residual_cost / variable_level_cost).
 // ---------------------------------------------------------------------
+#ifdef WEBPTPU_ENC_AVX2
+static inline int32_t HSum8(__m256i v) {
+  __m128i s = _mm_add_epi32(_mm256_castsi256_si128(v),
+                            _mm256_extracti128_si256(v, 1));
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+  return _mm_cvtsi128_si32(s);
+}
+#endif
+
 // nzmask: zigzag nonzero bitmask of lv (bits below `first` are zero by
 // construction — QuantizeBlock forces position 0 off when first=1).
 static int64_t ResidualCost(const int32_t* lv, uint32_t nzmask, int first,
@@ -796,6 +806,73 @@ static int64_t ResidualCost(const int32_t* lv, uint32_t nzmask, int first,
   int64_t cost = ctx0 == 0 ? T.bit_cost(1, p0) : 0;
   if (!nzmask) return T.bit_cost(0, p0);
   const int last = 31 - __builtin_clz(nzmask);
+#ifdef WEBPTPU_ENC_AVX2
+  if (last >= 6) {
+  // All positions at once. cost[n] = level_fixed[min(v_n, 2047)] +
+  // cost[ptype][kBands[n]][ctx_n][min(v_n, 67)], and the context chain is
+  // NON-recursive — ctx_n = min(|lv[n-1]|, 2) depends only on the previous
+  // level, not on accumulated state — so the whole evaluation is two pairs
+  // of AVX2 gathers plus a masked lane sum (same trick as the device
+  // trellis rate). Per-lane values fit int32 (< 2^20 each, 16 lanes).
+  static constexpr int32_t kBand204[16] = {  // kBands[n] * 3 * 68
+      0, 204, 408, 612, 1224, 816, 1020, 1224,
+      1224, 1224, 1224, 1224, 1224, 1224, 1224, 1428};
+  const __m256i a0 = _mm256_abs_epi32(_mm256_loadu_si256((const __m256i*)lv));
+  const __m256i two = _mm256_set1_epi32(2);
+  const __m256i vmaxv = _mm256_set1_epi32(kMaxVariableLevel);
+  const __m256i vmaxf = _mm256_set1_epi32(kMaxLevel);
+  const __m256i lanes0 = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  const __m256i vfirst = _mm256_set1_epi32(first - 1);
+  const __m256i vlast = _mm256_set1_epi32(last + 1);
+  alignas(32) int32_t cbuf[18];
+  _mm256_storeu_si256((__m256i*)(cbuf + 1), _mm256_min_epi32(a0, two));
+  const __m256i pband0 = _mm256_add_epi32(
+      _mm256_set1_epi32(ptype * 1632),
+      _mm256_loadu_si256((const __m256i*)kBand204));
+  __m256i a1, pband1;
+  if (last >= 8) {
+    a1 = _mm256_abs_epi32(_mm256_loadu_si256((const __m256i*)(lv + 8)));
+    _mm256_storeu_si256((__m256i*)(cbuf + 9), _mm256_min_epi32(a1, two));
+    pband1 = _mm256_add_epi32(
+        _mm256_set1_epi32(ptype * 1632),
+        _mm256_loadu_si256((const __m256i*)(kBand204 + 8)));
+  }
+  cbuf[first] = ctx0;
+  const __m256i ctxv0 = _mm256_loadu_si256((const __m256i*)cbuf);
+  const __m256i idx0 = _mm256_add_epi32(
+      _mm256_add_epi32(pband0, _mm256_mullo_epi32(ctxv0, _mm256_set1_epi32(68))),
+      _mm256_min_epi32(a0, vmaxv));
+  __m256i c0 = _mm256_add_epi32(
+      _mm256_i32gather_epi32(T.cost, idx0, 4),
+      _mm256_i32gather_epi32(T.level_fixed, _mm256_min_epi32(a0, vmaxf), 4));
+  const __m256i m0 = _mm256_and_si256(_mm256_cmpgt_epi32(lanes0, vfirst),
+                                      _mm256_cmpgt_epi32(vlast, lanes0));
+  int32_t sum = HSum8(_mm256_and_si256(c0, m0));
+  if (last >= 8) {
+    const __m256i lanes1 = _mm256_setr_epi32(8, 9, 10, 11, 12, 13, 14, 15);
+    const __m256i ctxv1 = _mm256_loadu_si256((const __m256i*)(cbuf + 8));
+    const __m256i idx1 = _mm256_add_epi32(
+        _mm256_add_epi32(pband1,
+                         _mm256_mullo_epi32(ctxv1, _mm256_set1_epi32(68))),
+        _mm256_min_epi32(a1, vmaxv));
+    __m256i c1 = _mm256_add_epi32(
+        _mm256_i32gather_epi32(T.cost, idx1, 4),
+        _mm256_i32gather_epi32(T.level_fixed, _mm256_min_epi32(a1, vmaxf), 4));
+    const __m256i m1 = _mm256_cmpgt_epi32(vlast, lanes1);  // all >= first+1
+    sum += HSum8(_mm256_and_si256(c1, m1));
+  }
+  cost += sum;
+  const int vl = lv[last] < 0 ? -lv[last] : lv[last];
+  if (last < 15) {
+    int b = kBands[last + 1];
+    int ctx = vl == 1 ? 1 : 2;
+    cost += T.bit_cost(0, T.p(ptype, b, ctx)[0]);
+  }
+  return cost;
+  }
+#endif
+  // Sparse blocks (the common case at mid quality): the sequential loop
+  // is only `last+1` dependent table walks — cheaper than gather latency.
   const int32_t* t = T.ct(ptype, kBands[n], ctx0);
   while (n < last) {
     int v = lv[n] < 0 ? -lv[n] : lv[n];
@@ -1107,12 +1184,19 @@ void vp8_encode_mbs(
   std::vector<uint8_t> top_bmodes(mb_w * 4, 0);
   uint8_t left_bmodes[4];
 
-  // Per-phase wall-clock accumulation (WEBPTPU_MB_PROF=1).
-  static const bool kProf = std::getenv("WEBPTPU_MB_PROF") != nullptr;
+  // Per-phase wall-clock accumulation (WEBPTPU_MB_PROF=1; =2 adds the
+  // I4 sub-phase split: pred/fdct/quant, rate, idct+disto, trellis).
+  static const char* kProfEnv = std::getenv("WEBPTPU_MB_PROF");
+  static const bool kProf = kProfEnv != nullptr;
+  static const bool kProf2 = kProfEnv && kProfEnv[0] == '2';
   double ph[4] = {0, 0, 0, 0};  // i16, i4, uv, rest
+  double sp[4] = {0, 0, 0, 0};  // I4: pfq, rate, idct+disto, trellis
   auto now = [] { return std::chrono::steady_clock::now(); };
   auto acc = [&](int k, auto a, auto b) {
     ph[k] += std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto acc2 = [&](int k, auto a, auto b) {
+    sp[k] += std::chrono::duration<double, std::milli>(b - a).count();
   };
   auto tmb0 = now();
 
@@ -1316,6 +1400,7 @@ void vp8_encode_mbs(
           int32_t preds[10][16], coefs[10][16], lvs[10][16], dqs4[10][16];
           uint32_t msks[10];
           int64_t rates[10];
+          auto ts0 = now();
           PredLuma4All(top, left, tl, tr, preds);
           for (int mode = 0; mode < 10; mode += 2)
             FDCT4x4_2(sblk, preds[mode], coefs[mode],
@@ -1324,10 +1409,14 @@ void vp8_encode_mbs(
             QuantizeBlock2(coefs[mode], coefs[mode + 1], Q.y1, 0, lvs[mode],
                            lvs[mode + 1], dqs4[mode], dqs4[mode + 1],
                            &msks[mode], &msks[mode + 1]);
+          auto ts1 = now();
+          if (kProf2) acc2(0, ts0, ts1);
           for (int mode = 0; mode < 10; ++mode)
             rates[mode] =
                 ResidualCost(lvs[mode], msks[mode], 0, ctx, 3, T) +
                 fc_row[mode];
+          auto ts2 = now();
+          if (kProf2) acc2(1, ts1, ts2);
           int64_t best_score = 0;
           int best_mode = 0;
           int32_t best_rec[16];
@@ -1350,6 +1439,8 @@ void vp8_encode_mbs(
               best_rate = rates[mode];
             }
           }
+          auto ts3 = now();
+          if (kProf2) acc2(2, ts2, ts3);
           int32_t* best_lv = lvs[best_mode];
           if (method >= 4) {
             // Trellis re-quantization of the winning mode (prediction and
@@ -1361,6 +1452,7 @@ void vp8_encode_mbs(
             for (int i = 0; i < 16; ++i)
               best_rec[i] = Clip255(preds[best_mode][i] + res[i]);
           }
+          if (kProf2) acc2(3, ts3, now());
           i4_modes[n] = (uint8_t)best_mode;
           memcpy(i4_levels[n], best_lv, sizeof(i4_levels[n]));
           for (int rr = 0; rr < 4; ++rr)
@@ -1626,6 +1718,9 @@ void vp8_encode_mbs(
         std::chrono::duration<double, std::milli>(now() - tmb0).count();
     fprintf(stderr, "[mbloop] i16=%.0fms i4=%.0fms uv=%.0fms rest=%.0fms\n",
             ph[0], ph[1], ph[2], total - ph[0] - ph[1] - ph[2]);
+    if (kProf2)
+      fprintf(stderr, "[mbloop/i4] pfq=%.0fms rate=%.0fms recon=%.0fms "
+              "trellis=%.0fms\n", sp[0], sp[1], sp[2], sp[3]);
   }
 }
 
