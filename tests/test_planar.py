@@ -90,3 +90,42 @@ def test_phase2_planar_bit_exact(sk, use_i4, rd_drop, segments):
     for name, r, g in zip(names, ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
                                       err_msg=name)
+
+
+def test_uv_rate4_p_matches_host_chain():
+    """uv_rate4_p == the host UVRate chain (vp8_enc_loop.cc /
+    encode.py _uv_rate): 4-block ctx chaining, first=0, pt=2, plus the
+    outgoing 2-bit top/left nonzero masks."""
+    from webp_tpu.lossy import cost as C
+    from webp_tpu.lossy import tables as T
+
+    proba = np.asarray(T.COEFFS_PROBA0)
+    ct = C.compute_level_cost_tables(proba)
+    rng = np.random.default_rng(3)
+    N = 64
+    lv = rng.integers(-40, 41, (4, 16, N), np.int32)
+    # Mix in sparse and empty blocks (the common cases).
+    lv[:, :, : N // 3] *= rng.integers(0, 2, (4, 16, N // 3))
+    lv[:, :, : N // 8] = 0
+    tnz = rng.integers(0, 4, N, np.int32)
+    lnz = rng.integers(0, 4, N, np.int32)
+
+    rate, t2, l2 = pl.uv_rate4_p(jnp.asarray(lv), jnp.asarray(tnz),
+                                 jnp.asarray(lnz))
+    rate, t2, l2 = np.asarray(rate), np.asarray(t2), np.asarray(l2)
+
+    for n in range(N):
+        want = 0
+        t = [int((tnz[n] >> c) & 1) for c in range(2)]
+        l = [int((lnz[n] >> r) & 1) for r in range(2)]
+        for r in range(2):
+            for c in range(2):
+                bi = r * 2 + c
+                want += C.residual_cost(lv[bi, :, n], 0, t[c] + l[r], 2,
+                                        ct, proba)
+                b = 1 if (lv[bi, :, n] != 0).any() else 0
+                t[c] = b
+                l[r] = b
+        assert rate[n] == want, n
+        assert t2[n] == t[0] | (t[1] << 1), n
+        assert l2[n] == l[0] | (l[1] << 1), n

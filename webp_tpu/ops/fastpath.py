@@ -423,7 +423,8 @@ def _mb_quant(seg_map, q_idx, n_mb):
     lamuv = _seg_select(lamuv_s, seg_map)
     lami4 = _seg_select(lami4_s, seg_map)
     return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4,
-                 "i4_seg": lami4_s, "i16_seg": lam16_s}, seg_rows)
+                 "i4_seg": lami4_s, "i16_seg": lam16_s,
+                 "uv_seg": lamuv_s}, seg_rows)
 
 
 def _tlsd_static(sns: int, q_i4: int, n_mb: int):
@@ -1009,13 +1010,14 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
             lam4 = lam_i["i4_seg"]
             lam16_4 = lam_i["i16_seg"]
+            lamuv_4 = lam_i["uv_seg"]
         else:
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
             qp_i, lam_i, seg, seg_rows = qp, lambdas, None, None
             tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
-            lam4 = lam16_4 = jnp.zeros((4,), jnp.float32)
+            lam4 = lam16_4 = lamuv_4 = jnp.zeros((4,), jnp.float32)
         modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
                                             mb_w, mb_h, tlsd=tlsd)
         if i4_blocks:
@@ -1028,7 +1030,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             is_i4 = jnp.zeros((n_mb,), bool)
             i4_modes = jnp.zeros((n_mb, 16), jnp.uint8)
         return (modes, uvmodes, is_i4, i4_modes,
-                seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4)
+                seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4, lamuv_4)
 
     def part3(lv24, y2, modes, uvmodes, is_i4, i4_modes,
               seg_map, seg_q, seg_beta):
@@ -1053,14 +1055,16 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         from . import planar as PL
 
         (modes, uvmodes, is_i4, i4_modes,
-         seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4) = \
+         seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4, lamuv_4) = \
             jax.vmap(part1)(Yb, Ub, Vb)
         seg = (seg_map, seg_rows) if use_segments else None
         i4_ctx = (is_i4, i4_modes) if i4_blocks else None
         search = None
         if i4_mode_search and i4_blocks:
-            search = ((rt, lam4, lam16_4) if use_segments
-                      else (rt, lambdas["i4"], lambdas["i16"]))
+            # 4th element switches on the closed-loop UV mode search too.
+            search = ((rt, lam4, lam16_4, lamuv_4) if use_segments
+                      else (rt, lambdas["i4"], lambdas["i16"],
+                            lambdas["uv"]))
         out = PL.phase2_planar(
             Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
             rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis,
@@ -1068,6 +1072,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         lv24, y2 = out[0], out[1]
         if search is not None:
             i4_modes, is_i4 = out[4], out[5]
+            uvmodes = out[6]
         return jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
                                seg_map, seg_q, seg_beta)
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..lossy import tables as T
 from ..lossy.encode import FIXED_COSTS_I16 as FC16
+from ..lossy.encode import FIXED_COSTS_UV as FCUV
 from .quant import QFIX, MAX_LEVEL, _WT
 
 ZIGZAG = np.asarray(T.ZIGZAG)
@@ -370,6 +371,26 @@ def luma_rate16_p(lv, tnz, lnz):
     return rate
 
 
+def uv_rate4_p(lv, tnz, lnz):
+    """Exact one-plane chroma rate with the intra-MB nonzero chain
+    (vp8_enc_loop.cc UVRate): lv [4, 16, N] zigzag (first=0, pt=2),
+    tnz/lnz [N] 2-bit masks from the above/left MBs. Returns
+    (rate [N] i32, t2 [N], l2 [N]) where t2/l2 are the outgoing 2-bit
+    chains (bottom-row / right-column block nonzeros)."""
+    nz = (lv != 0).any(axis=1)                             # [4, N] bool
+    t = [(tnz >> c) & 1 for c in range(2)]
+    l = [(lnz >> r) & 1 for r in range(2)]
+    rate = jnp.zeros(lv.shape[-1:], jnp.int32)
+    for r in range(2):
+        for c in range(2):
+            bi = r * 2 + c
+            rate = rate + exact_rate_p(lv[bi], 0, 2, t[c] + l[r])
+            b = nz[bi].astype(jnp.int32)
+            t[c] = b
+            l[r] = b
+    return rate, t[0] | (t[1] << 1), l[0] | (l[1] << 1)
+
+
 def approx_rate_p(levels, first, pt, rt):
     """Planar fastpath.approx_block_rate: levels [..., 16, N] zigzag ->
     rate [..., N]. Same fused select-chains, coefficient axis at -2."""
@@ -656,16 +677,20 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     (ops/trellis.py; host parity method >= 4 I4 trellis). Adds three
     nonzero-context masks to the scan carry so the trellis rates see
     the true neighbor contexts.
-    i4_search: (rt, lam_i4, lam_i16) to re-run the 10-mode RD search per
-    subblock inside the closed loop against true recon context (device
-    method 6; host parity PickBestIntra4), including the closed-loop
-    I16-vs-I4 split decision. Lambdas are python scalars (no segments)
-    or [B, 4] per-segment arrays; requires sk == 2. The phase-1 i4
-    modes/split are then ignored.
+    i4_search: (rt, lam_i4, lam_i16[, lam_uv]) to re-run the 10-mode RD
+    search per subblock inside the closed loop against true recon context
+    (device method 6; host parity PickBestIntra4), including the
+    closed-loop I16-vs-I4 split decision. Lambdas are python scalars (no
+    segments) or [B, 4] per-segment arrays; requires sk == 2. The
+    phase-1 i4 modes/split are then ignored. When a 4th element lam_uv
+    is present, the 4-mode UV search also runs inside the closed loop
+    with exact chained chroma rates against true recon context
+    (vp8_enc_loop.cc's UV loop); phase-1 uvmodes are then ignored.
 
     Returns (lv24 [B, n_mb, 24, 16] i16, y2 [B, n_mb, 16] i16,
     bottom [B, n_mb, 16], right [B, n_mb, 16][, i4_modes
-    [B, n_mb, 16] u8, is_i4 [B, n_mb] bool when i4_search]).
+    [B, n_mb, 16] u8, is_i4 [B, n_mb] bool when i4_search][, uvmodes
+    [B, n_mb] u8 when i4_search has lam_uv]).
     """
     B = Y.shape[0]
     n_mb = mb_w * mb_h
@@ -698,6 +723,7 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     if i4 is not None:
         xs["i4"] = skew(i4[0].reshape(B, mb_h, mb_w))
         xs["i4m"] = skew(i4[1].reshape(B, mb_h, mb_w, 16))
+    uv_search = i4_search is not None and len(i4_search) >= 4
     if i4_search is not None and seg is not None:
         # per-image [B, 4] segment lambdas -> lane-broadcast [4, N]
         def _lane_lam(lam_b):
@@ -707,6 +733,8 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
 
         lam4N = _lane_lam(i4_search[1])
         lam16N = _lane_lam(i4_search[2])
+        if uv_search:
+            lamuvN = _lane_lam(i4_search[3])
 
     def sel_mode(preds, mode):
         """preds [4, s, s, N]; mode [N] -> [s, s, N]."""
@@ -723,11 +751,17 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         (By1, By2, Ry, Cy1, Cy2, Cy3,
          Bu1, Bu2, Ru, Cu1, Cu2, Cu3,
          Bv1, Bv2, Rv, Cv1, Cv2, Cv3) = base
+        ei = 0
         if use_tr:
             Nt1, Nt2, Nl = extra[:3]
+            ei = 3
         if i4_search is not None:
-            Dt1, Dt2, Dl = extra[-6:-3]   # y2 DC nonzero-context chain
-            Bm1, Bm2, Bml = extra[-3:]
+            Dt1, Dt2, Dl = extra[ei:ei + 3]   # y2 DC nonzero-context chain
+            Bm1, Bm2, Bml = extra[ei + 3:ei + 6]
+            ei += 6
+        if uv_search:
+            # 2-bit chroma nonzero chains per plane (UVRate's tnz/lnz).
+            Ut1, Ut2, Ul, Vt1, Vt2, Vl = extra[ei:ei + 6]
         xcol = x["t"] - sk * yy                                # [N]
         valid = (xcol >= 0) & (xcol < mb_w)
         has_left = valid & (xcol > 0)
@@ -824,10 +858,45 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         predsV = preds4_p(8, topV, leftV, tlV, has_top, has_left)
         src_u = x["u"].astype(jnp.int32).reshape(4, 4, 4, N)
         src_v = x["v"].astype(jnp.int32).reshape(4, 4, 4, N)
-        lvu, reconU = chroma_pipe_p(
-            src_u, plane_to_blocks_p(sel_mode(predsU, x["uvm"]), 8), qp_t)
-        lvv, reconV = chroma_pipe_p(
-            src_v, plane_to_blocks_p(sel_mode(predsV, x["uvm"]), 8), qp_t)
+        if uv_search:
+            # Closed-loop 4-mode UV search with exact chained rates
+            # (vp8_enc_loop.cc's UV loop: rate = kFixedCostsUV[m] +
+            # UVRate(U) + UVRate(V); score = rate*lam_uv + 256*SSE).
+            lamuv_t = (_seg_select_p(lamuvN, x["seg"])
+                       if seg is not None else jnp.float32(i4_search[3]))
+            t2u = jnp.where(has_top, _shift1_p(Ut2 if sk == 2 else Ut1), 0)
+            l2u = jnp.where(has_left, Ul, 0)
+            t2v = jnp.where(has_top, _shift1_p(Vt2 if sk == 2 else Vt1), 0)
+            l2v = jnp.where(has_left, Vl, 0)
+            cand = []
+            for m in range(4):
+                lvu_m, recU_m = chroma_pipe_p(
+                    src_u, plane_to_blocks_p(predsU[m], 8), qp_t)
+                lvv_m, recV_m = chroma_pipe_p(
+                    src_v, plane_to_blocks_p(predsV[m], 8), qp_t)
+                ru, t2u_m, l2u_m = uv_rate4_p(lvu_m, t2u, l2u)
+                rv, t2v_m, l2v_m = uv_rate4_p(lvv_m, t2v, l2v)
+                disto = (((recU_m - src_u) ** 2).sum(axis=(0, 1, 2))
+                         + ((recV_m - src_v) ** 2).sum(axis=(0, 1, 2)))
+                score = ((ru + rv + int(FCUV[m])).astype(jnp.float32)
+                         * lamuv_t + 256.0 * disto.astype(jnp.float32))
+                cand.append((score, lvu_m, lvv_m, recU_m, recV_m,
+                             t2u_m, l2u_m, t2v_m, l2v_m))
+            best = cand[0]
+            uvm_out = jnp.zeros((N,), jnp.uint8)
+            for m in range(1, 4):
+                # lane axis is last everywhere: [N] broadcasts vs [..., N]
+                better = cand[m][0] < best[0]
+                uvm_out = jnp.where(better, np.uint8(m), uvm_out)
+                best = tuple(jnp.where(better, c, b)
+                             for b, c in zip(best, cand[m]))
+            (_, lvu, lvv, reconU, reconV,
+             ut2_new, ul2_new, vt2_new, vl2_new) = best
+        else:
+            lvu, reconU = chroma_pipe_p(
+                src_u, plane_to_blocks_p(sel_mode(predsU, x["uvm"]), 8), qp_t)
+            lvv, reconV = chroma_pipe_p(
+                src_v, plane_to_blocks_p(sel_mode(predsV, x["uvm"]), 8), qp_t)
 
         rU = blocks_to_plane_p(reconU, 8)
         rV = blocks_to_plane_p(reconV, 8)
@@ -856,10 +925,14 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
             m16 = jnp.broadcast_to(x["m"].astype(jnp.int32)[None, :], (4, N))
             new = new + (jnp.where(ii_mb, bm_out[0], m16), Bm1,
                          jnp.where(ii_mb, bm_out[1], m16))
+        if uv_search:
+            new = new + (ut2_new, Ut1, ul2_new, vt2_new, Vt1, vl2_new)
         lv24 = jnp.concatenate([lv, lvu, lvv], axis=0).astype(jnp.int16)
         ys = (lv24, y2lv.astype(jnp.int16), rYp[15], rYp[:, 15])
         if i4_search is not None:
             ys = ys + (i4m_out, ii_mb)
+        if uv_search:
+            ys = ys + (uvm_out,)
         return new, ys
 
     zero16 = jnp.zeros((16, N), jnp.int32)
@@ -873,6 +946,8 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     if i4_search is not None:
         zero4 = jnp.zeros((4, N), jnp.int32)
         carry0 = carry0 + (zero1, zero1, zero1) + (zero4, zero4, zero4)
+    if uv_search:
+        carry0 = carry0 + (zero1,) * 6
     _, outs = jax.lax.scan(step, carry0, xs)
 
     def unskew(c_sk):
@@ -882,6 +957,9 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
     y2 = unskew(outs[1])
     bottom = unskew(outs[2])
     right = unskew(outs[3])
+    if uv_search:
+        return (lv24, y2, bottom, right, unskew(outs[4]), unskew(outs[5]),
+                unskew(outs[6]))
     if i4_search is not None:
         return lv24, y2, bottom, right, unskew(outs[4]), unskew(outs[5])
     return lv24, y2, bottom, right
