@@ -657,16 +657,23 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         cands += [c for b in {4, b1} for c in _pred_cands(b, use_sg=False)]
         cands.append(_body(False))
     elif h * w <= (1 << 18) and quality >= 50 and method >= 4:
-        pred = predictor_transform(sg, 4, quality)
-        cc = _cross_color(pred[0], 4)
-        cands = [_body(True, 4, pred,
-                       cc if cc is not None and cc[2] > 1024.0 else None),
-                 _body(False)]
+        # method >= 5 widens the tile-granularity search: finer predictor
+        # tiles (bits=3) often win on photographic content — the exact
+        # analog of libwebp spending its method budget on transform
+        # search (reference encode.go:274 picks bits by heuristic; an
+        # exact coded-size comparison is never wrong).
+        bits_set = (3, 4) if method >= 5 else (4,)
+        cands = [c for b in bits_set for c in _pred_cands(b)]
+        cands.append(_body(False))
     else:
-        pred = predictor_transform(sg, 4, quality)
-        cc = _cross_color(pred[0], 4)
-        cands = [_body(True, 4, pred,
-                       cc if cc is not None and cc[2] > 1024.0 else None)]
+        bits_set = (3, 4) if (method >= 5 and quality >= 50) else (4,)
+        cands = []
+        for b in bits_set:
+            pred = predictor_transform(sg, b, quality)
+            cc = _cross_color(pred[0], b)
+            cands.append(_body(True, b, pred,
+                               cc if cc is not None and cc[2] > 1024.0
+                               else None))
     if use_palette:
         cands.append(_palette_body())
     best = min(cands, key=lambda c: c[1])
