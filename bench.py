@@ -104,11 +104,13 @@ def main() -> None:
             + [np.roll(v, 7, axis=1) for v in variants]) * 4  # 32 distinct-ish
 
     # Device-compute-only throughput first (input resident, scalar
-    # readback), before any bulk transfers congest the tunnel. Batch 16:
-    # the closed-loop wavefront is latency-bound over its scan steps, so
-    # throughput scales with batch until HBM pressure (measured knee at
-    # B=16: 54/92/105/80 Mpx/s for B=4/8/16/24).
-    DB = 16
+    # readback), before any bulk transfers congest the tunnel. Batch 32:
+    # the closed-loop wavefront is latency-bound over its scan steps and
+    # the planar formulation fuses batch x mb_h into the lane axis, so
+    # the sweet spots are where B*mb_h fills whole VPU tiles (measured:
+    # 158 / 128 / 175 Mpx/s at B=16/24/32 — 32*64 lanes = 2048 tiles
+    # perfectly, 24*64 = 1536 pads a half tile).
+    DB = 32
     H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
     fn = fast_encode_fn(W // 16, H // 16, 75, 4, 50, True)
     pad = np.zeros((DB, H, W, 3), np.uint8)
