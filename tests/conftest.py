@@ -28,6 +28,21 @@ try:
 except Exception:
     pass  # private API moved: fall back to JAX_PLATFORMS alone
 
+# This jax build registers its TPU backend under the platform name "axon",
+# so with the plugin deregistered "tpu" is not a known platform — and
+# importing jax.experimental.pallas then fails, because checkify registers
+# an MLIR lowering rule for platform "tpu" at import time. Interpret-mode
+# pallas tests only need the registration to be accepted, so whitelist the
+# name.
+try:
+    from jax._src import xla_bridge as _xb2
+
+    _orig_known = _xb2.is_known_platform
+    _xb2.is_known_platform = (
+        lambda p: True if p == "tpu" else _orig_known(p))
+except Exception:
+    pass
+
 import io
 import numpy as np
 import pytest

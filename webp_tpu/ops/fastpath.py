@@ -832,9 +832,18 @@ def _pack_levels(lv24, esc_cap):
     nib = jnp.where(esc, 0, jnp.clip(v, -7, 7) + 8).astype(jnp.uint8)
     packed = nib[..., 0::2] | (nib[..., 1::2] << 4)
     blk = esc.any(axis=-1).reshape(-1)                       # [n_mb*24]
-    (idx,) = jnp.nonzero(blk, size=esc_cap, fill_value=0)
-    blocks = v.reshape(-1, 16)[idx].astype(jnp.int16)
-    return packed, idx.astype(jnp.int32), blocks, blk.sum().astype(jnp.int32)
+    # Stream compaction via sort, not jnp.nonzero: nonzero lowers to
+    # cumsum + scatter, and TPU scatters over the 147k-block domain cost
+    # ~5x a plain sort of the same keys. Flagged blocks keep their index,
+    # unflagged ones get a big sentinel, so the ascending sort moves all
+    # escape indices to the front in order (exactly nonzero's output).
+    n_blk = blk.shape[0]
+    keys = jnp.where(blk, jnp.arange(n_blk, dtype=jnp.int32),
+                     jnp.int32(n_blk))
+    idx = jax.lax.sort(keys, is_stable=False)[:esc_cap]
+    idx = jnp.where(idx >= n_blk, 0, idx)                    # fill_value=0
+    blocks = lv24.reshape(-1, 16)[idx]
+    return packed, idx, blocks, blk.sum().astype(jnp.int32)
 
 
 def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):

@@ -32,7 +32,7 @@ from ..lossy import tables as T
 ZIGZAG = np.asarray(T.ZIGZAG)
 QFIX = 17
 MAX_LEVEL = 2047
-TILE = 512  # subblocks per grid step (4 VPU lane groups)
+TILE = 2048  # subblocks per grid step -> (16, 128) rows fill vregs
 
 
 def _a2(a, b):
@@ -77,7 +77,12 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
     two i32 refs: the host-side layout change into planar [.., n_sb] is
     HBM-bound, so shipping bytes and upcasting here costs 4x less.
     qtab [16, 16]: (seg*4 + {q,iq,bias,sharpen}) x zigzag position."""
-    d = data_ref[:, :].astype(jnp.int32)
+    # Each logical row is reshaped from [S] to [S//128, 128]: Mosaic lays
+    # a 1-D vector across lanes only (one sublane per vreg), so the whole
+    # search would run at 1/8 VPU utilization; 2-D rows pack (8, 128)
+    # vregs fully.
+    S = data_ref.shape[1]
+    d = data_ref[:, :].reshape(32, S // 128, 128).astype(jnp.int32)
     src = d[:16]
     l = [d[16 + 3 - i] for i in range(4)]              # l0..l3
     tl = d[20]
@@ -141,12 +146,20 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         hu3 = [l[3]] * 4
         return hu0 + hu1 + hu2 + hu3
 
-    # Per-subblock quant rows selected by segment (4-way select).
-    def qrow(param, zz):
+    # Per-subblock quant rows selected by segment (4-way select), hoisted
+    # out of the 10-mode loop: the same (param, zz) vectors serve every
+    # mode, so building them once saves ~9x of the select work.
+    def qrow_build(param, zz):
         v = qtab_ref[0 * 4 + param, zz]
         for s in range(1, 4):
             v = jnp.where(seg == s, qtab_ref[s * 4 + param, zz], v)
         return v
+
+    qrows = [[qrow_build(param, zz) for zz in range(16)]
+             for param in range(4)]
+
+    def qrow(param, zz):
+        return qrows[param][zz]
 
     best_score = jnp.full(src.shape[1:], jnp.inf, jnp.float32)
     best_mode = jnp.zeros(src.shape[1:], jnp.int32)
@@ -200,12 +213,24 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
             # clamped base cost plus the additive tail buckets.
             v = level
             vc = jnp.minimum(v, 7)
-            c = jnp.zeros(src.shape[1:], jnp.int32)
-            for k in range(8):
-                c = jnp.where(vc == k, int(lvl_cost[k]), c)
-            for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35),
-                                          (35, 1 << 30))):
-                c = c + jnp.where((v >= lo) & (v < hi), int(tail_cost[b]), 0)
+            # lvl_cost[vc] as a binary select tree on vc's bits (7 selects
+            # instead of 8 equality+select pairs), then the tail buckets
+            # as cumulative threshold adds (the bucket deltas telescope).
+            bit0 = (vc & 1) != 0
+            bit1 = (vc & 2) != 0
+            c01 = jnp.where(bit0, int(lvl_cost[1]), int(lvl_cost[0]))
+            c23 = jnp.where(bit0, int(lvl_cost[3]), int(lvl_cost[2]))
+            c45 = jnp.where(bit0, int(lvl_cost[5]), int(lvl_cost[4]))
+            c67 = jnp.where(bit0, int(lvl_cost[7]), int(lvl_cost[6]))
+            c = jnp.where(vc >= 4, jnp.where(bit1, c67, c45),
+                          jnp.where(bit1, c23, c01))
+            tc = (int(tail_cost[0]), int(tail_cost[1]), int(tail_cost[2]),
+                  int(tail_cost[3]))
+            c = c + jnp.where(v >= 8, tc[0], 0)
+            for thr, delta in ((11, tc[1] - tc[0]), (19, tc[2] - tc[1]),
+                               (35, tc[3] - tc[2])):
+                if delta:
+                    c = c + jnp.where(v >= thr, delta, 0)
             nz = v != 0
             # Sum of costs from position 0 through the LAST nonzero: add
             # the pending run (zeros since the previous nonzero) plus this
@@ -259,8 +284,8 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         best_score = jnp.where(better, score, best_score)
         best_mode = jnp.where(better, m, best_mode)
 
-    mode_ref[0, :] = best_mode
-    score_ref[0, :] = best_score
+    mode_ref[0, :] = best_mode.reshape(S)
+    score_ref[0, :] = best_score.reshape(S)
 
 
 @functools.lru_cache(maxsize=8)
