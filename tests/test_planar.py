@@ -129,3 +129,89 @@ def test_uv_rate4_p_matches_host_chain():
         assert rate[n] == want, n
         assert t2[n] == t[0] | (t[1] << 1), n
         assert l2[n] == l[0] | (l[1] << 1), n
+
+
+@pytest.mark.parametrize("segments,sns", [(1, 0), (1, 50), (4, 50)])
+def test_phase1_planar_bit_exact(segments, sns):
+    """Planar phase 0/1 (ops/phase1p.py) == vmapped fastpath._phase1 +
+    fastpath._segment_plan_device: same modes, scores and segment plan."""
+    from webp_tpu.ops import phase1p as P1
+
+    B, mb_w, mb_h = 2, 5, 3
+    quality = 75
+    n_mb = mb_w * mb_h
+    L = B * n_mb
+    Y, U, V = _mk_inputs(B, mb_w, mb_h, seed=segments * 7 + sns)
+    qp, lambdas = fp.rd_params(quality)
+    lambdas_j = {k: jnp.float32(v) for k, v in lambdas.items()}
+    rt = fp.RateTables(np.asarray(fp.T.COEFFS_PROBA0))
+    use_segments = segments > 1
+
+    def ref_one(Yi, Ui, Vi):
+        Yi, Ui, Vi = (a.astype(jnp.int32) for a in (Yi, Ui, Vi))
+        if use_segments:
+            seg_map, seg_q, seg_beta = fp._segment_plan_device(
+                Yi, Ui, Vi, mb_w, mb_h, quality, sns, segments)
+            qp_i, lam_i, _ = fp._mb_quant(seg_map, seg_q, n_mb)
+            tlsd4, tlsd = fp._tlsd_from_seg(sns, seg_q, seg_map)
+        else:
+            seg_map = jnp.zeros((n_mb,), jnp.int32)
+            seg_q = jnp.zeros((4,), jnp.int32)
+            seg_beta = jnp.zeros((4,), jnp.int32)
+            qp_i, lam_i = qp, lambdas_j
+            tlsd4, tlsd = fp._tlsd_static(sns, lambdas["q_i4"], n_mb)
+        modes, uvmodes, sc = fp._phase1(Yi, Ui, Vi, qp_i, lam_i, rt,
+                                        mb_w, mb_h, tlsd=tlsd)
+        return modes, uvmodes, sc, seg_map, seg_q, seg_beta
+
+    r_modes, r_uv, r_sc, r_seg, r_q, r_beta = jax.vmap(ref_one)(Y, U, V)
+
+    srcY = P1._src_planar(jnp.asarray(Y), mb_h, mb_w, 16)
+    srcU = P1._src_planar(jnp.asarray(U), mb_h, mb_w, 8)
+    srcV = P1._src_planar(jnp.asarray(V), mb_h, mb_w, 8)
+    tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = fp.all_q_tables()
+    if use_segments:
+        seg_map, seg_q, seg_beta = P1.plan_segments_planar(
+            srcY, srcU, srcV, B, n_mb, quality, sns, segments)
+        np.testing.assert_array_equal(np.asarray(r_seg), np.asarray(seg_map))
+        np.testing.assert_array_equal(np.asarray(r_q), np.asarray(seg_q))
+        np.testing.assert_array_equal(np.asarray(r_beta),
+                                      np.asarray(seg_beta))
+        seg_lane = seg_map.reshape(L)
+        oh_q = jax.nn.one_hot(seg_q, 128, dtype=jnp.int32)
+        qp_rows = {}
+        for k in ("y1", "y2", "uv"):
+            tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
+            rows = jnp.einsum("bsq,qf->bsf", oh_q, tab).reshape(B, 4, 4, 16)
+            r4 = jnp.broadcast_to(rows.transpose(1, 2, 3, 0)[..., None],
+                                  (4, 4, 16, B, n_mb)).reshape(4, 4, 16, L)
+            qp_rows[k] = tuple(pl._seg_select_p(r4[:, i], seg_lane)
+                               for i in range(4))
+
+        def lane_of(tab_t):
+            segv = (oh_q * jnp.asarray(tab_t, jnp.float32)).sum(axis=2)
+            r = jnp.broadcast_to(segv.T[..., None],
+                                 (4, B, n_mb)).reshape(4, L)
+            return pl._seg_select_p(r, seg_lane)
+
+        lam_l = {"i16": lane_of(lam_i16_t), "uv": lane_of(lam_uv_t)}
+        if sns > 0:
+            qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
+            tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)
+            tlsd_l = pl._seg_select_p(
+                jnp.broadcast_to(tlsd4.T[..., None],
+                                 (4, B, n_mb)).reshape(4, L), seg_lane)
+        else:
+            tlsd_l = None
+    else:
+        qp_rows = {k: tuple(jnp.asarray(a, jnp.int32).reshape(16, 1)
+                            for a in qp[k]) for k in ("y1", "y2", "uv")}
+        lam_l = {"i16": lambdas_j["i16"], "uv": lambdas_j["uv"]}
+        _, tlsd_l = fp._tlsd_static(sns, lambdas["q_i4"], n_mb)
+
+    g_modes, g_uv, g_sc = P1.phase1_planar(
+        jnp.asarray(Y), jnp.asarray(U), jnp.asarray(V), qp_rows, lam_l, rt,
+        mb_w, mb_h, tlsd=tlsd_l, srcs=(srcY, srcU, srcV))
+    np.testing.assert_array_equal(np.asarray(r_modes), np.asarray(g_modes))
+    np.testing.assert_array_equal(np.asarray(r_uv), np.asarray(g_uv))
+    np.testing.assert_array_equal(np.asarray(r_sc), np.asarray(g_sc))

@@ -155,3 +155,17 @@ def test_size_competitive_small_images():
             np.asarray(Image.open(io.BytesIO(mine)).convert("RGB")), rgb)
         ratio = len(mine) / len(buf.getvalue())
         assert ratio <= 1.12, f"{name}@{sz}: {ratio:.3f} vs libwebp"
+
+
+def test_large_image_high_method_roundtrip():
+    """Regression for the large-image (h*w > 2^18) method>=5 transform
+    search branch (lossless/encode.py): must stay pixel-exact through the
+    libwebp decoder and must not code larger than method 4."""
+    im = Image.open("/root/reference/testdata/test_color.png").convert("RGB")
+    rgb = np.asarray(im.resize((800, 700)))
+    assert rgb.shape[0] * rgb.shape[1] > (1 << 18)
+    m5 = webp_tpu.encode(rgb, lossless=True, method=5)
+    assert np.array_equal(pil_decode_rgba(m5)[..., :3], rgb)
+    assert np.array_equal(webp_tpu.decode(m5), rgb)
+    m4 = webp_tpu.encode(rgb, lossless=True, method=4)
+    assert len(m5) <= len(m4), (len(m5), len(m4))

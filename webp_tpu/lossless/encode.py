@@ -661,7 +661,10 @@ def encode_vp8l_argb(argb: np.ndarray, quality: int = 75, method: int = 4,
         # tiles (bits=3) often win on photographic content — the exact
         # analog of libwebp spending its method budget on transform
         # search (reference encode.go:274 picks bits by heuristic; an
-        # exact coded-size comparison is never wrong).
+        # exact coded-size comparison is never wrong). Note _pred_cands
+        # also tries the without-cross-color variant when the gain
+        # estimate clears the threshold, so method 4 pays one extra
+        # entropy encode here too (size can only improve).
         bits_set = (3, 4) if method >= 5 else (4,)
         cands = [c for b in bits_set for c in _pred_cands(b)]
         cands.append(_body(False))

@@ -28,7 +28,7 @@ from .quant import SegmentQuant, quantize_block, MAX_LEVEL
 class LossyConfig:
     quality: int = 75
     method: int = 4
-    segments: int = 1           # (multi-segment analysis: later milestone)
+    segments: int = 1           # 1..4; >1 runs the alpha/k-means analysis
     filter_strength: int = 60
     filter_sharpness: int = 0
     filter_type: int = 1        # 0 = simple, 1 = complex (strong)

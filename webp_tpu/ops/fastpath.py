@@ -1057,15 +1057,131 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
                 "seg_beta": seg_beta}
 
+    def part1_batched(Yb, Ub, Vb):
+        """Planar phase 0/1 over the fused batch x MB lane axis
+        (ops/phase1p.py — bit-identical to the vmapped part1); only the
+        Pallas I4 search stays per-image (it consumes the natural-layout
+        luma plane)."""
+        from . import phase1p as P1
+
+        B = Yb.shape[0]
+        L = B * n_mb
+        srcY = P1._src_planar(Yb, mb_h, mb_w, 16)
+        srcU = P1._src_planar(Ub, mb_h, mb_w, 8)
+        srcV = P1._src_planar(Vb, mb_h, mb_w, 8)
+        sns = max(0, int(sns_strength))
+        tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = all_q_tables()
+        if use_segments:
+            seg_map, seg_q, seg_beta = P1.plan_segments_planar(
+                srcY, srcU, srcV, B, n_mb, quality, sns_strength, segments)
+            seg_lane = seg_map.reshape(L)
+            # Per-image [4seg, 4param, 16] quant rows via one-hot over the
+            # 128 quant indices (tiny), then per-lane 4-way selects.
+            oh_q = jax.nn.one_hot(seg_q, 128, dtype=jnp.int32)  # [B, 4, 128]
+            seg_rows = {}
+            qp_rows = {}
+            for k in ("y1", "y2", "uv"):
+                tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
+                rows = jnp.einsum("bsq,qf->bsf", oh_q, tab)     # [B, 4, 64]
+                seg_rows[k] = rows.reshape(B, 4, 4, 16)
+                # [B,4seg,4par,16] -> [4seg,4par,16,L] lane broadcast.
+                r4 = jnp.broadcast_to(
+                    seg_rows[k].transpose(1, 2, 3, 0)[..., None],
+                    (4, 4, 16, B, n_mb)).reshape(4, 4, 16, L)
+                from .planar import _seg_select_p
+
+                qp_rows[k] = tuple(_seg_select_p(r4[:, i], seg_lane)
+                                   for i in range(4))
+
+            def lane_of(tab_t):
+                segv = (oh_q * jnp.asarray(tab_t, jnp.float32)).sum(axis=2)
+                r = jnp.broadcast_to(segv.T[..., None],
+                                     (4, B, n_mb)).reshape(4, L)
+                from .planar import _seg_select_p
+
+                return segv, _seg_select_p(r, seg_lane)
+
+            lam16_4b, lam16_l = lane_of(lam_i16_t)
+            lamuv_4b, lamuv_l = lane_of(lam_uv_t)
+            lam4_4b, lam4_l = lane_of(lam_i4_t)
+            lam_l = {"i16": lam16_l, "uv": lamuv_l}
+            if sns > 0:
+                qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
+                tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)  # [B, 4]
+                from .planar import _seg_select_p
+
+                tlsd_l = _seg_select_p(
+                    jnp.broadcast_to(tlsd4.T[..., None],
+                                     (4, B, n_mb)).reshape(4, L), seg_lane)
+            else:
+                tlsd4, tlsd_l = None, None
+        else:
+            seg_map = jnp.zeros((B, n_mb), jnp.int32)
+            seg_q = jnp.zeros((B, 4), jnp.int32)
+            seg_beta = jnp.zeros((B, 4), jnp.int32)
+            seg_rows = None
+            qp_rows = {k: tuple(jnp.asarray(a, jnp.int32).reshape(16, 1)
+                                for a in qp[k]) for k in ("y1", "y2", "uv")}
+            lam_l = {"i16": lambdas["i16"], "uv": lambdas["uv"]}
+            tlsd4_s, tlsd_s = _tlsd_static(sns, q_i4_static, n_mb)
+            tlsd4 = (jnp.broadcast_to(tlsd4_s, (B, 4))
+                     if tlsd4_s is not None else None)
+            tlsd_l = tlsd_s
+            lam4_4b = jnp.broadcast_to(
+                jnp.full((4,), lambdas["i4"], jnp.float32), (B, 4))
+            lam16_4b = jnp.broadcast_to(
+                jnp.full((4,), lambdas["i16"], jnp.float32), (B, 4))
+            lamuv_4b = jnp.broadcast_to(
+                jnp.full((4,), lambdas["uv"], jnp.float32), (B, 4))
+        modes, uvmodes, i16_score = P1.phase1_planar(
+            Yb, Ub, Vb, qp_rows, lam_l, rt, mb_w, mb_h, tlsd=tlsd_l,
+            srcs=(srcY, srcU, srcV))
+        if i4_blocks:
+            pallas_on = _pallas_enabled() and sk != 2
+
+            def i4_one(Y, i16s, seg_m, seg_q_i, seg_r, lam4_b, tlsd4_b):
+                Y = Y.astype(jnp.int32)
+                src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(n_mb, 16, 16), 16)
+                t4 = tlsd4_b if sns > 0 else None
+                if use_segments and pallas_on:
+                    seg_i = (seg_m, {"y1": seg_r})
+                    lam_i = {"i4_seg": lam4_b}
+                    qp_i, tl = None, None
+                elif use_segments:
+                    # jnp fallback (CPU / skew-2): per-MB quant rows.
+                    qp_i, lam_i, srows = _mb_quant(seg_m, seg_q_i, n_mb)
+                    seg_i = (seg_m, srows)
+                    tl = (_seg_select(tlsd4_b, seg_m) if sns > 0 else None)
+                else:
+                    seg_i, qp_i, lam_i = None, qp, lambdas
+                    tl = (jnp.float32(tlsd4_b[0]) if sns > 0 else None)
+                return _i4_dispatch(Y, src_b, qp_i, lam_i, seg_i, rt, mb_w,
+                                    mb_h, i16s, tlsd=tl, tlsd4=t4,
+                                    allow_tr=(sk == 2))[:2]
+            is_i4, i4_modes = jax.vmap(i4_one)(
+                Yb, i16_score, seg_map, seg_q,
+                (seg_rows["y1"] if use_segments
+                 else jnp.zeros((B, 4, 4, 16), jnp.int32)),
+                lam4_4b,
+                (tlsd4 if tlsd4 is not None
+                 else jnp.zeros((B, 4), jnp.float32)))
+        else:
+            is_i4 = jnp.zeros((B, n_mb), bool)
+            i4_modes = jnp.zeros((B, n_mb, 16), jnp.uint8)
+        return (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
+                seg_rows, lam4_4b, lam16_4b, lamuv_4b)
+
     def encode_batch(Yb, Ub, Vb):
-        """Batched encoder: vmapped phase 0/1, then the planar (lanes-
-        minor) phase-2 wavefront over the fused batch x mb_h lane axis
-        (ops/planar.py — bit-identical to _phase2, ~full VPU width)."""
+        """Batched encoder: planar phase 0/1 (ops/phase1p.py), then the
+        planar (lanes-minor) phase-2 wavefront over the fused batch x
+        mb_h lane axis (ops/planar.py — bit-identical to _phase2)."""
         from . import planar as PL
 
         (modes, uvmodes, is_i4, i4_modes,
          seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4, lamuv_4) = \
-            jax.vmap(part1)(Yb, Ub, Vb)
+            part1_batched(Yb, Ub, Vb)
         seg = (seg_map, seg_rows) if use_segments else None
         i4_ctx = (is_i4, i4_modes) if i4_blocks else None
         search = None

@@ -119,8 +119,8 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
     def _early(v):
         vi = v.astype(jnp.int32)
         for k in range(mbr):
-            i16m_ref[k, :] = vi[k * 16, :]
-            i16s_ref[k, :] = v.astype(jnp.float32)[k * 16, :]
+            i16m_ref[k * 4, :] = vi[k * 16, :]
+            i16s_ref[k * 4, :] = v.astype(jnp.float32)[k * 16, :]
         for k in range(mbr * 4):
             i4m_ref[k, :] = vi[k * 4, :]
             i4s_ref[k, :] = v.astype(jnp.float32)[k * 4, :]
@@ -503,9 +503,14 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
         best_s16 = jnp.where(better, score, best_s16)
         best_m16 = jnp.where(better, m, best_m16)
 
+    # The i16 outputs share the i4 planes' (mbr * 4, w) row geometry so
+    # every output block is sublane-aligned ((mbr, w) blocks violate the
+    # TPU's 8-row divisibility at mbr=2): MB row k's I16 result lands on
+    # row 4*k, the same row its first subblock row occupies in the i4
+    # planes. Rows 4*k+1..3 are dead (never read back).
     for k in range(mbr):
-        i16m_ref[k, :] = best_m16[k * 16, :]
-        i16s_ref[k, :] = best_s16[k * 16, :]
+        i16m_ref[k * 4, :] = best_m16[k * 16, :]
+        i16s_ref[k * 4, :] = best_s16[k * 16, :]
     for k in range(mbr * 4):
         i4m_ref[k, :] = best_m4[k * 4, :]
         i4s_ref[k, :] = best_s4[k * 4, :]
@@ -553,9 +558,9 @@ def _build_call(mb_h_pad, mbr, w, lvl0, tail0, eob0, lvl1, tail1, eob1,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((mbr, w), lambda i: (i, 0),
+            pl.BlockSpec((mbr * 4, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mbr, w), lambda i: (i, 0),
+            pl.BlockSpec((mbr * 4, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mbr * 4, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -563,11 +568,15 @@ def _build_call(mb_h_pad, mbr, w, lvl0, tail0, eob0, lvl1, tail1, eob1,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mb_h_pad, w), jnp.int32),
-            jax.ShapeDtypeStruct((mb_h_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((mb_h_pad * 4, w), jnp.int32),
+            jax.ShapeDtypeStruct((mb_h_pad * 4, w), jnp.float32),
             jax.ShapeDtypeStruct((mb_h_pad * 4, w), jnp.int32),
             jax.ShapeDtypeStruct((mb_h_pad * 4, w), jnp.float32),
         ],
+        # The default scoped-vmem budget (16M) is ~1.5M short of this
+        # kernel's live planes at mbr=2; v5e/v5p VMEM is far larger.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -635,8 +644,8 @@ def luma_analysis(Y, seg_map, qtab_y1, qtab_y2, lam16_4, lam4_4, tlsd4,
         use_td, allow_tr, multi_seg, interpret)
     i16m, i16s, i4m, i4s = call(Yu, Yu, segp, qtab, lam_row)
     n_mb = mb_w * mb_h
-    i16_mode = i16m[:mb_h, 0:W:16].reshape(n_mb)
-    i16_score = i16s[:mb_h, 0:W:16].reshape(n_mb)
+    i16_mode = i16m[0:mb_h * 4:4, 0:W:16].reshape(n_mb)
+    i16_score = i16s[0:mb_h * 4:4, 0:W:16].reshape(n_mb)
 
     def to_mb(a):
         g = a[:mb_h * 4, 0:W:4]                       # [SBY, SBX]

@@ -1,0 +1,268 @@
+"""Batched planar phase 0 + 1: segment analysis and the parallel I16/UV
+mode search in the lanes-minor layout.
+
+fastpath._phase1 carries [n_mb, 16, 4, 4] block tensors whose trailing
+(4, 4) / (24, 16) dims land on the TPU's (sublane, lane) tiles at ~1/8
+occupancy — measured, the blocked I16 search spends ~4x its arithmetic in
+relayouts. This module is the same math with the fused batch x MB axis
+minor (L = B * n_mb lanes), like ops/planar.py does for the phase-2 scan:
+every elementwise op is a full-width [..., L] vector op, every butterfly
+or zigzag step is a major-axis slice.
+
+Mode choices and scores are bit-identical to fastpath._phase1 /
+fastpath._segment_plan_device (asserted in tests/test_planar.py).
+
+Reference behavior: encode_analysis.go:29 (analysis alphas + k-means),
+encode_analysis.go:1075 (PickBestI16ModeRD), :1379 (PickBestUVModeRD),
+ssim.go:266 (TDisto).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lossy import tables as T
+from ..lossy.encode import FIXED_COSTS_I16 as FC16
+from ..lossy.encode import FIXED_COSTS_UV as FCUV
+from .metrics import WEIGHT_Y
+from .planar import (
+    _mb_planar,
+    _seg_select_p,
+    approx_rate_p,
+    fdct4x4_p,
+    fwht4x4_p,
+    idct4x4_p,
+    quantize_p,
+    wht4x4_p,
+)
+
+__all__ = ["phase1_planar", "plan_segments_planar"]
+
+
+def hadamard4_p(x):
+    """Planar metrics._hadamard4: [..., 4, 4, N] int32 (cols first)."""
+    c0, c1, c2, c3 = (x[..., :, 0, :], x[..., :, 1, :],
+                      x[..., :, 2, :], x[..., :, 3, :])
+    a0, a1 = c0 + c2, c1 + c3
+    a2, a3 = c1 - c3, c0 - c2
+    t = jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-2)
+    r0, r1, r2, r3 = (t[..., 0, :, :], t[..., 1, :, :],
+                      t[..., 2, :, :], t[..., 3, :, :])
+    a0, a1 = r0 + r2, r1 + r3
+    a2, a3 = r1 - r3, r0 - r2
+    return jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-3)
+
+
+_WY_P = np.asarray(WEIGHT_Y, np.int32).reshape(4, 4, 1)
+
+
+def _wha(blocks):
+    """sum(W * |hadamard|) per block: [nb, 4, 4, N] -> [nb, N] int32."""
+    return jnp.sum(_WY_P * jnp.abs(hadamard4_p(blocks)), axis=(-3, -2))
+
+
+def _src_planar(plane_b, mb_h, mb_w, s):
+    """[B, H, W] u8 -> [(s/4)^2, 4, 4, L] int32, L = B * n_mb minor."""
+    B = plane_b.shape[0]
+    nb = (s // 4) ** 2
+    g = _mb_planar(plane_b.astype(jnp.uint8), mb_h, mb_w, s)
+    g = g.reshape(B * mb_h * mb_w, nb, 4, 4)
+    return g.transpose(1, 2, 3, 0).astype(jnp.int32)
+
+
+def _ctx_planar(plane_b, s, mb_h, mb_w):
+    """Batched source-pixel contexts -> (top [s, L], left [s, L], tl [L])."""
+    from .fastpath import _mb_contexts
+
+    def one(p):
+        return _mb_contexts(p, s, None, jnp.asarray(False))
+
+    top, left, tl = jax.vmap(one)(plane_b.astype(jnp.int32))
+    L = top.shape[0] * top.shape[1]
+    return (top.reshape(L, s).T, left.reshape(L, s).T, tl.reshape(L))
+
+
+def _flags(mb_w, mb_h, B):
+    ys = np.tile(np.repeat(np.arange(mb_h), mb_w), B)
+    xs = np.tile(np.tile(np.arange(mb_w), mb_h), B)
+    return jnp.asarray(ys > 0), jnp.asarray(xs > 0)
+
+
+def _pred16_m(m, top, left, tl, has_top, has_left):
+    """Single I16/UV mode prediction plane [s, s, N] (DC/TM/V/H)."""
+    s = top.shape[0]
+    shift = 5 if s == 16 else 4
+    top_m = jnp.where(has_top[None, :], top, 127)
+    left_m = jnp.where(has_left[None, :], left, 129)
+    N = top.shape[-1]
+    shape = (s, s, N)
+    if m == 0:
+        sum_t = top_m.sum(axis=0)
+        sum_l = left_m.sum(axis=0)
+        dc = jnp.where(
+            has_top & has_left, (sum_t + sum_l + s) >> shift,
+            jnp.where(has_top, (sum_t + (s >> 1)) >> (shift - 1),
+                      jnp.where(has_left, (sum_l + (s >> 1)) >> (shift - 1),
+                                0x80)))
+        return jnp.broadcast_to(dc[None, None, :], shape)
+    if m == 1:
+        tl_m = jnp.where(has_top & has_left, tl,
+                         jnp.where(has_top, 129, 127))
+        return jnp.clip(left_m[:, None, :] + top_m[None, :, :]
+                        - tl_m[None, None, :], 0, 255)
+    if m == 2:
+        return jnp.broadcast_to(top_m[None, :, :], shape)
+    return jnp.broadcast_to(left_m[:, None, :], shape)
+
+
+def _luma_score_pipe(src_b, pred_b, qp_t, with_recon):
+    """Planar fastpath._luma_pipe(score_only=True): src/pred [16,4,4,L].
+
+    Returns (lv [16,16,L], y2lv [16,L], disto_td [L][, recon])."""
+    coeffs = fdct4x4_p(src_b, pred_b)
+    flat = coeffs.reshape(16, 16, -1)
+    wht = fwht4x4_p(flat[:, 0].reshape(4, 4, -1))
+    y2lv, y2dq = quantize_p(wht.reshape(16, -1), *qp_t["y2"])
+    rec_dc = wht4x4_p(y2dq.reshape(4, 4, -1)).reshape(16, -1)
+    lv, dq = quantize_p(flat, *qp_t["y1"], first=1)
+    dq = dq.at[:, 0].set(rec_dc)
+    disto_td = ((flat - dq) ** 2).sum(axis=(0, 1))
+    if with_recon:
+        recon = jnp.clip(pred_b + idct4x4_p(dq.reshape(coeffs.shape)),
+                         0, 255)
+        return lv, y2lv, disto_td, recon
+    return lv, y2lv, disto_td
+
+
+# ---------------------------------------------------------------------------
+# Phase 0: planar alphas -> per-image k-means segment plan.
+# ---------------------------------------------------------------------------
+
+def _hist_alpha_p(v, B, n_mb):
+    """v uint8 [C, L] (values < 32) -> alpha [L] (fastpath._hist_alpha)."""
+    hist = jnp.stack([(v == k).sum(axis=0, dtype=jnp.int32)
+                      for k in range(32)], axis=0)           # [32, L]
+    max_value = hist.max(axis=0)
+    nz = hist > 0
+    last_nz = jnp.where(nz.any(axis=0),
+                        31 - jnp.argmax(nz[::-1], axis=0), 1)
+    last_nz = jnp.maximum(last_nz, 1)
+    alpha = jnp.where(max_value > 1,
+                      510 * last_nz // jnp.maximum(max_value, 1), 0)
+    return jnp.minimum(alpha, 255)
+
+
+def _alphas_planar(srcY, srcU, srcV, B, n_mb):
+    """Per-MB texture alphas [B, n_mb] (fastpath._mb_alphas, planar)."""
+    dc = jnp.round(srcY.mean(axis=(0, 1, 2))).astype(jnp.int32)
+    co = fdct4x4_p(srcY, dc[None, None, None, :])
+    vy = jnp.minimum(jnp.abs(co) >> 3, 31).astype(jnp.uint8)
+    luma = _hist_alpha_p(vy.reshape(256, -1), B, n_mb)
+    uvb = jnp.concatenate([srcU, srcV], axis=0)              # [8, 4, 4, L]
+    dcu = jnp.round(uvb.mean(axis=(0, 1, 2))).astype(jnp.int32)
+    cu = fdct4x4_p(uvb, dcu[None, None, None, :])
+    vu = jnp.minimum(jnp.abs(cu) >> 3, 31).astype(jnp.uint8)
+    uv = _hist_alpha_p(vu.reshape(128, -1), B, n_mb)
+    a = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
+    return a.reshape(B, n_mb)
+
+
+def plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality, sns_strength,
+                         num_segs):
+    """Planar fastpath._segment_plan_device, batched over B images.
+
+    Returns (seg_map [B, n_mb] i32, seg_q [B, 4] i32, seg_beta [B, 4])."""
+    from .fastpath import _plan_from_histo
+
+    alphas = _alphas_planar(srcY, srcU, srcV, B, n_mb)       # [B, n_mb]
+    au8 = alphas.astype(jnp.uint8)
+    histo = jnp.stack([(au8 == k).sum(axis=1, dtype=jnp.int32)
+                       for k in range(256)], axis=1)         # [B, 256]
+    return jax.vmap(
+        lambda h, a: _plan_from_histo(h, a, quality, sns_strength,
+                                      num_segs))(histo, alphas)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: I16 + UV searches.
+# ---------------------------------------------------------------------------
+
+def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
+                  srcs=None):
+    """Batched planar I16 + UV mode search.
+
+    Yb/Ub/Vb: [B, H, W] uint8-ish. qp_rows: {y1/y2/uv: tuple of 4 zigzag
+    rows, each [16, 1] (single segment) or [16, L] (per-lane)}. lam:
+    {"i16": [L] or scalar f32, "uv": ...}. tlsd: [L] or scalar f32 or
+    None. srcs: optional precomputed (srcY, srcU, srcV) planar blocks.
+
+    Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8,
+             i16_score [B, n_mb] f32).
+    """
+    B = Yb.shape[0]
+    n_mb = mb_w * mb_h
+    if srcs is not None:
+        srcY, srcU, srcV = srcs
+    else:
+        srcY = _src_planar(Yb, mb_h, mb_w, 16)
+        srcU = _src_planar(Ub, mb_h, mb_w, 8)
+        srcV = _src_planar(Vb, mb_h, mb_w, 8)
+    has_top, has_left = _flags(mb_w, mb_h, B)
+
+    topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w)
+    best_score = jnp.full((B * n_mb,), jnp.inf, jnp.float32)
+    best_mode = jnp.zeros((B * n_mb,), jnp.uint8)
+    if tlsd is not None:
+        ha_src = _wha(srcY)                                  # [16, L]
+    for m in range(4):
+        pred_p = _pred16_m(m, topY, leftY, tlY, has_top, has_left)
+        pred_b = pred_p.reshape(4, 4, 4, 4, -1).transpose(
+            0, 2, 1, 3, 4).reshape(16, 4, 4, -1)
+        if tlsd is not None:
+            lv, y2lv, disto_td, recon = _luma_score_pipe(
+                srcY, pred_b, qp_rows, with_recon=True)
+        else:
+            lv, y2lv, disto_td = _luma_score_pipe(
+                srcY, pred_b, qp_rows, with_recon=False)
+        rate = approx_rate_p(lv, 1, 0, rt).sum(axis=0)
+        rate = rate + approx_rate_p(y2lv, 0, 1, rt)
+        rate = rate + int(FC16[m])
+        score = (rate.astype(jnp.float32) * lam["i16"]
+                 + 64.0 * disto_td.astype(jnp.float32))
+        if tlsd is not None:
+            # Perceptual texture distortion (reference TDisto16x16 +
+            # TLambdaSD, encode_analysis.go:1180), same units as
+            # fastpath._phase1's tlsd term.
+            td = (jnp.abs(_wha(recon) - ha_src) >> 5).sum(axis=0)
+            score = score + tlsd * td.astype(jnp.float32)
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mode = jnp.where(better, np.uint8(m), best_mode)
+
+    topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w)
+    topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w)
+    best_uv_score = jnp.full((B * n_mb,), jnp.inf, jnp.float32)
+    best_uv = jnp.zeros((B * n_mb,), jnp.uint8)
+    for m in range(4):
+        rate = jnp.full((B * n_mb,), int(FCUV[m]), jnp.int32)
+        disto = jnp.zeros((B * n_mb,), jnp.int32)
+        for src, (tp, lf, tl) in ((srcU, (topU, leftU, tlU)),
+                                  (srcV, (topV, leftV, tlV))):
+            pred_p = _pred16_m(m, tp, lf, tl, has_top, has_left)
+            pred_b = pred_p.reshape(2, 4, 2, 4, -1).transpose(
+                0, 2, 1, 3, 4).reshape(4, 4, 4, -1)
+            co = fdct4x4_p(src, pred_b)
+            flat = co.reshape(4, 16, -1)
+            lv, dq = quantize_p(flat, *qp_rows["uv"])
+            disto = disto + ((flat - dq) ** 2).sum(axis=(0, 1))
+            rate = rate + approx_rate_p(lv, 0, 2, rt).sum(axis=0)
+        score = (rate.astype(jnp.float32) * lam["uv"]
+                 + 64.0 * disto.astype(jnp.float32))
+        better = score < best_uv_score
+        best_uv_score = jnp.where(better, score, best_uv_score)
+        best_uv = jnp.where(better, np.uint8(m), best_uv)
+
+    return (best_mode.reshape(B, n_mb), best_uv.reshape(B, n_mb),
+            best_score.reshape(B, n_mb))
