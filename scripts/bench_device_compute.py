@@ -32,23 +32,29 @@ pad = np.broadcast_to(rgb, (B, H, W, 3)).copy()
 
 t0 = time.perf_counter()
 fn = fast_encode_fn(W // 16, H // 16, 75, SEGS, SNS, True, sk=SK)
-dev_in = jax.device_put(pad)
+PLANAR_IN = not os.environ.get("WEBPTPU_INTERLEAVED_IN")
+if PLANAR_IN:
+    entry = fn.rgbp_blob
+    dev_in = jax.device_put(np.ascontiguousarray(pad.transpose(0, 3, 1, 2)))
+else:
+    entry = fn.rgb_blob
+    dev_in = jax.device_put(pad)
 
 
 def sync(out):
     _ = np.asarray(out[-1])
 
 
-sync(fn.rgb_blob(dev_in))
+sync(entry(dev_in))
 print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
 K = 4
 best = 0.0
 for _ in range(3):
     t0 = time.perf_counter()
-    outs = [fn.rgb_blob(dev_in) for _ in range(K)]
+    outs = [entry(dev_in) for _ in range(K)]
     for o in outs:
         sync(o)
     best = max(best, K * B * mpx / (time.perf_counter() - t0))
 planar = "off" if os.environ.get("WEBPTPU_NO_PLANAR") else "on"
-print(f"B={B} sns={SNS} segs={SEGS} sk={SK} planar={planar}: "
-      f"{best:.1f} Mpx/s", flush=True)
+print(f"B={B} sns={SNS} segs={SEGS} sk={SK} planar={planar} "
+      f"planar_in={int(PLANAR_IN)}: {best:.1f} Mpx/s", flush=True)

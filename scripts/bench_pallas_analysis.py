@@ -1,8 +1,11 @@
 """TPU micro-bench: fused pallas_analysis.luma_analysis vs the current
 jnp _phase1 luma + pallas_i4 planar dispatch, on a 1536x1024 luma."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -3,7 +3,7 @@ bench config (B=32, 1536x1024, q75, segments=4, sns=50, I4 on).
 
 Times (steady state over K dispatches, synced by a tiny fetch):
   yuv     — RGB->YUV420 import only
-  part1   — phase 0 (segments) + phase 1 (I16/UV search) + I4 search
+  part1   — planar phase 0 (segments) + phase 1 (I16/UV) + Pallas I4
   phase2  — planar closed-loop wavefront only (given fixed modes)
   pack    — nibble pack + blobify
   full    — the production rgb_blob program
@@ -40,7 +40,6 @@ dev_in = jax.device_put(pad)
 fn = FP.fast_encode_fn(mb_w, mb_h, quality, SEGS, SNS, True)
 
 qp, lambdas = FP.rd_params(quality)
-lambdas_j = {k: jnp.float32(v) for k, v in lambdas.items()}
 rt = FP.RateTables(np.asarray(__import__(
     "webp_tpu.lossy.tables", fromlist=["T"]).COEFFS_PROBA0))
 n_mb = mb_w * mb_h
@@ -71,57 +70,48 @@ def bench(name, f, *args):
 yuv_j = jax.jit(jax.vmap(devyuv.rgb_to_yuv420))
 Yb, Ub, Vb = bench("yuv", yuv_j, dev_in)
 
-# --- part1 (phase 0 + 1 + i4 search) ---
-import webp_tpu.lossy.tables as T
-
-use_segments = True
-
-
-def part1(Y, U, V):
-    Y = Y.astype(jnp.int32)
-    U = U.astype(jnp.int32)
-    V = V.astype(jnp.int32)
-    seg_map, seg_q, seg_beta = FP._segment_plan_device(
-        Y, U, V, mb_w, mb_h, quality, SNS, SEGS)
-    qp_i, lam_i, seg_rows = FP._mb_quant(seg_map, seg_q, n_mb)
-    seg = (seg_map, seg_rows)
-    tlsd4, tlsd = FP._tlsd_from_seg(SNS, seg_q, seg_map)
-    modes, uvmodes, i16_score = FP._phase1(Y, U, V, qp_i, lam_i, rt,
-                                           mb_w, mb_h, tlsd=tlsd)
-    src_b = FP._block(Y.reshape(mb_h, 16, mb_w, 16)
-                      .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16), 16)
-    is_i4, i4_modes, _ = FP._i4_dispatch(
-        Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
-        tlsd=tlsd, tlsd4=tlsd4)
-    return (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
-            seg_rows)
+# --- part1 (planar phase 0 + 1 + Pallas I4 search) ---
+res = bench("part1", fn.part1, Yb, Ub, Vb)
+(modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
+ seg_rows, lam4, lam16_4, lamuv_4) = res
 
 
-def seg_only(Y, U, V):
-    Y = Y.astype(jnp.int32)
-    U = U.astype(jnp.int32)
-    V = V.astype(jnp.int32)
-    return FP._segment_plan_device(Y, U, V, mb_w, mb_h, quality, SNS, SEGS)
+# --- i4 search alone (the Pallas planar kernel incl. its relayout) ---
+def i4_only(Yb, seg_map, seg_rows, lam4, seg_q):
+    from webp_tpu.ops import i4 as I4
+
+    tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = FP.all_q_tables()
+    qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
+    tlsd4 = ((SNS * qi4_seg) >> 5).astype(jnp.float32)       # [B, 4]
+
+    def one(Y, seg_m, seg_r, lam4_b, i16s_i, tl4):
+        Y = Y.astype(jnp.int32)
+        qtab = seg_r.reshape(16, 16).astype(jnp.int32)
+        return I4.i4_search_pallas(Y, None, seg_m, qtab, lam4_b, rt,
+                                   mb_w, mb_h, i16s_i, tlsd4=tl4)[:2]
+    return jax.vmap(one)(Yb, seg_map, seg_rows["y1"], lam4,
+                         jnp.zeros((B, n_mb), jnp.float32), tlsd4)
 
 
-def p1_only(Y, U, V):
-    Y = Y.astype(jnp.int32)
-    U = U.astype(jnp.int32)
-    V = V.astype(jnp.int32)
-    seg_map, seg_q, seg_beta = FP._segment_plan_device(
-        Y, U, V, mb_w, mb_h, quality, SNS, SEGS)
-    qp_i, lam_i, seg_rows = FP._mb_quant(seg_map, seg_q, n_mb)
-    tlsd4, tlsd = FP._tlsd_from_seg(SNS, seg_q, seg_map)
-    return FP._phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h, tlsd=tlsd)
+bench("i4", jax.jit(i4_only), Yb, seg_map, seg_rows, lam4, seg_q)
 
 
-bench("seg0", jax.jit(jax.vmap(seg_only)), Yb, Ub, Vb)
-bench("p1+seg", jax.jit(jax.vmap(p1_only)), Yb, Ub, Vb)
-res = bench("part1", jax.jit(jax.vmap(part1)), Yb, Ub, Vb)
-(modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta, seg_rows) = res
+# --- segment plan alone ---
+def seg_only(Yb, Ub, Vb):
+    from webp_tpu.ops import phase1p as P1
+
+    srcY = P1._src_planar(Yb, mb_h, mb_w, 16)
+    srcU = P1._src_planar(Ub, mb_h, mb_w, 8)
+    srcV = P1._src_planar(Vb, mb_h, mb_w, 8)
+    return P1.plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality,
+                                   SNS, SEGS)
 
 
-# --- phase2 planar only ---
+bench("seg", jax.jit(seg_only), Yb, Ub, Vb)
+
+
+# --- phase2 planar only (as production at the bench config: sk=1, no
+# in-scan search) ---
 def p2(Yb, Ub, Vb, modes, uvmodes, is_i4, i4_modes, seg_map, seg_rows):
     seg = (seg_map, seg_rows)
     out = PL.phase2_planar(

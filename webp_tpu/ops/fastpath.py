@@ -1256,6 +1256,18 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
         return devyuv.rgb_to_yuv420(rgb)
 
+    def to_yuv_planar(rgbp):
+        """rgbp: [3, H, W] u8 planes. Planar upload sidesteps the
+        channel-last de-interleave (~2/3 of the import cost on TPU)."""
+        if sharp_yuv:
+            from . import sharpyuv as devsharp
+
+            return devsharp.sharp_yuv420(jnp.stack(
+                [rgbp[0], rgbp[1], rgbp[2]], axis=-1))
+        from . import yuv as devyuv
+
+        return devyuv.rgb_planes_to_yuv420(rgbp[0], rgbp[1], rgbp[2])
+
     if use_planar:
         yuv_b = jax.jit(encode_batch)
 
@@ -1263,10 +1275,17 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             Y, U, V = jax.vmap(to_yuv)(rgbs)
             return encode_batch(Y, U, V)
 
+        def rgbp_batch(rgbps):
+            Y, U, V = jax.vmap(to_yuv_planar)(rgbps)
+            return encode_batch(Y, U, V)
+
         rgb_b = jax.jit(rgb_batch)
     else:
         yuv_b = jax.jit(jax.vmap(encode_one))
         rgb_b = jax.jit(jax.vmap(lambda rgb: encode_one(*to_yuv(rgb))))
+
+        def rgbp_batch(rgbps):
+            return jax.vmap(lambda p: encode_one(*to_yuv_planar(p)))(rgbps)
 
     # Blob variants: every output field bitcast to bytes and concatenated
     # into BLOB_CHUNKS equal uint8 arrays, so the host pays one fetch wave
@@ -1293,6 +1312,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             jax.vmap(lambda Y, U, V: _blobify(encode_one(Y, U, V))))
         rgb_blob_b = jax.jit(
             jax.vmap(lambda rgb: _blobify(encode_one(*to_yuv(rgb)))))
+    rgbp_blob_b = jax.jit(
+        lambda rgbps: jax.vmap(_blobify)(rgbp_batch(rgbps)))
 
     shapes = jax.eval_shape(
         encode_one,
@@ -1308,6 +1329,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
     yuv_b.rgb = rgb_b
     yuv_b.blob = blob_b
+    yuv_b.rgbp_blob = rgbp_blob_b
+    # Stage handles for scripts/profile_phases.py (not used in production).
+    yuv_b.part1 = jax.jit(part1_batched if use_planar
+                          else jax.vmap(part1))
     yuv_b.rgb_blob = rgb_blob_b
     yuv_b.blob_spec = spec
     yuv_b.n_mb = n_mb

@@ -28,6 +28,16 @@ def _gamma_tables():
 def rgb_to_yuv420(rgb: jnp.ndarray):
     """uint8 [..., H, W, 3] (H, W even) -> (Y [...,H,W], U, V [...,H/2,W/2]).
 
+    Channel-last input: the de-interleave (every-3rd-byte strided loads)
+    costs ~2/3 of this op's time on TPU — prefer rgb_planes_to_yuv420
+    (planar [3, H, W] upload) where the caller controls the layout.
+    """
+    return rgb_planes_to_yuv420(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+
+
+def rgb_planes_to_yuv420(r, g, b):
+    """uint8 planes [..., H, W] (H, W even) -> (Y, U, V [...,H/2,W/2]).
+
     Matches the host import path: per-pixel luma, gamma-correct 2x2 chroma
     accumulation. The host uses gamma LUTs; per-pixel gathers are slow on
     TPU, so the device evaluates the same power curves in float32 directly
@@ -35,9 +45,9 @@ def rgb_to_yuv420(rgb: jnp.ndarray):
     resulting chroma differs from the LUT+interp host path by at most 1,
     an encoder-side choice invisible to conformance).
     """
-    r = rgb[..., 0].astype(jnp.int32)
-    g = rgb[..., 1].astype(jnp.int32)
-    b = rgb[..., 2].astype(jnp.int32)
+    r = r.astype(jnp.int32)
+    g = g.astype(jnp.int32)
+    b = b.astype(jnp.int32)
     yy = (K_RGB_TO_Y[0] * r + K_RGB_TO_Y[1] * g + K_RGB_TO_Y[2] * b
           + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX
     Y = jnp.clip(yy, 0, 255).astype(jnp.uint8)
