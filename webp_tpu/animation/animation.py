@@ -45,8 +45,28 @@ class Animation:
     frames: List[Frame] = field(default_factory=list)
 
 
+def _decode_frame_pixels(fr) -> np.ndarray:
+    if fr.is_lossless:
+        from ..lossless.decode import decode_vp8l, argb_to_rgba
+
+        argb, _ = decode_vp8l(fr.bitstream)
+        return argb_to_rgba(argb)
+    from ..lossy.decode import decode_vp8_rgba
+
+    return decode_vp8_rgba(fr.bitstream, fr.alpha if fr.alpha else None)
+
+
 def decode_animation(data: bytes) -> Animation:
-    """Parses + pixel-decodes every frame of an animated WebP."""
+    """Parses + pixel-decodes every frame of an animated WebP.
+
+    Frame pixel decodes are independent (composition happens later in
+    FrameIterator), so they run on a worker pool like the reference's
+    decoder (animation.go:190-256). The C++ fast path releases the GIL
+    for the duration of each ctypes call, so the pool scales with cores.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     p = Parser(data)
     f = p.features
     anim = Animation(
@@ -55,16 +75,14 @@ def decode_animation(data: bytes) -> Animation:
         loop_count=f.loop_count,
         bgcolor=f.bgcolor,
     )
-    for fr in p.frames():
-        if fr.is_lossless:
-            from ..lossless.decode import decode_vp8l, argb_to_rgba
-
-            argb, _ = decode_vp8l(fr.bitstream)
-            rgba = argb_to_rgba(argb)
-        else:
-            from ..lossy.decode import decode_vp8_rgba
-
-            rgba = decode_vp8_rgba(fr.bitstream, fr.alpha if fr.alpha else None)
+    raw = list(p.frames())
+    workers = max(1, min(8, _os.cpu_count() or 1, len(raw) or 1))
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            rgbas = list(ex.map(_decode_frame_pixels, raw))
+    else:
+        rgbas = [_decode_frame_pixels(fr) for fr in raw]
+    for fr, rgba in zip(raw, rgbas):
         anim.frames.append(Frame(
             rgba=rgba, x_offset=fr.x_offset, y_offset=fr.y_offset,
             duration_ms=fr.duration_ms, dispose=fr.dispose, blend=fr.blend,

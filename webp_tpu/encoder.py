@@ -398,6 +398,25 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
         enc.rgb_input = pad
     else:
         enc = VP8Encoder(Y, U, V, w, h, cfg)
+
+    # ALPH side-encode overlaps the luma encode (reference alpha.go:210
+    # runs them concurrently): both paths spend their time inside ctypes
+    # calls that release the GIL, so the overlap scales with cores.
+    alpha_future = None
+    if _has_alpha(a):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .lossy.alpha_enc import encode_alpha
+
+        _alpha_ex = ThreadPoolExecutor(max_workers=1)
+        alpha_future = _alpha_ex.submit(
+            encode_alpha, a[..., 3],
+            quality=opts.alpha_quality,
+            method=opts.alpha_compression,
+            filtering=opts.alpha_filtering,
+            effort=opts.method,
+        )
+        _alpha_ex.shutdown(wait=False)
     vp8 = enc.encode()
 
     # Per-encode statistics (reference EncStats, lossy/encode.go:1614-1626):
@@ -419,16 +438,8 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
                           token_sizes=tuple(getattr(enc, "stats_parts", ())))
 
     alpha_payload = b""
-    if _has_alpha(a):
-        from .lossy.alpha_enc import encode_alpha
-
-        alpha_payload = encode_alpha(
-            a[..., 3],
-            quality=opts.alpha_quality,
-            method=opts.alpha_compression,
-            filtering=opts.alpha_filtering,
-            effort=opts.method,
-        )
+    if alpha_future is not None:
+        alpha_payload = alpha_future.result()
         LAST_STATS.alpha_size = len(alpha_payload)
 
     has_meta = bool(opts.iccp or opts.exif or opts.xmp)
