@@ -328,60 +328,71 @@ def _planar_inputs(Y, seg_map, mb_w, mb_h):
     """Builds the Pallas kernel's planar [16, n_sb] src/ctx arrays in
     subblock GRID order (sb = sy * SBX + sx).
 
-    One reshape to subblock space [SBY, 4, SBX, 4] turns every context
-    row into a contiguous one-subblock shift (pad + slice on a subblock
-    axis) — no stride-4 pixel slices, no scatter pads — and the whole
-    relayout runs in uint8: the i32 strided formulation's HBM traffic
-    cost ~2x the 10-mode Pallas search itself on a v5e."""
+    After the one src16 relayout, every context row is a LANE SHIFT of a
+    major-axis slice of src16 itself (left neighbor = sb-1, above =
+    sb-SBX, above-left = sb-SBX-1, above-right = sb-SBX+1), with 127/129
+    edge fills by static iota masks — the previous subblock-space
+    formulation's strided slices of the pixel grid were among the
+    costliest layout ops of the whole encoder (XLA cost model)."""
     SBY, SBX = mb_h * 4, mb_w * 4
     n_sb = SBY * SBX
     g = Y.astype(jnp.uint8).reshape(SBY, 4, SBX, 4)  # [sy, r, sx, c]
     src16 = g.transpose(1, 3, 0, 2).reshape(16, n_sb)
 
-    # Row above each subblock = bottom row (r=3) of the subblock above;
-    # missing top row = 127 (RFC 6386 halo rule).
-    bot = g[:, 3]                                   # [SBY, SBX, 4]
-    top_f = jnp.concatenate(
-        [jnp.full((1, SBX, 4), 127, jnp.uint8), bot[:-1]], axis=0)
-    # Left col = right col (c=3) of the subblock to the left; missing = 129.
-    rgt = g[..., 3]                                 # [SBY, 4, SBX]
-    left_f = jnp.concatenate(
-        [jnp.full((SBY, 4, 1), 129, jnp.uint8), rgt[:, :, :-1]], axis=2)
-    # Corner: bottom-right pixel of the diagonal subblock; row rule wins
-    # (sy == 0 -> 127 everywhere, else sx == 0 -> 129).
-    br = g[:, 3, :, 3]                              # [SBY, SBX]
-    tl_f = jnp.concatenate(
-        [jnp.full((SBY, 1), 129, jnp.uint8), br[:, :-1]], axis=1)
-    tl_f = jnp.concatenate(
-        [jnp.full((1, SBX), 127, jnp.uint8), tl_f[:-1]], axis=0)
-    # tr base: the right neighbor's top strip (last column replicated —
-    # its value is overridden by the c == 3 MB strip below anyway).
-    tr_base = jnp.concatenate([top_f[:, 1:], top_f[:, -1:]], axis=1)
-    # MB-level above-right strip: next MB's top strip, edge-replicated at
-    # the last MB column with the row-above's rightmost pixel.
-    t5 = top_f.reshape(mb_h, 4, mb_w, 4, 4)
-    t4 = t5[:, 0, :, 0]                             # [mbH, mbW, 4]
-    last_px = t5[:, 0, -1, -1, 3]                   # [mbH]
-    mbtr = jnp.concatenate(
-        [t4[:, 1:],
-         jnp.broadcast_to(last_px[:, None, None], (mb_h, 1, 4))], axis=1)
-    mbtr_g = jnp.broadcast_to(
-        mbtr[:, None, :, None], (mb_h, 4, mb_w, 4, 4)).reshape(SBY, SBX, 4)
-    is_c3 = (jnp.arange(SBX) % 4) == 3
-    tr_f = jnp.where(is_c3[None, :, None], mbtr_g, tr_base)
+    s4 = src16.reshape(4, 4, n_sb)
+    bot = s4[3]                                     # [4c, n_sb] pixel row 3
+    rgt = s4[:, 3]                                  # [4r, n_sb] pixel col 3
+    br = src16[15]                                  # [n_sb]
 
+    sb = np.arange(n_sb)
+    sx = jnp.asarray((sb % SBX).astype(np.int32))
+    top_row0 = jnp.asarray(sb < SBX)                # sy == 0
+    left_col0 = sx == 0
+    last_col = sx == SBX - 1
+    c127 = jnp.uint8(127)
+    c129 = jnp.uint8(129)
+
+    def sh(a, k):
+        """Lane shift right by k: out[..., l] = a[..., l - k]."""
+        pad = [(0, 0)] * (a.ndim - 1) + [(k, 0)]
+        return jnp.pad(a, pad)[..., :n_sb]
+
+    lrows = [jnp.where(left_col0, c129, sh(rgt[i], 1)) for i in (3, 2, 1, 0)]
+    tl_f = jnp.where(top_row0, c127,
+                     jnp.where(left_col0, c129, sh(br, SBX + 1)))
+    trows = [jnp.where(top_row0, c127, sh(bot[j], SBX)) for j in range(4)]
+    # Above-right. Non-c3 subblocks: the right neighbor's top (one up,
+    # one right). c3 subblocks: the next MB's strip from the row above
+    # the whole MB ROW (the true above-right is unreconstructed), whose
+    # lane shift depends on the subblock row within the MB; at the last
+    # MB column it degenerates to the row-above's rightmost pixel.
+    sy4 = jnp.asarray(((sb // SBX) % 4).astype(np.int32))
+    mbrow0 = jnp.asarray(sb < 4 * SBX)
+    c3_mask = (sb % 4) == 3
+
+    def sel_by_sy4(mk):
+        v = mk(0)
+        for k in range(1, 4):
+            v = jnp.where(sy4 == k, mk(k), v)
+        return v
+
+    trrows = []
+    for j in range(4):
+        interior = sh(bot[j], SBX - 1)
+        mb_int = sel_by_sy4(lambda k, j=j: sh(bot[j], (k + 1) * SBX - 1))
+        mb_edge = sel_by_sy4(lambda k: sh(bot[3], (k + 1) * SBX))
+        c3row = jnp.where(mbrow0, c127,
+                          jnp.where(last_col, mb_edge, mb_int))
+        trrows.append(jnp.where(jnp.asarray(c3_mask), c3row,
+                                jnp.where(top_row0, c127, interior)))
+
+    is_c3 = jnp.asarray(c3_mask.astype(np.uint8))
     seg_grid = jnp.broadcast_to(
         seg_map.reshape(mb_h, 1, mb_w, 1).astype(jnp.uint8),
-        (mb_h, 4, mb_w, 4)).reshape(SBY, SBX)
-    rows = ([left_f[:, i] for i in (3, 2, 1, 0)]    # l3, l2, l1, l0
-            + [tl_f]
-            + [top_f[..., j] for j in range(4)]     # t0..t3
-            + [tr_f[..., j] for j in range(4)]      # tr0..tr3
-            + [jnp.broadcast_to(is_c3[None, :].astype(jnp.uint8),
-                                (SBY, SBX)),
-               seg_grid,
-               jnp.zeros((SBY, SBX), jnp.uint8)])
-    ctx = jnp.stack(rows, axis=0).reshape(16, n_sb)
+        (mb_h, 4, mb_w, 4)).reshape(n_sb)
+    rows = (lrows + [tl_f] + trows + trrows
+            + [is_c3, seg_grid, jnp.zeros((n_sb,), jnp.uint8)])
+    ctx = jnp.stack([r.astype(jnp.uint8) for r in rows], axis=0)
     return src16, ctx
 
 

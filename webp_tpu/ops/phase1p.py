@@ -60,28 +60,50 @@ _WY_P = np.asarray(WEIGHT_Y, np.int32).reshape(4, 4, 1)
 
 def _wha(blocks):
     """sum(W * |hadamard|) per block: [nb, 4, 4, N] -> [nb, N] int32."""
-    return jnp.sum(_WY_P * jnp.abs(hadamard4_p(blocks)), axis=(-3, -2))
+    return jnp.sum(_WY_P * jnp.abs(hadamard4_p(blocks.astype(jnp.int32))),
+                   axis=(-3, -2))
 
 
 def _src_planar(plane_b, mb_h, mb_w, s):
-    """[B, H, W] u8 -> [(s/4)^2, 4, 4, L] int32, L = B * n_mb minor."""
+    """[B, H, W] u8 -> [(s/4)^2, 4, 4, L] uint8, L = B * n_mb minor.
+
+    Kept u8: this chip is HBM-bound and the mode loops re-read these
+    planes per mode — an i32 copy would 4x the dominant traffic. Every
+    consumer (fdct4x4_p, _wha, mean) converts inside its own fusion.
+    """
     B = plane_b.shape[0]
     nb = (s // 4) ** 2
     g = _mb_planar(plane_b.astype(jnp.uint8), mb_h, mb_w, s)
     g = g.reshape(B * mb_h * mb_w, nb, 4, 4)
-    return g.transpose(1, 2, 3, 0).astype(jnp.int32)
+    return g.transpose(1, 2, 3, 0)
 
 
-def _ctx_planar(plane_b, s, mb_h, mb_w):
-    """Batched source-pixel contexts -> (top [s, L], left [s, L], tl [L])."""
-    from .fastpath import _mb_contexts
+def _ctx_planar(plane_b, s, mb_h, mb_w, src=None):
+    """Batched source-pixel contexts -> (top [s, L], left [s, L], tl [L]).
 
-    def one(p):
-        return _mb_contexts(p, s, None, jnp.asarray(False))
-
-    top, left, tl = jax.vmap(one)(plane_b.astype(jnp.int32))
-    L = top.shape[0] * top.shape[1]
-    return (top.reshape(L, s).T, left.reshape(L, s).T, tl.reshape(L))
+    Built from the planar src blocks by lane shifts (left neighbor =
+    lane-1, top = lane-mb_w): the strided full-plane slices of the
+    per-image formulation were among the costliest layout ops of the
+    whole program. Out-of-row/image leakage lands on lanes whose
+    has_top/has_left is False — every consumer masks it."""
+    if src is None:
+        src = _src_planar(plane_b, mb_h, mb_w, s)
+    nb = s // 4                                  # blocks per side
+    L = src.shape[-1]
+    src = src.astype(jnp.int32)
+    blocks = src.reshape(nb, nb, 4, 4, L)
+    # Bottom pixel row of each MB: block row nb-1, pixel row 3 ->
+    # [nb, 4cols, L] -> [s, L]; top ctx = that, one MB-row up.
+    bot = blocks[nb - 1, :, 3].reshape(s, L)
+    top = jnp.pad(bot, ((0, 0), (mb_w, 0)))[:, :L]
+    # Right pixel col of each MB: block col nb-1, pixel col 3 ->
+    # [nb, 4rows, L] -> [s, L]; left ctx = that, one MB left.
+    rgt = blocks[:, nb - 1, :, 3].reshape(s, L)
+    left = jnp.pad(rgt, ((0, 0), (1, 0)))[:, :L]
+    # Corner: bottom-right pixel of the diagonal MB.
+    br = blocks[nb - 1, nb - 1, 3, 3]
+    tl = jnp.pad(br, (mb_w + 1, 0))[:L]
+    return top, left, tl
 
 
 def _flags(mb_w, mb_h, B):
@@ -211,7 +233,7 @@ def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
         srcV = _src_planar(Vb, mb_h, mb_w, 8)
     has_top, has_left = _flags(mb_w, mb_h, B)
 
-    topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w)
+    topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w, src=srcY)
     best_score = jnp.full((B * n_mb,), jnp.inf, jnp.float32)
     best_mode = jnp.zeros((B * n_mb,), jnp.uint8)
     if tlsd is not None:
@@ -241,8 +263,8 @@ def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
         best_score = jnp.where(better, score, best_score)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
 
-    topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w)
-    topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w)
+    topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w, src=srcU)
+    topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w, src=srcV)
     best_uv_score = jnp.full((B * n_mb,), jnp.inf, jnp.float32)
     best_uv = jnp.zeros((B * n_mb,), jnp.uint8)
     for m in range(4):

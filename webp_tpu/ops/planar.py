@@ -632,6 +632,77 @@ def _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk):
     return out.reshape(B, mb_h * mb_w, *tail)
 
 
+def _valid_mask_np(B, mb_w, mb_h, n_steps, sk):
+    """[T, N] bool: lane (b, y) holds a real MB at step t iff
+    0 <= t - sk*y < mb_w."""
+    t = np.arange(n_steps)[:, None]
+    y = np.tile(np.arange(mb_h), B)[None, :]
+    x = t - sk * y
+    return jnp.asarray((x >= 0) & (x < mb_w))
+
+
+def pack_wire_planar(lv_sk, y2_sk, B, mb_w, mb_h, n_steps, sk, esc_cap):
+    """Wire-format packing straight off the skewed scan outputs.
+
+    The unskewed [B, n_mb, 24, 16] i16 level tensor tiles the TPU's
+    (sublane, lane) grid at 1/8 lane occupancy, so packing from it pays
+    ~8x its logical traffic in relayouts. This packs nibbles, escape
+    compaction and skip flags in the scan's own [.., N]-minor layout
+    (every op full-width) and unskews only the final u8 bytes.
+
+    lv_sk: [T, 24, 16, N] i16; y2_sk: [T, 16, N] i16.
+    Returns dict(packed [B, n_mb, 24, 8] u8, esc_idx [B, esc_cap] i32
+    (block ids, same semantics as fastpath._pack_levels), esc_val
+    [B, esc_cap, 16] i16, esc_cnt [B] i32, y2 [B, n_mb, 16] i16,
+    skip [B, n_mb] bool).
+    """
+    T = n_steps
+    N = B * mb_h
+    n_mb = mb_w * mb_h
+    valid = _valid_mask_np(B, mb_w, mb_h, n_steps, sk)        # [T, N]
+
+    v = lv_sk.astype(jnp.int32)
+    esc = jnp.abs(v) > 7
+    nib = jnp.where(esc, 0, jnp.clip(v, -7, 7) + 8).astype(jnp.uint8)
+    packed_sk = nib[:, :, 0::2, :] | (nib[:, :, 1::2, :] << 4)
+    packed = _unskew_b(packed_sk, B, mb_w, mb_h, n_steps, sk)
+
+    blk_z = (v == 0).all(axis=2)                              # [T, 24, N]
+    mb_skip = blk_z.all(axis=1) & (y2_sk == 0).all(axis=1)    # [T, N]
+    skip = _unskew_b(mb_skip, B, mb_w, mb_h, n_steps, sk)     # [B, n_mb]
+
+    escb = esc.any(axis=2) & valid[:, None, :]                # [T, 24, N]
+    # Per-image local planar id lid = (t*24 + c)*mb_h + y.
+    fl = escb.reshape(T, 24, B, mb_h).transpose(2, 0, 1, 3) \
+        .reshape(B, T * 24 * mb_h)
+    n_lid = T * 24 * mb_h
+    lids = jnp.arange(n_lid, dtype=jnp.int32)
+    keys = jnp.where(fl, lids[None, :], jnp.int32(n_lid))
+    idx = jax.lax.sort(keys, dimension=1, is_stable=False)[:, :esc_cap]
+    idx = jnp.where(idx >= n_lid, 0, idx)
+    esc_cnt = fl.sum(axis=1).astype(jnp.int32)
+
+    t_of = idx // (24 * mb_h)
+    c_of = (idx // mb_h) % 24
+    y_of = idx % mb_h
+    x_of = t_of - sk * y_of
+    esc_idx = (y_of * mb_w + x_of) * 24 + c_of                # block ids
+
+    lv_flat = lv_sk.reshape(-1)
+    j16 = (jnp.arange(16, dtype=jnp.int32) * N)[None, :]
+
+    def gather_one(b, tt, cc, yy):
+        base = ((tt * 24 + cc) * 16) * N + b * mb_h + yy
+        return lv_flat[base[:, None] + j16]
+
+    esc_val = jax.vmap(gather_one)(
+        jnp.arange(B, dtype=jnp.int32), t_of, c_of, y_of)     # [B, cap, 16]
+
+    y2 = _unskew_b(y2_sk, B, mb_w, mb_h, n_steps, sk)         # [B, n_mb, 16]
+    return {"packed": packed, "esc_idx": esc_idx, "esc_val": esc_val,
+            "esc_cnt": esc_cnt, "y2": y2, "skip": skip}
+
+
 def _mb_planar(plane, mb_h, mb_w, s):
     """[B, H, W] -> [B, mb_h, mb_w, (s/4)^2 * 16] u8, block-major pixel
     index (block raster b = br*(s/4)+bc, pixel p = r*4+c)."""
@@ -666,7 +737,8 @@ def _seg_select_p(rows4, seg):
 
 
 def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
-                  seg=None, i4=None, sk=1, trellis=False, i4_search=None):
+                  seg=None, i4=None, sk=1, trellis=False, i4_search=None,
+                  wire_pack=None):
     """Batched planar re-layout of fastpath._phase2 (single band).
 
     Y/U/V: [B, H, W] (any int dtype); modes/uvmodes: [B, n_mb];
@@ -948,10 +1020,26 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         carry0 = carry0 + (zero1, zero1, zero1) + (zero4, zero4, zero4)
     if uv_search:
         carry0 = carry0 + (zero1,) * 6
-    _, outs = jax.lax.scan(step, carry0, xs)
+    # unroll=2 halves the per-step dynamic-slice/update bookkeeping that
+    # the profiler attributes ~10% of the program to; deeper unrolls blow
+    # compile time up without further gain.
+    _, outs = jax.lax.scan(step, carry0, xs, unroll=2)
 
     def unskew(c_sk):
         return _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk)
+
+    if wire_pack is not None:
+        # Wire-format tail: pack in the scan's planar layout, never
+        # materialize the unskewed [B, n_mb, 24, 16] i16 tensor.
+        wire = pack_wire_planar(outs[0], outs[1], B, mb_w, mb_h,
+                                n_steps, sk, wire_pack)
+        head = (wire, unskew(outs[2]), unskew(outs[3]))
+        if uv_search:
+            return head + (unskew(outs[4]), unskew(outs[5]),
+                           unskew(outs[6]))
+        if i4_search is not None:
+            return head + (unskew(outs[4]), unskew(outs[5]))
+        return head
 
     lv24 = unskew(outs[0])                     # [B, n_mb, 24, 16]
     y2 = unskew(outs[1])

@@ -55,13 +55,22 @@ def rgb_planes_to_yuv420(r, g, b):
     # GammaToLinear: round((v/255)^0.8 * 4095) evaluated in float, per
     # PLANE — channel-last [..., 3] arrays put 3 on the minor axis and
     # waste the 128-wide VPU lanes (measured 2.3x slower).
+    #
+    # The 2x2 accumulation is a sublane-strided row-pair add (i16,
+    # values <= 8190) followed by a bitcast i16-pair -> i32 column sum:
+    # the reshape+reduce formulation lowered to a lane-strided reduce
+    # plus full-res s32 layout copies that together were the single
+    # most expensive op group of the whole encoder (XLA cost model:
+    # ~26% of the batched-encode program).
     H, W = r.shape[-2:]
     gam = []
     for c in (r, g, b):
         xf = c.astype(jnp.float32) * (1.0 / 255.0)
-        lin = jnp.floor(jnp.power(xf, 0.80) * 4095.0 + 0.5).astype(jnp.int32)
-        l4 = lin.reshape(*lin.shape[:-2], H // 2, 2, W // 2, 2)
-        acc = l4.sum(axis=(-3, -1))
+        lin = jnp.floor(jnp.power(xf, 0.80) * 4095.0 + 0.5).astype(jnp.int16)
+        rows = lin[..., 0::2, :] + lin[..., 1::2, :]   # i16, <= 8190
+        p32 = jax.lax.bitcast_convert_type(
+            rows.reshape(*rows.shape[:-1], W // 2, 2), jnp.int32)
+        acc = (p32 & 0xFFFF) + (p32 >> 16)             # <= 16380
         # LinearToGamma(acc, 0) -> 4x-scale gamma: 1020 * (acc/16380)^1.25.
         af = acc.astype(jnp.float32) * (1.0 / (4.0 * 4095.0))
         gam.append(jnp.floor(jnp.power(af, 1.25) * 1020.0
