@@ -1020,10 +1020,9 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         carry0 = carry0 + (zero1, zero1, zero1) + (zero4, zero4, zero4)
     if uv_search:
         carry0 = carry0 + (zero1,) * 6
-    # unroll=2 halves the per-step dynamic-slice/update bookkeeping that
-    # the profiler attributes ~10% of the program to; deeper unrolls blow
-    # compile time up without further gain.
-    _, outs = jax.lax.scan(step, carry0, xs, unroll=2)
+    # (scan unroll=2 measured: -2% throughput and 6x the compile time —
+    # the per-step bookkeeping does not amortize; keep unroll=1.)
+    _, outs = jax.lax.scan(step, carry0, xs)
 
     def unskew(c_sk):
         return _unskew_b(c_sk, B, mb_w, mb_h, n_steps, sk)
