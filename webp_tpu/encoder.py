@@ -261,12 +261,23 @@ def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
     lossy/encode.go:1405-1612, replacing the old 6-pass quality
     bisection): pass 1 probes, pass 2 steps by the power-law exponent,
     pass 3 solves the two-point fit — the target is typically hit within
-    5% in <= 3 passes. Works with every backend, including "device"."""
+    5% in <= 3 passes. Works with every backend, including "device".
+
+    In-encoder economics (reference statLoop reuses analysis/import
+    across passes, encode.go:1405,1545): the YUV import is computed once
+    and reused by every pass, and the curve-navigation probes run at a
+    reduced method (<= 2: no trellis, light RD) — only the landing pass
+    encodes at the full configured method, so a rate-controlled encode
+    costs roughly one full encode plus cheap probes instead of N full
+    encodes."""
     from dataclasses import replace
 
     global LAST_STATS
     q = opts.quality if 0 < opts.quality <= 100 else 75.0
     max_passes = max(3, opts.pass_count) if opts.pass_count > 1 else 3
+    yuv_cache: dict = {}
+    probe_opts = (replace(opts, method=min(2, opts.method))
+                  if opts.method > 2 else opts)
     history = []       # (q, size or psnr)
     best_hit = None    # (q, data, metric) best result satisfying the target
     best_any = None
@@ -285,9 +296,11 @@ def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
             return q2 * (target / s2) ** 0.8
         return math.exp(math.log(q2) + (math.log(target) - math.log(s2)) / b)
 
+    probes_are_full = probe_opts is opts
     for p in range(max_passes):
-        data = _encode_lossy(a, replace(opts, quality=q,
-                                        target_size=0, target_psnr=0.0))
+        data = _encode_lossy(a, replace(probe_opts, quality=q,
+                                        target_size=0, target_psnr=0.0),
+                             _yuv_cache=yuv_cache)
         if opts.target_size > 0:
             size = len(data)
             history.append((q, size))
@@ -315,13 +328,32 @@ def _encode_lossy_rate_controlled(a: np.ndarray, opts: EncoderOptions) -> bytes:
                              next_q_size(10.0 ** (opts.target_psnr / 10.0))))
         if history and abs(q - history[-1][0]) < 0.5:
             break
+    if not probes_are_full:
+        # Landing pass at the full configured method on the probe-chosen
+        # quality. Reduced-method probes code slightly LARGER (and lower
+        # PSNR) than the full method at equal q, so the chosen q is
+        # conservative for both target kinds.
+        q_land = (best_hit if best_hit is not None else best_any)[0]
+        data = _encode_lossy(a, replace(opts, quality=q_land,
+                                        target_size=0, target_psnr=0.0),
+                             _yuv_cache=yuv_cache)
+        p += 1
+        if opts.target_size > 0 and len(data) <= opts.target_size:
+            best_hit = (q_land, data)
+        elif opts.target_size > 0:
+            best_hit = None          # cap violated: corrective loop below
+            history.append((q_land, len(data)))
+        else:
+            best_hit = (q_land, data)
     if opts.target_size > 0 and best_hit is None:
-        # The budget is a hard cap: corrective downward passes until under.
+        # The budget is a hard cap: corrective downward passes until under
+        # (full method — these results are candidates for return).
         q, size = min(history, key=lambda h: h[1])
         for _ in range(3):
             q = max(1.0, q * min(0.9, (opts.target_size / size) ** 1.2))
             data = _encode_lossy(a, replace(opts, quality=q,
-                                            target_size=0, target_psnr=0.0))
+                                            target_size=0, target_psnr=0.0),
+                                 _yuv_cache=yuv_cache)
             p += 1
             size = len(data)
             if size <= opts.target_size:
@@ -341,7 +373,8 @@ def _has_alpha(a: np.ndarray) -> bool:
     return a.shape[2] == 4 and bool((a[..., 3] != 255).any())
 
 
-def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
+def _encode_lossy(a: np.ndarray, opts: EncoderOptions,
+                  _yuv_cache: dict = None) -> bytes:
     from .lossy.encode import VP8Encoder, LossyConfig
 
     h, w = a.shape[:2]
@@ -357,7 +390,13 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
     if opts.use_sharp_yuv and not use_device:
         from .sharpyuv.convert import sharp_rgb_to_yuv420
 
-        Y, U, V = sharp_rgb_to_yuv420(rgb)
+        key = ("sharp",)
+        if _yuv_cache is not None and _yuv_cache.get("key") == key:
+            Y, U, V = _yuv_cache["planes"]
+        else:
+            Y, U, V = sharp_rgb_to_yuv420(rgb)
+            if _yuv_cache is not None:
+                _yuv_cache.update(key=key, planes=(Y, U, V))
     else:
         # Device sharp runs on-chip from rgb_input; these planes only feed
         # the filter-strength plan and the pathological-content fallback.
@@ -367,7 +406,13 @@ def _encode_lossy(a: np.ndarray, opts: EncoderOptions) -> bytes:
             # quality (reference encode.go:517: 1.0 - 0.5*(q/100)^4).
             x = max(0.0, min(1.0, opts.quality / 100.0))
             dither = 1.0 - 0.5 * x ** 4
-        Y, U, V = rgb_to_yuv420(rgb, dithering=dither)
+        key = ("plain", round(dither, 6))
+        if _yuv_cache is not None and _yuv_cache.get("key") == key:
+            Y, U, V = _yuv_cache["planes"]
+        else:
+            Y, U, V = rgb_to_yuv420(rgb, dithering=dither)
+            if _yuv_cache is not None:
+                _yuv_cache.update(key=key, planes=(Y, U, V))
     cfg = LossyConfig(
         quality=int(opts.quality),
         method=opts.method,
