@@ -16,7 +16,36 @@ Public API parity with the reference package root
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-out: WEBPTPU_CACHE=0).
+
+    The encoder's fused programs take tens of seconds to compile; caching
+    them on disk makes repeat processes (tests, benches, CLI invocations)
+    start hot. Mirrors the reference's ahead-of-time Go compilation model
+    where startup cost is zero."""
+    if _os.environ.get("WEBPTPU_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "WEBPTPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "webp_tpu", "jax"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
 
 from .container.parser import Parser, get_features
 from .container.riff import Features, FormatType, WebPError
