@@ -1058,8 +1058,12 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 "seg_beta": seg_beta}
 
     def part1_batched(Yb, Ub, Vb):
-        """Planar phase 0/1 over the fused batch x MB lane axis
-        (ops/phase1p.py — bit-identical to the vmapped part1); only the
+        """Planar phase 0/1 over the fused batch x MB lane axis.
+
+        On TPU the I16/UV search runs as the fused Pallas kernel
+        (ops/pallas_p1.py — bit-identical to phase1p.phase1_planar,
+        which remains the CPU/fallback path); the expensive per-lane
+        quant-row/lambda broadcasts exist only for the fallback. The
         Pallas I4 search stays per-image (it consumes the natural-layout
         luma plane)."""
         from . import phase1p as P1
@@ -1071,12 +1075,14 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         srcV = P1._src_planar(Vb, mb_h, mb_w, 8)
         sns = max(0, int(sns_strength))
         tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = all_q_tables()
+        p1_kernel = _pallas_enabled() and not os.environ.get(
+            "WEBPTPU_NO_P1K")
         if use_segments:
             seg_map, seg_q, seg_beta = P1.plan_segments_planar(
                 srcY, srcU, srcV, B, n_mb, quality, sns_strength, segments)
             seg_lane = seg_map.reshape(L)
             # Per-image [4seg, 4param, 16] quant rows via one-hot over the
-            # 128 quant indices (tiny), then per-lane 4-way selects.
+            # 128 quant indices (tiny).
             oh_q = jax.nn.one_hot(seg_q, 128, dtype=jnp.int32)  # [B, 4, 128]
             seg_rows = {}
             qp_rows = {}
@@ -1084,7 +1090,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
                 rows = jnp.einsum("bsq,qf->bsf", oh_q, tab)     # [B, 4, 64]
                 seg_rows[k] = rows.reshape(B, 4, 4, 16)
-                # [B,4seg,4par,16] -> [4seg,4par,16,L] lane broadcast.
+                if p1_kernel:
+                    continue
+                # [B,4seg,4par,16] -> [4seg,4par,16,L] lane broadcast
+                # (fallback only: the kernel selects rows in VMEM).
                 r4 = jnp.broadcast_to(
                     seg_rows[k].transpose(1, 2, 3, 0)[..., None],
                     (4, 4, 16, B, n_mb)).reshape(4, 4, 16, L)
@@ -1095,6 +1104,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
             def lane_of(tab_t):
                 segv = (oh_q * jnp.asarray(tab_t, jnp.float32)).sum(axis=2)
+                if p1_kernel:
+                    return segv, None
                 r = jnp.broadcast_to(segv.T[..., None],
                                      (4, B, n_mb)).reshape(4, L)
                 from .planar import _seg_select_p
@@ -1108,11 +1119,15 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             if sns > 0:
                 qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
                 tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)  # [B, 4]
-                from .planar import _seg_select_p
+                if p1_kernel:
+                    tlsd_l = None
+                else:
+                    from .planar import _seg_select_p
 
-                tlsd_l = _seg_select_p(
-                    jnp.broadcast_to(tlsd4.T[..., None],
-                                     (4, B, n_mb)).reshape(4, L), seg_lane)
+                    tlsd_l = _seg_select_p(
+                        jnp.broadcast_to(tlsd4.T[..., None],
+                                         (4, B, n_mb)).reshape(4, L),
+                        seg_lane)
             else:
                 tlsd4, tlsd_l = None, None
         else:
@@ -1133,9 +1148,24 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 jnp.full((4,), lambdas["i16"], jnp.float32), (B, 4))
             lamuv_4b = jnp.broadcast_to(
                 jnp.full((4,), lambdas["uv"], jnp.float32), (B, 4))
-        modes, uvmodes, i16_score = P1.phase1_planar(
-            Yb, Ub, Vb, qp_rows, lam_l, rt, mb_w, mb_h, tlsd=tlsd_l,
-            srcs=(srcY, srcU, srcV))
+        if p1_kernel:
+            if use_segments:
+                qtabs = jnp.stack([seg_rows[k] for k in ("y1", "y2", "uv")],
+                                  axis=1).reshape(B, 48, 16)
+            else:
+                one = np.stack([np.stack([np.asarray(qp[k][i], np.int32)
+                                          .reshape(16) for i in range(4)])
+                                for k in ("y1", "y2", "uv")])
+                qtabs = jnp.broadcast_to(
+                    jnp.asarray(np.repeat(one[:, None], 4, axis=1)
+                                .reshape(48, 16)), (B, 48, 16))
+            modes, uvmodes, i16_score = P1.phase1_planar_pallas(
+                Yb, Ub, Vb, qtabs, lam16_4b, lamuv_4b, tlsd4, seg_map,
+                rt, mb_w, mb_h, srcs=(srcY, srcU, srcV))
+        else:
+            modes, uvmodes, i16_score = P1.phase1_planar(
+                Yb, Ub, Vb, qp_rows, lam_l, rt, mb_w, mb_h, tlsd=tlsd_l,
+                srcs=(srcY, srcU, srcV))
         if i4_blocks:
             pallas_on = _pallas_enabled() and sk != 2
 

@@ -38,7 +38,7 @@ from .planar import (
     wht4x4_p,
 )
 
-__all__ = ["phase1_planar", "plan_segments_planar"]
+__all__ = ["phase1_planar", "phase1_planar_pallas", "plan_segments_planar"]
 
 
 def hadamard4_p(x):
@@ -205,6 +205,71 @@ def plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality, sns_strength,
     return jax.vmap(
         lambda h, a: _plan_from_histo(h, a, quality, sns_strength,
                                       num_segs))(histo, alphas)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 (Pallas): data-layout build + kernel dispatch.
+# ---------------------------------------------------------------------------
+
+def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
+                         seg_map, rt, mb_w, mb_h, srcs=None,
+                         interpret=False):
+    """Pallas-backed phase1_planar (ops/pallas_p1.py): bit-identical
+    modes/scores, the whole 8-predictor search fused in VMEM.
+
+    qtabs: i32 [B, 48, 16] quant rows (type*16 + seg*4 + param, zigzag
+    cols; types y1/y2/uv). lam16_4/lamuv_4: [B, 4] f32 per-segment
+    lambdas. tlsd4: [B, 4] f32 or None. seg_map: [B, n_mb] i32.
+
+    Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8, score [B, n_mb]).
+    """
+    from . import pallas_p1 as PP
+
+    B = Yb.shape[0]
+    n_mb = mb_w * mb_h
+    if srcs is not None:
+        srcY, srcU, srcV = srcs
+    else:
+        srcY = _src_planar(Yb, mb_h, mb_w, 16)
+        srcU = _src_planar(Ub, mb_h, mb_w, 8)
+        srcV = _src_planar(Vb, mb_h, mb_w, 8)
+    L0 = B * n_mb
+    topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w, src=srcY)
+    topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w, src=srcU)
+    topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w, src=srcV)
+    ht, hl = _flags(mb_w, mb_h, B)
+
+    rows = [srcY.reshape(256, L0), srcU.reshape(64, L0),
+            srcV.reshape(64, L0),
+            topY, leftY, tlY[None], topU, leftU, tlU[None],
+            topV, leftV, tlV[None],
+            ht[None].astype(jnp.uint8), hl[None].astype(jnp.uint8),
+            seg_map.reshape(1, L0)]
+    data = jnp.concatenate([r.astype(jnp.uint8) for r in rows], axis=0)
+    data = jnp.pad(data, ((0, PP.N_ROWS - data.shape[0]), (0, 0)))
+
+    n_pad = (-n_mb) % PP.TILE
+    if n_pad:
+        data = jnp.pad(
+            data.reshape(PP.N_ROWS, B, n_mb), ((0, 0), (0, 0), (0, n_pad))
+        ).reshape(PP.N_ROWS, B * (n_mb + n_pad))
+    n_mb_p = n_mb + n_pad
+    tpi = n_mb_p // PP.TILE
+
+    lams = jnp.zeros((B, 1, 128), jnp.float32)
+    lams = lams.at[:, 0, 0:4].set(jnp.asarray(lam16_4, jnp.float32))
+    lams = lams.at[:, 0, 4:8].set(jnp.asarray(lamuv_4, jnp.float32))
+    use_td = tlsd4 is not None
+    if use_td:
+        lams = lams.at[:, 0, 8:12].set(jnp.asarray(tlsd4, jnp.float32))
+
+    mode, uv, score = PP.phase1_scores_pallas(
+        data, qtabs, lams, rt, FC16, FCUV, use_td, tpi,
+        interpret=interpret)
+    mode = mode.reshape(B, n_mb_p)[:, :n_mb].astype(jnp.uint8)
+    uv = uv.reshape(B, n_mb_p)[:, :n_mb].astype(jnp.uint8)
+    score = score.reshape(B, n_mb_p)[:, :n_mb]
+    return mode, uv, score
 
 
 # ---------------------------------------------------------------------------
