@@ -80,6 +80,23 @@ def test_p1_kernel_matches_jnp_nonpow2_geom():
     _run_case((48, 64), 50, True)
 
 
+def test_alpha_kernel_matches_jnp():
+    """Pallas segment-alpha kernel vs phase1p._alphas_planar."""
+    B, W, H = 2, 64, 48
+    mb_w, mb_h = W // 16, H // 16
+    n_mb = mb_w * mb_h
+    Y, U, V = _inputs(B, W, H, seed=5)
+    srcY = P1._src_planar(Y, mb_h, mb_w, 16)
+    srcU = P1._src_planar(U, mb_h, mb_w, 8)
+    srcV = P1._src_planar(V, mb_h, mb_w, 8)
+    ref = P1._alphas_planar(srcY, srcU, srcV, B, n_mb)
+    src_rows, _, n_mb_p = P1.build_src_pallas(
+        Y, U, V, mb_w, mb_h, srcs=(srcY, srcU, srcV))
+    got = P1.alphas_planar_pallas(src_rows, B, n_mb, n_mb_p,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_p1_kernel_matches_jnp_segments():
     """Per-image segment plans: 4 distinct quant rows + per-seg lambdas."""
     B, W, H = 2, 64, 48

@@ -1070,16 +1070,27 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
         B = Yb.shape[0]
         L = B * n_mb
-        srcY = P1._src_planar(Yb, mb_h, mb_w, 16)
-        srcU = P1._src_planar(Ub, mb_h, mb_w, 8)
-        srcV = P1._src_planar(Vb, mb_h, mb_w, 8)
         sns = max(0, int(sns_strength))
         tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = all_q_tables()
         p1_kernel = _pallas_enabled() and not os.environ.get(
             "WEBPTPU_NO_P1K")
+        if p1_kernel:
+            # Build the kernel's shared src rows once; the alpha kernel
+            # and the mode-search kernel both stream them from HBM.
+            src_rows = P1.build_src_pallas(Yb, Ub, Vb, mb_w, mb_h)
+            srcY, srcU, srcV = src_rows[1]
+        else:
+            srcY = P1._src_planar(Yb, mb_h, mb_w, 16)
+            srcU = P1._src_planar(Ub, mb_h, mb_w, 8)
+            srcV = P1._src_planar(Vb, mb_h, mb_w, 8)
+            src_rows = None
         if use_segments:
+            alphas_k = (P1.alphas_planar_pallas(src_rows[0], B, n_mb,
+                                                src_rows[2])
+                        if p1_kernel else None)
             seg_map, seg_q, seg_beta = P1.plan_segments_planar(
-                srcY, srcU, srcV, B, n_mb, quality, sns_strength, segments)
+                srcY, srcU, srcV, B, n_mb, quality, sns_strength, segments,
+                alphas=alphas_k)
             seg_lane = seg_map.reshape(L)
             # Per-image [4seg, 4param, 16] quant rows via one-hot over the
             # 128 quant indices (tiny).
@@ -1161,7 +1172,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                                 .reshape(48, 16)), (B, 48, 16))
             modes, uvmodes, i16_score = P1.phase1_planar_pallas(
                 Yb, Ub, Vb, qtabs, lam16_4b, lamuv_4b, tlsd4, seg_map,
-                rt, mb_w, mb_h, srcs=(srcY, srcU, srcV))
+                rt, mb_w, mb_h, src_rows=src_rows)
         else:
             modes, uvmodes, i16_score = P1.phase1_planar(
                 Yb, Ub, Vb, qp_rows, lam_l, rt, mb_w, mb_h, tlsd=tlsd_l,

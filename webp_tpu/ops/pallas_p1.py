@@ -39,13 +39,18 @@ QFIX = 17
 MAX_LEVEL = 2047
 TILE = 1024  # macroblocks per grid step: [8, 128] vregs per logical row
 
-# Data row layout (u8): src blocks then contours then flags.
+# Source array rows (u8): block-major pixels per plane. Shared by the
+# mode-search kernel and the segment-alpha kernel, and built BEFORE the
+# segment plan exists.
 R_SRCY, R_SRCU, R_SRCV = 0, 256, 320
-R_TOPY, R_LEFTY, R_TLY = 384, 400, 416
-R_TOPU, R_LEFTU, R_TLU = 417, 425, 433
-R_TOPV, R_LEFTV, R_TLV = 434, 442, 450
-R_HT, R_HL, R_SEG = 451, 452, 453
-N_ROWS = 480  # padded to a multiple of 32 (u8 sublane tile)
+N_SRC = 384
+# Context array rows (u8): contours + flags + segment map (built after
+# the plan).
+C_TOPY, C_LEFTY, C_TLY = 0, 16, 32
+C_TOPU, C_LEFTU, C_TLU = 33, 41, 49
+C_TOPV, C_LEFTV, C_TLV = 50, 58, 66
+C_HT, C_HL, C_SEG = 67, 68, 69
+N_CTX = 96  # padded to a multiple of 32 (u8 sublane tile)
 
 WEIGHT_Y_FLAT = (38, 32, 20, 9, 32, 28, 17, 7,
                  20, 17, 10, 4, 9, 7, 4, 2)
@@ -164,27 +169,28 @@ def _level_cost(v, lvl_cost, tail_cost):
     return c
 
 
-def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, uv_ref, score_ref, *,
-            lvl, tail, eob, fc16, fcuv, use_td):
+def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
+            score_ref, *, lvl, tail, eob, fc16, fcuv, use_td):
     """One tile of TILE macroblock lanes.
 
-    data rows (u8, see R_* constants): srcY [16blk x 16pos], srcU/V
-    [4blk x 16pos], 16-px top/left contours + corners per plane,
-    has_top/has_left flags, segment id.
+    src rows (u8, R_* constants): srcY [16blk x 16pos], srcU/V
+    [4blk x 16pos]. ctx rows (C_* constants): 16-px top/left contours +
+    corners per plane, has_top/has_left flags, segment id.
     qtab: [1, 48, 16] i32 — rows = type*16 + seg*4 + param (types
     y1/y2/uv, params q/iq/bias/sharpen), zigzag columns.
     lam: [1, 1, 128] f32 — lam_i16[4] @0, lam_uv[4] @4, tlsd4[4] @8.
     """
-    S = data_ref.shape[1]
-    d = data_ref[:, :].reshape(N_ROWS, S // 128, 128)
+    S = src_ref.shape[1]
+    d = src_ref[:, :].reshape(N_SRC, S // 128, 128)
+    c = ctx_ref[:, :].reshape(N_CTX, S // 128, 128)
     sub = S // 128
 
     def rows(lo, n):
-        return d[lo:lo + n].astype(jnp.int32)
+        return c[lo:lo + n].astype(jnp.int32)
 
-    seg = d[R_SEG].astype(jnp.int32)
-    ht = d[R_HT] != 0
-    hl = d[R_HL] != 0
+    seg = c[C_SEG].astype(jnp.int32)
+    ht = c[C_HT] != 0
+    hl = c[C_HL] != 0
 
     def qrow(tb, param, zz):
         v = qtab_ref[0, tb * 16 + param, zz]
@@ -250,9 +256,9 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, uv_ref, score_ref, *,
     # Source blocks stay u8 (values 0..255) and upcast per consumer: the
     # persistent i32 copy costs 1 MB of the 16 MB VMEM budget.
     srcY8 = d[R_SRCY:R_SRCY + 256].reshape(16, 4, 4, sub, 128)
-    topY = rows(R_TOPY, 16)
-    leftY = rows(R_LEFTY, 16)
-    tlY = d[R_TLY].astype(jnp.int32)
+    topY = rows(C_TOPY, 16)
+    leftY = rows(C_LEFTY, 16)
+    tlY = c[C_TLY].astype(jnp.int32)
 
     # Masks broadcast across leading dims as integer blends: Mosaic cannot
     # relayout an i1 vector to a replicated leading dimension.
@@ -347,7 +353,7 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, uv_ref, score_ref, *,
     def plane_ctx(r_top, r_left, r_tl):
         topc = hti * rows(r_top, 8) + (1 - hti) * 127
         leftc = hli * rows(r_left, 8) + (1 - hli) * 129
-        tlc = jnp.where(ht & hl, d[r_tl].astype(jnp.int32), 127 + 2 * hti)
+        tlc = jnp.where(ht & hl, c[r_tl].astype(jnp.int32), 127 + 2 * hti)
         st = topc.sum(axis=0)
         sl = leftc.sum(axis=0)
         dc = jnp.where(ht & hl, (st + sl + 8) >> 4,
@@ -358,8 +364,8 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, uv_ref, score_ref, *,
 
     srcU8 = d[R_SRCU:R_SRCU + 64].reshape(4, 4, 4, sub, 128)
     srcV8 = d[R_SRCV:R_SRCV + 64].reshape(4, 4, 4, sub, 128)
-    TU, LU, tlU, dcU = plane_ctx(R_TOPU, R_LEFTU, R_TLU)
-    TV, LV, tlV, dcV = plane_ctx(R_TOPV, R_LEFTV, R_TLV)
+    TU, LU, tlU, dcU = plane_ctx(C_TOPU, C_LEFTU, C_TLU)
+    TV, LV, tlV, dcV = plane_ctx(C_TOPV, C_LEFTV, C_TLV)
 
     best_uv_score = jnp.full((sub, 128), jnp.inf, jnp.float32)
     best_uv = jnp.zeros((sub, 128), jnp.int32)
@@ -409,7 +415,9 @@ def _build_call(n_lanes, lvl, tail, eob, fc16, fcuv, use_td, tiles_per_img,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((N_ROWS, TILE), lambda i: (0, i),
+            pl.BlockSpec((N_SRC, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_CTX, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 48, 16), lambda i: (i // tpi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -444,17 +452,106 @@ def _rate_consts(rt):
             tuple(int(v) for v in rt.eob))
 
 
-def phase1_scores_pallas(data, qtabs, lams, rt, fc16, fcuv, use_td,
+def phase1_scores_pallas(src, ctx, qtabs, lams, rt, fc16, fcuv, use_td,
                          tiles_per_img, interpret=False):
-    """data: u8 [N_ROWS, L] (L = B * n_mb_pad, n_mb_pad % TILE == 0);
-    qtabs: i32 [B, 48, 16]; lams: f32 [B, 1, 128].
+    """src: u8 [N_SRC, L]; ctx: u8 [N_CTX, L] (L = B * n_mb_pad,
+    n_mb_pad % TILE == 0); qtabs: i32 [B, 48, 16]; lams: f32 [B, 1, 128].
     Returns (mode [L] i32, uvmode [L] i32, score [L] f32)."""
-    L = data.shape[1]
+    L = src.shape[1]
     lvl, tail, eob = _rate_consts(rt)
     call = _build_call(L, lvl, tail, eob,
                        tuple(int(v) for v in fc16),
                        tuple(int(v) for v in fcuv),
                        bool(use_td), int(tiles_per_img), interpret)
-    mode, uv, score = call(data, qtabs.astype(jnp.int32),
+    mode, uv, score = call(src, ctx, qtabs.astype(jnp.int32),
                            lams.astype(jnp.float32))
     return mode[0], uv[0], score[0]
+
+
+# ---------------------------------------------------------------------------
+# Segment-alpha kernel: per-MB texture alphas from the same src rows
+# (phase 0; feeds the k-means plan). Mirrors phase1p._alphas_planar /
+# fastpath._mb_alphas (reference computeAlphas, encode_analysis.go:245).
+# ---------------------------------------------------------------------------
+
+def _alpha_kernel(src_ref, alpha_ref):
+    S = src_ref.shape[1]
+    d = src_ref[:, :].reshape(N_SRC, S // 128, 128)
+    sub = S // 128
+
+    def hist_alpha(v_list):
+        """v_list: C rows of [sub, 128] i32 values < 32 -> alpha [sub,128]
+        (fastpath._hist_alpha)."""
+        counts = []
+        for k in range(32):
+            acc = None
+            for r in v_list:
+                t = (r == k).astype(jnp.int32)
+                acc = t if acc is None else acc + t
+            counts.append(acc)
+        max_value = counts[0]
+        for k in range(1, 32):
+            max_value = jnp.maximum(max_value, counts[k])
+        last_nz = jnp.zeros((sub, 128), jnp.int32)
+        for k in range(1, 32):
+            last_nz = jnp.where(counts[k] > 0, k, last_nz)
+        last_nz = jnp.maximum(last_nz, 1)
+        # 510 * last_nz // max_value via exact f32 floor-division
+        # (numerator <= 15810, denominator <= C: float32-exact).
+        num = (510 * last_nz).astype(jnp.float32)
+        den = jnp.maximum(max_value, 1).astype(jnp.float32)
+        q = jnp.floor(num / den).astype(jnp.int32)
+        alpha = jnp.where(max_value > 1, q, 0)
+        return jnp.minimum(alpha, 255)
+
+    def plane_alpha(lo, nb):
+        blocks = d[lo:lo + nb * 16].astype(jnp.int32) \
+            .reshape(nb, 4, 4, sub, 128)
+        total = blocks.sum(axis=(0, 1, 2))
+        mean = total.astype(jnp.float32) * (1.0 / (nb * 16))
+        dc = jnp.round(mean).astype(jnp.int32)
+        co = _fdct_k(blocks - dc)
+        v = jnp.minimum(jnp.abs(co) >> 3, 31)
+        return hist_alpha([v[b, p // 4, p % 4] for b in range(nb)
+                           for p in range(16)])
+
+    luma = plane_alpha(R_SRCY, 16)
+    # Chroma: U then V blocks concatenated (fastpath._mb_alphas order).
+    blocksU = d[R_SRCU:R_SRCU + 64].astype(jnp.int32) \
+        .reshape(4, 4, 4, sub, 128)
+    blocksV = d[R_SRCV:R_SRCV + 64].astype(jnp.int32) \
+        .reshape(4, 4, 4, sub, 128)
+    uvb = jnp.concatenate([blocksU, blocksV], axis=0)
+    total = uvb.sum(axis=(0, 1, 2))
+    dc = jnp.round(total.astype(jnp.float32) * (1.0 / 128)).astype(jnp.int32)
+    co = _fdct_k(uvb - dc)
+    v = jnp.minimum(jnp.abs(co) >> 3, 31)
+    uv = hist_alpha([v[b, p // 4, p % 4] for b in range(8)
+                     for p in range(16)])
+
+    a = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
+    alpha_ref[0, :] = a.reshape(S)
+
+
+@functools.lru_cache(maxsize=4)
+def _build_alpha_call(n_lanes, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=(n_lanes // TILE,),
+        in_specs=[pl.BlockSpec((N_SRC, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, TILE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, n_lanes), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def alphas_pallas(src, interpret=False):
+    """src: u8 [N_SRC, L] -> per-MB alphas [L] i32 (values 0..255)."""
+    return _build_alpha_call(src.shape[1], interpret)(src)[0][0]

@@ -192,13 +192,16 @@ def _alphas_planar(srcY, srcU, srcV, B, n_mb):
 
 
 def plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality, sns_strength,
-                         num_segs):
+                         num_segs, alphas=None):
     """Planar fastpath._segment_plan_device, batched over B images.
 
+    alphas: optional precomputed [B, n_mb] per-MB alphas (e.g. from the
+    Pallas kernel, alphas_planar_pallas) — skips the jnp alpha pass.
     Returns (seg_map [B, n_mb] i32, seg_q [B, 4] i32, seg_beta [B, 4])."""
     from .fastpath import _plan_from_histo
 
-    alphas = _alphas_planar(srcY, srcU, srcV, B, n_mb)       # [B, n_mb]
+    if alphas is None:
+        alphas = _alphas_planar(srcY, srcU, srcV, B, n_mb)   # [B, n_mb]
     au8 = alphas.astype(jnp.uint8)
     histo = jnp.stack([(au8 == k).sum(axis=1, dtype=jnp.int32)
                        for k in range(256)], axis=1)         # [B, 256]
@@ -211,18 +214,21 @@ def plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality, sns_strength,
 # Phase 1 (Pallas): data-layout build + kernel dispatch.
 # ---------------------------------------------------------------------------
 
-def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
-                         seg_map, rt, mb_w, mb_h, srcs=None,
-                         interpret=False):
-    """Pallas-backed phase1_planar (ops/pallas_p1.py): bit-identical
-    modes/scores, the whole 8-predictor search fused in VMEM.
+def _pad_lanes(arr, B, n_mb, n_mb_p):
+    """[R, B * n_mb] -> [R, B * n_mb_p] (per-image lane padding)."""
+    if n_mb_p == n_mb:
+        return arr
+    R = arr.shape[0]
+    return jnp.pad(arr.reshape(R, B, n_mb),
+                   ((0, 0), (0, 0), (0, n_mb_p - n_mb))) \
+        .reshape(R, B * n_mb_p)
 
-    qtabs: i32 [B, 48, 16] quant rows (type*16 + seg*4 + param, zigzag
-    cols; types y1/y2/uv). lam16_4/lamuv_4: [B, 4] f32 per-segment
-    lambdas. tlsd4: [B, 4] f32 or None. seg_map: [B, n_mb] i32.
 
-    Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8, score [B, n_mb]).
-    """
+def build_src_pallas(Yb, Ub, Vb, mb_w, mb_h, srcs=None):
+    """u8 [N_SRC, B * n_mb_p] block-major source rows (the shared input
+    of the Pallas alpha and mode-search kernels), n_mb_p padded to the
+    kernel TILE. Returns (src_rows, (srcY, srcU, srcV) planar views,
+    n_mb_p)."""
     from . import pallas_p1 as PP
 
     B = Yb.shape[0]
@@ -234,26 +240,57 @@ def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
         srcU = _src_planar(Ub, mb_h, mb_w, 8)
         srcV = _src_planar(Vb, mb_h, mb_w, 8)
     L0 = B * n_mb
+    src = jnp.concatenate([srcY.reshape(256, L0), srcU.reshape(64, L0),
+                           srcV.reshape(64, L0)]).astype(jnp.uint8)
+    n_mb_p = n_mb + (-n_mb) % PP.TILE
+    return (_pad_lanes(src, B, n_mb, n_mb_p), (srcY, srcU, srcV), n_mb_p)
+
+
+def alphas_planar_pallas(src_rows, B, n_mb, n_mb_p, interpret=False):
+    """Per-MB texture alphas [B, n_mb] i32 from the shared src rows
+    (Pallas; bit-identical to _alphas_planar)."""
+    from . import pallas_p1 as PP
+
+    a = PP.alphas_pallas(src_rows, interpret=interpret)
+    return a.reshape(B, n_mb_p)[:, :n_mb]
+
+
+def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
+                         seg_map, rt, mb_w, mb_h, srcs=None,
+                         src_rows=None, interpret=False):
+    """Pallas-backed phase1_planar (ops/pallas_p1.py): bit-identical
+    modes/scores, the whole 8-predictor search fused in VMEM.
+
+    qtabs: i32 [B, 48, 16] quant rows (type*16 + seg*4 + param, zigzag
+    cols; types y1/y2/uv). lam16_4/lamuv_4: [B, 4] f32 per-segment
+    lambdas. tlsd4: [B, 4] f32 or None. seg_map: [B, n_mb] i32.
+    src_rows: optional pre-built (src u8 [N_SRC, B*n_mb_p], srcs, n_mb_p)
+    from build_src_pallas.
+
+    Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8, score [B, n_mb]).
+    """
+    from . import pallas_p1 as PP
+
+    B = Yb.shape[0]
+    n_mb = mb_w * mb_h
+    if src_rows is None:
+        src, (srcY, srcU, srcV), n_mb_p = build_src_pallas(
+            Yb, Ub, Vb, mb_w, mb_h, srcs=srcs)
+    else:
+        src, (srcY, srcU, srcV), n_mb_p = src_rows
+    L0 = B * n_mb
     topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w, src=srcY)
     topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w, src=srcU)
     topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w, src=srcV)
     ht, hl = _flags(mb_w, mb_h, B)
 
-    rows = [srcY.reshape(256, L0), srcU.reshape(64, L0),
-            srcV.reshape(64, L0),
-            topY, leftY, tlY[None], topU, leftU, tlU[None],
+    rows = [topY, leftY, tlY[None], topU, leftU, tlU[None],
             topV, leftV, tlV[None],
             ht[None].astype(jnp.uint8), hl[None].astype(jnp.uint8),
             seg_map.reshape(1, L0)]
-    data = jnp.concatenate([r.astype(jnp.uint8) for r in rows], axis=0)
-    data = jnp.pad(data, ((0, PP.N_ROWS - data.shape[0]), (0, 0)))
-
-    n_pad = (-n_mb) % PP.TILE
-    if n_pad:
-        data = jnp.pad(
-            data.reshape(PP.N_ROWS, B, n_mb), ((0, 0), (0, 0), (0, n_pad))
-        ).reshape(PP.N_ROWS, B * (n_mb + n_pad))
-    n_mb_p = n_mb + n_pad
+    ctx = jnp.concatenate([r.astype(jnp.uint8) for r in rows], axis=0)
+    ctx = jnp.pad(ctx, ((0, PP.N_CTX - ctx.shape[0]), (0, 0)))
+    ctx = _pad_lanes(ctx, B, n_mb, n_mb_p)
     tpi = n_mb_p // PP.TILE
 
     lams = jnp.zeros((B, 1, 128), jnp.float32)
@@ -264,7 +301,7 @@ def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
         lams = lams.at[:, 0, 8:12].set(jnp.asarray(tlsd4, jnp.float32))
 
     mode, uv, score = PP.phase1_scores_pallas(
-        data, qtabs, lams, rt, FC16, FCUV, use_td, tpi,
+        src, ctx, qtabs, lams, rt, FC16, FCUV, use_td, tpi,
         interpret=interpret)
     mode = mode.reshape(B, n_mb_p)[:, :n_mb].astype(jnp.uint8)
     uv = uv.reshape(B, n_mb_p)[:, :n_mb].astype(jnp.uint8)
