@@ -1216,8 +1216,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
 
     def encode_batch(Yb, Ub, Vb):
         """Batched encoder: planar phase 0/1 (ops/phase1p.py), then the
-        planar (lanes-minor) phase-2 wavefront over the fused batch x
-        mb_h lane axis (ops/planar.py — bit-identical to _phase2)."""
+        phase-2 wavefront — the fused Pallas scan kernel with in-kernel
+        nibble packing on TPU (ops/pallas_p2.py), the planar jnp scan
+        (ops/planar.py — bit-identical) elsewhere or for the search/
+        trellis/skew-2 configurations the kernel does not cover."""
         from . import planar as PL
 
         (modes, uvmodes, is_i4, i4_modes,
@@ -1231,6 +1233,25 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             search = ((rt, lam4, lam16_4, lamuv_4) if use_segments
                       else (rt, lambdas["i4"], lambdas["i16"],
                             lambdas["uv"]))
+        p2_kernel = (_pallas_enabled() and sk == 1 and not trellis
+                     and search is None
+                     and not os.environ.get("WEBPTPU_NO_P2K"))
+        if p2_kernel:
+            from . import pallas_p2 as P2
+
+            wire = P2.phase2_pack_pallas(
+                Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
+                rd_drop=rd_drop, seg=seg, i4=i4_ctx, esc_cap=esc_cap)
+            B = Yb.shape[0]
+            imodes = jnp.where(
+                is_i4[..., None], i4_modes,
+                jnp.concatenate([modes[..., None],
+                                 jnp.zeros((B, n_mb, 15), jnp.uint8)],
+                                axis=-1))
+            return dict(wire,
+                        modes=modes, uvmodes=uvmodes, is_i4=is_i4,
+                        imodes=imodes, seg_map=seg_map.astype(jnp.uint8),
+                        seg_q=seg_q, seg_beta=seg_beta)
         out = PL.phase2_planar(
             Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
             rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis,
