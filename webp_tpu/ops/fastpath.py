@@ -454,7 +454,9 @@ def _pallas_enabled() -> bool:
     if os.environ.get("WEBPTPU_NO_PALLAS"):
         return False
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        # Mosaic/pltpu kernels lower only on TPU; any other accelerator
+        # (e.g. GPU) must take the jnp fallback path.
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
@@ -1233,9 +1235,13 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             search = ((rt, lam4, lam16_4, lamuv_4) if use_segments
                       else (rt, lambdas["i4"], lambdas["i16"],
                             lambdas["uv"]))
+        # The P2 grid kernel is bit-identical to the planar scan but
+        # measured SLOWER on v5e (378 vs 463 Mpx/s at the bench shape:
+        # its sequential grid serializes DMA waves the scan overlaps),
+        # so it is opt-in until it beats the scan.
         p2_kernel = (_pallas_enabled() and sk == 1 and not trellis
                      and search is None
-                     and not os.environ.get("WEBPTPU_NO_P2K"))
+                     and bool(os.environ.get("WEBPTPU_P2K")))
         if p2_kernel:
             from . import pallas_p2 as P2
 
