@@ -69,7 +69,7 @@ from webp_tpu.ops import yuv as devyuv
 def pipeline(rgbs, do_phase2=True, do_pack=True):
     Yb, Ub, Vb = jax.vmap(devyuv.rgb_to_yuv420)(rgbs)
     (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
-     seg_rows, lam4, lam16_4, lamuv_4) = fn.part1(Yb, Ub, Vb)
+     seg_rows, lam4, lam16_4, lamuv_4, lammd_4) = fn.part1(Yb, Ub, Vb)
     if not do_phase2:
         # keep part1 outputs live with a cheap consumer
         return (modes.sum(), uvmodes.sum(), is_i4.sum(), i4_modes.sum(),

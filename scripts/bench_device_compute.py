@@ -22,6 +22,8 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 SNS = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 SEGS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 SK = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+TRELLIS = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+SEARCH = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 W, H = 1536, 1024
 mpx = W * H / 1e6
 
@@ -31,7 +33,8 @@ rgb = np.asarray(src)
 pad = np.broadcast_to(rgb, (B, H, W, 3)).copy()
 
 t0 = time.perf_counter()
-fn = fast_encode_fn(W // 16, H // 16, 75, SEGS, SNS, True, sk=SK)
+fn = fast_encode_fn(W // 16, H // 16, 75, SEGS, SNS, True, sk=SK,
+                    trellis=TRELLIS, i4_mode_search=SEARCH)
 PLANAR_IN = not os.environ.get("WEBPTPU_INTERLEAVED_IN")
 if PLANAR_IN:
     entry = fn.rgbp_blob
@@ -56,5 +59,6 @@ for _ in range(3):
         sync(o)
     best = max(best, K * B * mpx / (time.perf_counter() - t0))
 planar = "off" if os.environ.get("WEBPTPU_NO_PLANAR") else "on"
-print(f"B={B} sns={SNS} segs={SEGS} sk={SK} planar={planar} "
+print(f"B={B} sns={SNS} segs={SEGS} sk={SK} trellis={int(TRELLIS)} "
+      f"search={int(SEARCH)} planar={planar} "
       f"planar_in={int(PLANAR_IN)}: {best:.1f} Mpx/s", flush=True)

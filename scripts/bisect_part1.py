@@ -68,7 +68,7 @@ def stage(rgbs, do_seg=True, do_p1=True, do_i4=True, do_src=True):
     outs += [srcY.astype(jnp.int32).sum(), srcU.astype(jnp.int32).sum(),
              srcV.astype(jnp.int32).sum()]
     if do_seg:
-        seg_map, seg_q, seg_beta = P1.plan_segments_planar(
+        seg_map, seg_q, seg_beta, _ = P1.plan_segments_planar(
             srcY, srcU, srcV, B, n_mb, quality, SNS, SEGS)
         outs += [seg_map.sum(), seg_q.sum()]
     if do_p1:

@@ -47,7 +47,7 @@ rt = fp.RateTables(np.asarray(fp.T.COEFFS_PROBA0))
 
 def stage01(Y, U, V):
     Y, U, V = (a.astype(jnp.int32) for a in (Y, U, V))
-    seg_map, seg_q, seg_beta = fp._segment_plan_device(
+    seg_map, seg_q, seg_beta, _ = fp._segment_plan_device(
         Y, U, V, mb_w, mb_h, quality, SNS, segments)
     qp_i, lam_i, seg_rows = fp._mb_quant(seg_map, seg_q, n_mb)
     tlsd4, tlsd = fp._tlsd_from_seg(SNS, seg_q, seg_map)
@@ -58,7 +58,7 @@ def stage01(Y, U, V):
 
 def stage_i4(Y, U, V):
     Y, U, V = (a.astype(jnp.int32) for a in (Y, U, V))
-    seg_map, seg_q, seg_beta = fp._segment_plan_device(
+    seg_map, seg_q, seg_beta, _ = fp._segment_plan_device(
         Y, U, V, mb_w, mb_h, quality, SNS, segments)
     qp_i, lam_i, seg_rows = fp._mb_quant(seg_map, seg_q, n_mb)
     seg = (seg_map, seg_rows)

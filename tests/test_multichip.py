@@ -55,7 +55,8 @@ def test_sharded_encode_bitstream_conformant(mesh22):
         enc.uvmode = dat["uvmodes"].reshape(mb_h, mb_w)
         enc.skip = dat["skip"].reshape(mb_h, mb_w).copy()
         enc.is_i4 = dat["is_i4"].reshape(mb_h, mb_w).copy()
-        enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"])
+        enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"],
+                          dq_uv=dat.get("dq_uv"))
         data = r.assemble_riff([r.Chunk(r.VP8, enc._finish_bitstream())])
         ref = pil_decode_rgba(data)[..., :3]   # libwebp decodes our bytes
         assert np.array_equal(webp_tpu.decode(data), ref)
@@ -98,7 +99,8 @@ def test_sharded_matches_single_device_quality(mesh22):
     enc.uvmode = dat["uvmodes"].reshape(mb_h, mb_w)
     enc.skip = dat["skip"].reshape(mb_h, mb_w).copy()
     enc.is_i4 = dat["is_i4"].reshape(mb_h, mb_w).copy()
-    enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"])
+    enc.apply_device_plan(dat["seg_map"], dat["seg_q"], dat["seg_beta"],
+                          dq_uv=dat.get("dq_uv"))
     data = r.assemble_riff([r.Chunk(r.VP8, enc._finish_bitstream())])
     p_shard = _psnr(img, pil_decode_rgba(data)[..., :3])
     assert p_shard > p_single - 0.5, f"{p_shard:.2f} vs {p_single:.2f}"

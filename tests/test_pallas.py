@@ -36,7 +36,8 @@ def test_pallas_luma_analysis_matches_jnp(use_td):
     inf = jnp.full((n_mb,), 1e18, jnp.float32)
     _, i4m_ref, i4s_ref = I4.i4_search(
         Y, src_b, qp["y1"], jnp.float32(lambdas["i4"]), rt, mbw, mbh,
-        inf, fp.approx_block_rate, tlsd=tlsd)
+        inf, fp.approx_block_rate, tlsd=tlsd,
+        lam_mode=jnp.float32(lambdas["mode"]))
 
     qtab_y1 = jnp.tile(jnp.stack(
         [jnp.asarray(a, jnp.int32).reshape(16) for a in qp["y1"]]), (4, 1))
@@ -46,15 +47,18 @@ def test_pallas_luma_analysis_matches_jnp(use_td):
         [jnp.asarray(a, jnp.int32).reshape(16) for a in y2q]), (4, 1))
     lam16_4 = jnp.full((4,), lambdas["i16"], jnp.float32)
     lam4_4 = jnp.full((4,), lambdas["i4"], jnp.float32)
+    lammd_4 = jnp.full((4,), lambdas["mode"], jnp.float32)
     i16m, i16s, i4m, i4s = PA.luma_analysis(
         Y, None, qtab_y1, qtab_y2, lam16_4, lam4_4, tlsd4, rt, mbw, mbh,
-        interpret=True)
+        interpret=True, lam_mode4=lammd_4)
 
     assert np.array_equal(np.asarray(modes), np.asarray(i16m))
     assert np.allclose(np.asarray(i16_score), np.asarray(i16s))
     assert np.array_equal(np.asarray(i4m_ref), np.asarray(i4m))
+    delta = np.asarray(I4.ctx_mode_rate_delta(
+        jnp.asarray(np.asarray(i4m)), mbw, mbh))
     got = (np.asarray(i4s).sum(axis=1)
-           + I4.I4_OVERHEAD * float(lambdas["i4"]))
+           + (I4.I4_OVERHEAD + delta) * float(lambdas["mode"]))
     assert np.allclose(np.asarray(i4s_ref), got, rtol=1e-6)
 
 

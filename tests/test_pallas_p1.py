@@ -65,7 +65,10 @@ def _run_case(geom, quality, use_td, B=2):
 
     np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(uv_k), np.asarray(uv_ref))
-    np.testing.assert_array_equal(np.asarray(sc_k), np.asarray(sc_ref))
+    # Mode/uv choices are bit-identical; the emitted lambda_mode-rescored
+    # score may differ by fma-contraction ulps between Mosaic and XLA.
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_ref),
+                               rtol=3e-7)
 
 
 def test_p1_kernel_matches_jnp_plain():
@@ -89,12 +92,13 @@ def test_alpha_kernel_matches_jnp():
     srcY = P1._src_planar(Y, mb_h, mb_w, 16)
     srcU = P1._src_planar(U, mb_h, mb_w, 8)
     srcV = P1._src_planar(V, mb_h, mb_w, 8)
-    ref = P1._alphas_planar(srcY, srcU, srcV, B, n_mb)
+    ref, ref_uv = P1._alphas_planar2(srcY, srcU, srcV, B, n_mb)
     src_rows, _, n_mb_p = P1.build_src_pallas(
         Y, U, V, mb_w, mb_h, srcs=(srcY, srcU, srcV))
-    got = P1.alphas_planar_pallas(src_rows, B, n_mb, n_mb_p,
-                                  interpret=True)
+    got, got_uv = P1.alphas_planar_pallas(src_rows, B, n_mb, n_mb_p,
+                                          interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(got_uv), np.asarray(ref_uv))
 
 
 def test_p1_kernel_matches_jnp_segments():
@@ -152,4 +156,5 @@ def test_p1_kernel_matches_jnp_segments():
 
     np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(uv_k), np.asarray(uv_ref))
-    np.testing.assert_array_equal(np.asarray(sc_k), np.asarray(sc_ref))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_ref),
+                               rtol=3e-7)

@@ -42,7 +42,7 @@ def test_phase2_planar_bit_exact(sk, use_i4, rd_drop, segments):
     def part1(Yi, Ui, Vi):
         Yi, Ui, Vi = (a.astype(jnp.int32) for a in (Yi, Ui, Vi))
         if use_segments:
-            seg_map, seg_q, _ = fp._segment_plan_device(
+            seg_map, seg_q, _, _ = fp._segment_plan_device(
                 Yi, Ui, Vi, mb_w, mb_h, quality, 50, segments)
             qp_i, lam_i, seg_rows = fp._mb_quant(seg_map, seg_q, n_mb)
         else:
@@ -150,7 +150,7 @@ def test_phase1_planar_bit_exact(segments, sns):
     def ref_one(Yi, Ui, Vi):
         Yi, Ui, Vi = (a.astype(jnp.int32) for a in (Yi, Ui, Vi))
         if use_segments:
-            seg_map, seg_q, seg_beta = fp._segment_plan_device(
+            seg_map, seg_q, seg_beta, _ = fp._segment_plan_device(
                 Yi, Ui, Vi, mb_w, mb_h, quality, sns, segments)
             qp_i, lam_i, _ = fp._mb_quant(seg_map, seg_q, n_mb)
             tlsd4, tlsd = fp._tlsd_from_seg(sns, seg_q, seg_map)
@@ -171,7 +171,7 @@ def test_phase1_planar_bit_exact(segments, sns):
     srcV = P1._src_planar(jnp.asarray(V), mb_h, mb_w, 8)
     tabs, lam_i16_t, lam_uv_t, lam_i4_t, qi4_t = fp.all_q_tables()
     if use_segments:
-        seg_map, seg_q, seg_beta = P1.plan_segments_planar(
+        seg_map, seg_q, seg_beta, _ = P1.plan_segments_planar(
             srcY, srcU, srcV, B, n_mb, quality, sns, segments)
         np.testing.assert_array_equal(np.asarray(r_seg), np.asarray(seg_map))
         np.testing.assert_array_equal(np.asarray(r_q), np.asarray(seg_q))
@@ -194,7 +194,8 @@ def test_phase1_planar_bit_exact(segments, sns):
                                  (4, B, n_mb)).reshape(4, L)
             return pl._seg_select_p(r, seg_lane)
 
-        lam_l = {"i16": lane_of(lam_i16_t), "uv": lane_of(lam_uv_t)}
+        lam_l = {"i16": lane_of(lam_i16_t), "uv": lane_of(lam_uv_t),
+                 "mode": lane_of(fp._lam_mode_table(qi4_t))}
         if sns > 0:
             qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
             tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)
@@ -206,7 +207,8 @@ def test_phase1_planar_bit_exact(segments, sns):
     else:
         qp_rows = {k: tuple(jnp.asarray(a, jnp.int32).reshape(16, 1)
                             for a in qp[k]) for k in ("y1", "y2", "uv")}
-        lam_l = {"i16": lambdas_j["i16"], "uv": lambdas_j["uv"]}
+        lam_l = {"i16": lambdas_j["i16"], "uv": lambdas_j["uv"],
+                 "mode": lambdas_j["mode"]}
         _, tlsd_l = fp._tlsd_static(sns, lambdas["q_i4"], n_mb)
 
     g_modes, g_uv, g_sc = P1.phase1_planar(

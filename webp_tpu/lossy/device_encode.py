@@ -66,7 +66,8 @@ def _finish_one(out_i: dict, mb_w: int, mb_h: int, width: int, height: int,
     enc.uvmode = out_i["uvmodes"].reshape(mb_h, mb_w)
     enc.skip = out_i["skip"].reshape(mb_h, mb_w).copy()
     enc.is_i4 = out_i["is_i4"].reshape(mb_h, mb_w).copy()
-    enc.apply_device_plan(out_i["seg_map"], out_i["seg_q"], out_i["seg_beta"])
+    enc.apply_device_plan(out_i["seg_map"], out_i["seg_q"],
+                          out_i["seg_beta"], dq_uv=out_i.get("dq_uv"))
     return enc._finish_bitstream()
 
 
@@ -88,8 +89,11 @@ class DeviceVP8Encoder(VP8Encoder):
         cfg = dataclasses.replace(cfg, segments=1, sns_strength=0)
         super().__init__(y, u, v, width, height, cfg)
 
-    def apply_device_plan(self, seg_map, seg_q, seg_beta) -> None:
-        """Installs the device-computed segmentation into the header plan."""
+    def apply_device_plan(self, seg_map, seg_q, seg_beta,
+                          dq_uv=None) -> None:
+        """Installs the device-computed segmentation into the header plan.
+        dq_uv: optional (dq_uv_dc, dq_uv_ac) the device quantized chroma
+        with — written into the frame header (encode.py:809)."""
         if self.dev_segments <= 1 or self.mb_h * self.mb_w < 4:
             return
         from .analysis import finalize_device_plan
@@ -97,6 +101,9 @@ class DeviceVP8Encoder(VP8Encoder):
         plan = finalize_device_plan(seg_map, seg_q, seg_beta,
                                     self.cfg.filter_strength,
                                     self.cfg.filter_sharpness)
+        if dq_uv is not None:
+            plan.dq_uv_dc = int(dq_uv[0])
+            plan.dq_uv_ac = int(dq_uv[1])
         self.plan = plan
         self.num_segments = plan.num_segments
         self.segment_map = plan.segment_map.reshape(self.mb_h, self.mb_w)
@@ -151,7 +158,8 @@ class DeviceVP8Encoder(VP8Encoder):
         self.is_i4 = host["is_i4"][0].reshape(
             self.mb_h, self.mb_w).copy()
         self.apply_device_plan(host["seg_map"][0], host["seg_q"][0],
-                               host["seg_beta"][0])
+                               host["seg_beta"][0],
+                               dq_uv=host.get("dq_uv", [[0, 0]])[0])
         return self._finish_bitstream()
 
     def _finish_bitstream(self) -> bytes:

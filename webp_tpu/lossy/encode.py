@@ -252,9 +252,15 @@ class VP8Encoder:
             rate += FIXED_COSTS_I16[mode]
             score = self._rd_score(lam["i16"], rate, disto)
             if best is None or score < best[0]:
-                best = (score, mode, lv, y2_lv, rec, coeffs, pred_b, rec_dcs)
+                best = (score, mode, lv, y2_lv, rec, coeffs, pred_b, rec_dcs,
+                        rate, disto)
         (i16_score, i16_mode, i16_lv, i16_y2lv, rec16,
-         i16_coeffs, i16_pred_b, i16_rec_dcs) = best
+         i16_coeffs, i16_pred_b, i16_rec_dcs, i16_rate, i16_disto) = best
+        # The I4-vs-I16 split compares both candidates at lambda_mode
+        # (reference pickBestModeParallel, encode_parallel.go:565-571:
+        # bestScore16 = RDScore(disto16, rate16, seg.LambdaMode)); the
+        # per-candidate searches above/below keep their own lambdas.
+        i16_score_mode = self._rd_score(lam["mode"], i16_rate, i16_disto)
 
         # Trellis refinement of the chosen I16 AC blocks (method >= 5).
         if self.cfg.method >= 5:
@@ -281,7 +287,8 @@ class VP8Encoder:
 
         use_i4 = False
         if self.cfg.i4_blocks and self.cfg.method >= 3:
-            r = self._pick_i4(src, B, mb_x, mb_y, i16_score, tnz, lnz, y1q, lam)
+            r = self._pick_i4(src, B, mb_x, mb_y, i16_score_mode, tnz, lnz,
+                              y1q, lam)
             if r is not None:
                 use_i4 = True
                 i4_modes, i4_levels, rec4 = r
@@ -403,6 +410,7 @@ class VP8Encoder:
         """Sequential 4x4 RD mode search; None if I16 wins."""
         if y1q is None:
             y1q, lam = self.y1, {"i4": self.lambda_i4,
+                                 "mode": self.lambda_mode,
                                  "i4_penalty": self.i4_penalty}
         from . import cost as C
 
@@ -425,6 +433,10 @@ class VP8Encoder:
         if cap <= 0:
             return None
         lam_i4 = lam["i4"]
+        # Accumulated-total comparisons against the (lambda_mode-scored)
+        # I16 candidate run at lambda_mode too — reference
+        # tryI4ModesRDParallel, encode_parallel.go:808.
+        lam_mode = lam["mode"]
         for n in range(16):
             r, c = n >> 2, n & 3
             top = work[r * 4, 1 + c * 4 : 5 + c * 4]
@@ -472,9 +484,9 @@ class VP8Encoder:
             total_header += int(C.FIXED_COSTS_I4[tmode, lmode, mode])
             if total_header > cap:
                 return None
-            if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
+            if self._rd_score(lam_mode, total_rate, total_disto) >= i16_score:
                 return None
-        if self._rd_score(lam_i4, total_rate, total_disto) >= i16_score:
+        if self._rd_score(lam_mode, total_rate, total_disto) >= i16_score:
             return None
         self._top_bmodes[mb_x] = top_modes
         self._left_bmodes = left_modes

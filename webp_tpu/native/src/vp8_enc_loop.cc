@@ -1125,6 +1125,7 @@ static void MBHalo(const uint8_t* plane, int stride, int x0, int y0, int size,
 struct Quantizers {
   SQ y1, y2, uv;
   int64_t lam_i16, lam_i4, lam_uv;
+  int64_t lam_mode;  // final I4-vs-I16 decision lambda ((q_i4^2)>>7)
   int64_t tlam_i16, tlam_i4;
 };
 
@@ -1177,6 +1178,8 @@ void vp8_encode_mbs(
     SEG[s].tlam_i16 = t16 > 1 ? t16 : 1;
     int64_t t4 = (7 * qi * qi) >> 3;
     SEG[s].tlam_i4 = t4 > 1 ? t4 : 1;
+    int64_t lm = (qi * qi) >> 7;  // encode.py lam["mode"]
+    SEG[s].lam_mode = lm > 1 ? lm : 1;
   }
 
   std::vector<uint32_t> top_nz(mb_w, 0);
@@ -1237,6 +1240,7 @@ void vp8_encode_mbs(
       // encode.go maps low methods to rd_opt=none the same way).
       auto tp0 = now();
       int64_t i16_score = 0;
+      int64_t i16_rate = 0, i16_disto = 0;
       int i16_mode = 0;
       int32_t i16_lv[16][16], i16_y2lv[16];
       int32_t i16_coeffs[16][16], i16_pred[256], i16_rec_dcs[16];
@@ -1316,6 +1320,8 @@ void vp8_encode_mbs(
         if (!have_best || score < i16_score) {
           have_best = true;
           i16_score = score;
+          i16_rate = rate;
+          i16_disto = disto;
           i16_mode = mode;
           memcpy(i16_lv, lv, sizeof(lv));
           memcpy(i16_y2lv, y2lv, sizeof(y2lv));
@@ -1361,6 +1367,10 @@ void vp8_encode_mbs(
       int32_t i4_levels[16][16];
       int32_t work[17 * 21];
       if (i4_blocks && method >= 3 && i4_header_cap > 0) {
+        // The I4-vs-I16 split compares both totals at lam_mode (encode.py
+        // _encode_mb: i16_score_mode; reference encode_parallel.go:565).
+        const int64_t i16_score_mode =
+            i16_rate * Q.lam_mode + 256 * i16_disto;
         memcpy(work, B, sizeof(work));
         int32_t mb_tr[4];
         for (int i = 0; i < 4; ++i) mb_tr[i] = B[17 + i];
@@ -1470,10 +1480,12 @@ void vp8_encode_mbs(
           lmodes[r] = (uint8_t)best_mode;
           total_header += fixed_costs_i4[(tmode * 10 + lmode) * 10 + best_mode];
           if (total_header > i4_header_cap) ok = false;
-          if (ok && total_rate * Q.lam_i4 + 256 * total_disto >= i16_score)
+          if (ok &&
+              total_rate * Q.lam_mode + 256 * total_disto >= i16_score_mode)
             ok = false;
         }
-        if (ok && total_rate * Q.lam_i4 + 256 * total_disto < i16_score) {
+        if (ok &&
+            total_rate * Q.lam_mode + 256 * total_disto < i16_score_mode) {
           use_i4 = true;
           memcpy(top_bmodes.data() + mb_x * 4, tmodes, 4);
           memcpy(left_bmodes, lmodes, 4);

@@ -105,6 +105,13 @@ def all_q_tables():
             lam_i4.astype(np.float32), qi4)
 
 
+def _lam_mode_table(qi4):
+    """LambdaMode per quant index: max((q_i4^2)>>7, 1) — the I4-vs-I16
+    split lambda (reference setupSegment, encode.go:1122)."""
+    return np.maximum((qi4.astype(np.int64) ** 2) >> 7, 1) \
+        .astype(np.float32)
+
+
 def rd_params(quality: int):
     """Quantizers + RD lambdas, identical to VP8Encoder.__init__."""
     from .pipeline import quant_params
@@ -301,8 +308,9 @@ def _hist_alpha(coeffs):
     return jnp.minimum(alpha, 255)
 
 
-def _mb_alphas(Y, U, V, mb_w, mb_h):
-    """Per-MB texture alphas [n_mb] (compute_alphas analog)."""
+def _mb_alphas2(Y, U, V, mb_w, mb_h):
+    """Per-MB (texture alpha, pre-mix UV alpha) [n_mb] each
+    (compute_alphas analog; the UV component feeds dq_uv_ac)."""
     n_mb = mb_w * mb_h
     yb = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
                 .reshape(n_mb, 16, 16), 16)
@@ -317,7 +325,62 @@ def _mb_alphas(Y, U, V, mb_w, mb_h):
     dcu = jnp.round(uvb.mean(axis=(1, 2, 3))).astype(jnp.int32)
     uv = _hist_alpha(dct.fdct4x4(uvb, dcu[:, None, None, None])
                      .reshape(n_mb, 8, 16))
-    return jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
+    return jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255), uv
+
+
+def _mb_alphas(Y, U, V, mb_w, mb_h):
+    """Per-MB texture alphas [n_mb] (compute_alphas analog)."""
+    return _mb_alphas2(Y, U, V, mb_w, mb_h)[0]
+
+
+def _uv_deltas(guv, sns):
+    """UV quantizer deltas (reference setSegmentParams,
+    encode_analysis.go:163-170): DC boosted from SNS strength (static),
+    AC following the image's mean pre-mix UV alpha (traced).
+
+    The mid-point is 94, not the reference's 64: our UV alpha comes from
+    DC-of-source prediction histograms (one joint U+V histogram), which
+    reads ~30 higher than the reference's best-mode per-plane alpha on
+    the same content — calibrated so the emitted dq_uv_ac matches
+    libwebp's on the benchmark corpus.
+    Returns (dq_uv_dc int, dq_uv_ac int32 array like guv)."""
+    dq_dc = max(-15, min(15, -4 * sns // 100))
+    dq_ac = (guv - 94) * (6 - (-4)) // (100 - 30)
+    dq_ac = jnp.clip(dq_ac * sns // 100, -4, 6)
+    return dq_dc, dq_ac
+
+
+def _uv_rows_delta(q_idx, dq_dc, dq_ac):
+    """UV quant rows [..., 4seg, 4param, 16] honoring the dc/ac deltas.
+
+    Stitched per zigzag position from the single-index uv table (whose
+    position 0 carries the DC quant with the 117 clip baked in, 1..15
+    the AC quant): position 0 selected at q+dq_dc, the rest at q+dq_ac.
+    q_idx: [..., 4] i32; dq_ac broadcasts over the segment axis.
+    """
+    tabs, *_ = all_q_tables()
+    tab_uv = jnp.asarray(tabs["uv"].reshape(128, 64), jnp.int32)
+    oh_dc = jax.nn.one_hot(jnp.clip(q_idx + dq_dc, 0, 127), 128,
+                           dtype=jnp.int32)
+    oh_ac = jax.nn.one_hot(jnp.clip(q_idx + dq_ac[..., None], 0, 127), 128,
+                           dtype=jnp.int32)
+    rows_dc = jnp.einsum("...q,qf->...f", oh_dc, tab_uv)
+    rows_ac = jnp.einsum("...q,qf->...f", oh_ac, tab_uv)
+    shape = q_idx.shape + (4, 16)
+    rows_dc = rows_dc.reshape(shape)
+    rows_ac = rows_ac.reshape(shape)
+    pos0 = jnp.asarray(np.arange(16) == 0)
+    return jnp.where(pos0, rows_dc, rows_ac)
+
+
+def _lam_uv_of(uv_rows):
+    """Per-segment UV lambda from (possibly delta-stitched) uv quant rows
+    [..., 4seg, 4param, 16]: lam = max((3*q_uv^2)>>6, 1), q_uv from the
+    row's actual dc/ac steps (reference setupSegment, encode.go:1118)."""
+    uvdc = uv_rows[..., 0, 0]
+    uvac = uv_rows[..., 0, 1]
+    q_uv = (uvdc + 15 * uvac + 8) >> 4
+    return jnp.maximum((3 * q_uv * q_uv) >> 6, 1).astype(jnp.float32)
 
 
 def _plan_from_histo(histo, alphas, quality, sns_strength, num_segs=4):
@@ -385,10 +448,13 @@ def _plan_from_histo(histo, alphas, quality, sns_strength, num_segs=4):
 
 def _segment_plan_device(Y, U, V, mb_w, mb_h, quality, sns_strength,
                          num_segs=4):
-    """Returns (seg_map [n_mb] i32, q_idx [4] i32, beta [4] i32)."""
-    alphas = _mb_alphas(Y, U, V, mb_w, mb_h)
+    """Returns (seg_map [n_mb] i32, q_idx [4] i32, beta [4] i32,
+    global_uv i32 scalar — mean pre-mix UV alpha)."""
+    alphas, uv = _mb_alphas2(Y, U, V, mb_w, mb_h)
+    guv = uv.sum() // (mb_w * mb_h)
     histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(axis=1)
-    return _plan_from_histo(histo, alphas, quality, sns_strength, num_segs)
+    return _plan_from_histo(histo, alphas, quality, sns_strength,
+                            num_segs) + (guv,)
 
 
 def _seg_select(rows, seg_map):
@@ -399,14 +465,16 @@ def _seg_select(rows, seg_map):
                                jnp.where(s == 2, rows[2], rows[3])))
 
 
-def _mb_quant(seg_map, q_idx, n_mb):
+def _mb_quant(seg_map, q_idx, n_mb, dq_uv=None):
     """Expands per-segment quant indices to per-MB quantizer rows.
 
     Returns dict like quant_params() but with [n_mb, 1, 16] arrays, plus
     per-MB lambda vectors (float32 [n_mb]). All int32 selects — the only
     128-wide operation is the tiny one-hot over the 4 segment q indices.
+    dq_uv: optional (dq_uv_dc int, dq_uv_ac i32 scalar) UV quant deltas
+    (reference setupSegment's q+dq clip, encode.go:1104-1108).
     """
-    tabs, lam_i16, lam_uv, lam_i4, _ = all_q_tables()
+    tabs, lam_i16, lam_uv, lam_i4, qi4 = all_q_tables()
     oh_q = jax.nn.one_hot(q_idx, 128, dtype=jnp.int32)          # [4, 128]
     qp = {}
     seg_rows = {}
@@ -414,17 +482,26 @@ def _mb_quant(seg_map, q_idx, n_mb):
         tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
         rows = (oh_q[:, :, None] * tab[None]).sum(axis=1)       # [4, 64]
         seg_rows[k] = rows.reshape(4, 4, 16)
+        if k == "uv" and dq_uv is not None:
+            seg_rows[k] = _uv_rows_delta(q_idx, dq_uv[0],
+                                         jnp.asarray(dq_uv[1]))
         mb = _seg_select(seg_rows[k], seg_map)                  # [n, 4, 16]
         qp[k] = tuple(mb[:, i][:, None, :] for i in range(4))
     lam16_s = (oh_q * jnp.asarray(lam_i16, jnp.float32)).sum(axis=1)  # [4]
-    lamuv_s = (oh_q * jnp.asarray(lam_uv, jnp.float32)).sum(axis=1)
+    if dq_uv is not None:
+        lamuv_s = _lam_uv_of(seg_rows["uv"])
+    else:
+        lamuv_s = (oh_q * jnp.asarray(lam_uv, jnp.float32)).sum(axis=1)
     lami4_s = (oh_q * jnp.asarray(lam_i4, jnp.float32)).sum(axis=1)
+    lammd_s = (oh_q * jnp.asarray(_lam_mode_table(qi4),
+                                  jnp.float32)).sum(axis=1)
     lam16 = _seg_select(lam16_s, seg_map)
     lamuv = _seg_select(lamuv_s, seg_map)
     lami4 = _seg_select(lami4_s, seg_map)
-    return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4,
+    lammd = _seg_select(lammd_s, seg_map)
+    return (qp, {"i16": lam16, "uv": lamuv, "i4": lami4, "mode": lammd,
                  "i4_seg": lami4_s, "i16_seg": lam16_s,
-                 "uv_seg": lamuv_s}, seg_rows)
+                 "uv_seg": lamuv_s, "mode_seg": lammd_s}, seg_rows)
 
 
 def _tlsd_static(sns: int, q_i4: int, n_mb: int):
@@ -475,20 +552,25 @@ def _i4_dispatch(Y, src_b, qp_i, lam_i, seg, rt, mb_w, mb_h, i16_score,
             seg_map, seg_rows = seg
             qtab = seg_rows["y1"].reshape(16, 16).astype(jnp.int32)
             lam4 = lam_i["i4_seg"]
+            lam_mode4 = lam_i.get("mode_seg", lam4)
         else:
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             one = jnp.stack([jnp.asarray(a, jnp.int32).reshape(16)
                              for a in qp_i["y1"]])              # [4, 16]
             qtab = jnp.tile(one, (4, 1))
             lam4 = jnp.full((4,), lam_i["i4"], jnp.float32)
+            lam_mode4 = jnp.full((4,), lam_i.get("mode", lam_i["i4"]),
+                                 jnp.float32)
         try:
             return I4.i4_search_pallas(Y, src_b, seg_map, qtab, lam4, rt,
-                                       mb_w, mb_h, i16_score, tlsd4=tlsd4)
+                                       mb_w, mb_h, i16_score, tlsd4=tlsd4,
+                                       lam_mode4=lam_mode4)
         except Exception:
             pass
     return I4.i4_search(Y, src_b, qp_i["y1"], lam_i["i4"], rt, mb_w, mb_h,
                         i16_score, approx_block_rate, tlsd=tlsd,
-                        allow_tr=allow_tr)
+                        allow_tr=allow_tr,
+                        lam_mode=lam_i.get("mode", lam_i["i4"]))
 
 
 # ---------------------------------------------------------------------------
@@ -543,6 +625,8 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
     src_b = _block(Y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
                    .reshape(n_mb, 16, 16), 16)                      # [n,16,4,4]
     best_score = jnp.full((n_mb,), jnp.inf, jnp.float32)
+    best_rate = jnp.zeros((n_mb,), jnp.float32)
+    best_D = jnp.zeros((n_mb,), jnp.float32)
     best_mode = jnp.zeros((n_mb,), jnp.uint8)
     preds = _preds4(16, topY, leftY, tlY, has_top, has_left)        # [n,4,16,16]
     if tlsd is not None:
@@ -562,8 +646,7 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
         rate = approx_block_rate(lv, 1, 0, rt).sum(axis=-1)
         rate = rate + approx_block_rate(y2lv, 0, 1, rt)
         rate = rate + FIXED_COSTS_I16[m]
-        score = (rate.astype(jnp.float32) * lambdas["i16"]
-                 + 64.0 * disto_td.astype(jnp.float32))
+        D = 64.0 * disto_td.astype(jnp.float32)
         if tlsd is not None:
             # Perceptual texture distortion (reference TDisto16x16 +
             # TLambdaSD, encode_analysis.go:1180): SD ~= tlsd * td in the
@@ -571,10 +654,17 @@ def _phase1(Y, U, V, qp, lambdas, rt: RateTables, mb_w, mb_h,
             ha_rec = jnp.sum(wt * jnp.abs(M._hadamard4(recon)),
                              axis=(-2, -1))
             td = (jnp.abs(ha_rec - ha_src) >> 5).sum(axis=-1)
-            score = score + tlsd * td.astype(jnp.float32)
+            D = D + tlsd * td.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lambdas["i16"] + D
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
+        best_rate = jnp.where(better, rate.astype(jnp.float32), best_rate)
+        best_D = jnp.where(better, D, best_D)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
+    # The returned score is the winner's total rescored at lambda_mode —
+    # the I4-vs-I16 split comparison scale (reference
+    # encode_parallel.go:565; selection above runs at lambda_i16).
+    best_score = best_rate * lambdas.get("mode", lambdas["i16"]) + best_D
 
     # --- Chroma (joint U+V score).
     topU, leftU, tlU = contexts(U, 8, hu)
@@ -866,7 +956,7 @@ def unpack_levels(packed, esc_idx, esc_blk, esc_cnt, n_mb):
 # variants). Fixed so host offsets are static per geometry.
 BLOB_ORDER = ("packed", "esc_idx", "esc_val", "esc_cnt", "y2", "modes",
               "uvmodes", "skip", "is_i4", "imodes", "seg_map", "seg_q",
-              "seg_beta")
+              "seg_beta", "dq_uv")
 BLOB_CHUNKS = 4  # parallel fetch streams (the tunnel caps per-stream)
 
 
@@ -919,13 +1009,20 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
              hv.astype(jnp.int32))
     sns = max(0, int(sns_strength))
     if segments > 1:
-        alphas = _mb_alphas(Y, U, V, mb_w, mb_h)
+        alphas, uv_al = _mb_alphas2(Y, U, V, mb_w, mb_h)
         histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(axis=1)
+        uv_sum = uv_al.sum()
+        tot_mb = jnp.int32(n_mb)
         if psum_axis is not None:
             histo = jax.lax.psum(histo, psum_axis)
+            uv_sum = jax.lax.psum(uv_sum, psum_axis)
+            tot_mb = jax.lax.psum(tot_mb, psum_axis)
         seg_map, seg_q, seg_beta = _plan_from_histo(
             histo, alphas, quality, sns_strength, segments)
-        qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+        guv = uv_sum // tot_mb
+        dq = _uv_deltas(guv, sns)
+        dq_uv = jnp.stack([jnp.int32(dq[0]), dq[1].astype(jnp.int32)])
+        qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb, dq_uv=dq)
         seg = (seg_map, seg_rows)
         tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
     else:
@@ -935,6 +1032,7 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
         seg_map = jnp.zeros((n_mb,), jnp.int32)
         seg_q = jnp.zeros((4,), jnp.int32)
         seg_beta = jnp.zeros((4,), jnp.int32)
+        dq_uv = jnp.zeros((2,), jnp.int32)
         seg = None
     modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt, mb_w, mb_h,
                                         halos=halos, has_above=has_above,
@@ -970,7 +1068,8 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
             "esc_cnt": esc_cnt, "y2": y2, "modes": modes,
             "uvmodes": uvmodes, "skip": skip, "is_i4": is_i4,
             "imodes": imodes, "seg_map": seg_map.astype(jnp.uint8),
-            "seg_q": seg_q, "seg_beta": seg_beta, "hist": hist}
+            "seg_q": seg_q, "seg_beta": seg_beta, "dq_uv": dq_uv,
+            "hist": hist}
 
 
 @functools.lru_cache(maxsize=8)
@@ -1014,9 +1113,12 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         V = V.astype(jnp.int32)
         sns = max(0, int(sns_strength))
         if use_segments:
-            seg_map, seg_q, seg_beta = _segment_plan_device(
+            seg_map, seg_q, seg_beta, guv = _segment_plan_device(
                 Y, U, V, mb_w, mb_h, quality, sns_strength, segments)
-            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+            dq = _uv_deltas(guv, sns)
+            dq_uv = jnp.stack([jnp.int32(dq[0]), dq[1].astype(jnp.int32)])
+            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb,
+                                              dq_uv=dq)
             seg = (seg_map, seg_rows)
             tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
             lam4 = lam_i["i4_seg"]
@@ -1026,6 +1128,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
+            dq_uv = jnp.zeros((2,), jnp.int32)
             qp_i, lam_i, seg, seg_rows = qp, lambdas, None, None
             tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
             lam4 = lam16_4 = lamuv_4 = jnp.zeros((4,), jnp.float32)
@@ -1090,9 +1193,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             alphas_k = (P1.alphas_planar_pallas(src_rows[0], B, n_mb,
                                                 src_rows[2])
                         if p1_kernel else None)
-            seg_map, seg_q, seg_beta = P1.plan_segments_planar(
+            seg_map, seg_q, seg_beta, guv = P1.plan_segments_planar(
                 srcY, srcU, srcV, B, n_mb, quality, sns_strength, segments,
                 alphas=alphas_k)
+            dq_dc, dq_ac = _uv_deltas(guv, sns)                 # [B]
             seg_lane = seg_map.reshape(L)
             # Per-image [4seg, 4param, 16] quant rows via one-hot over the
             # 128 quant indices (tiny).
@@ -1103,6 +1207,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 tab = jnp.asarray(tabs[k].reshape(128, 64), jnp.int32)
                 rows = jnp.einsum("bsq,qf->bsf", oh_q, tab)     # [B, 4, 64]
                 seg_rows[k] = rows.reshape(B, 4, 4, 16)
+                if k == "uv":
+                    # UV rows honor the dc/ac deltas (header-signalled;
+                    # reference setupSegment, encode.go:1104-1108).
+                    seg_rows[k] = _uv_rows_delta(seg_q, dq_dc, dq_ac)
                 if p1_kernel:
                     continue
                 # [B,4seg,4par,16] -> [4seg,4par,16,L] lane broadcast
@@ -1126,9 +1234,19 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 return segv, _seg_select_p(r, seg_lane)
 
             lam16_4b, lam16_l = lane_of(lam_i16_t)
-            lamuv_4b, lamuv_l = lane_of(lam_uv_t)
+            # lam_uv follows the delta-stitched uv quant steps.
+            lamuv_4b = _lam_uv_of(seg_rows["uv"])               # [B, 4]
+            if p1_kernel:
+                lamuv_l = None
+            else:
+                from .planar import _seg_select_p
+
+                lamuv_l = _seg_select_p(
+                    jnp.broadcast_to(lamuv_4b.T[..., None],
+                                     (4, B, n_mb)).reshape(4, L), seg_lane)
             lam4_4b, lam4_l = lane_of(lam_i4_t)
-            lam_l = {"i16": lam16_l, "uv": lamuv_l}
+            lammd_4b, lammd_l = lane_of(_lam_mode_table(qi4_t))
+            lam_l = {"i16": lam16_l, "uv": lamuv_l, "mode": lammd_l}
             if sns > 0:
                 qi4_seg = jnp.take(jnp.asarray(qi4_t, jnp.int32), seg_q)
                 tlsd4 = ((sns * qi4_seg) >> 5).astype(jnp.float32)  # [B, 4]
@@ -1143,14 +1261,18 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                         seg_lane)
             else:
                 tlsd4, tlsd_l = None, None
+            dq_uv_b = jnp.stack([jnp.full((B,), dq_dc, jnp.int32),
+                                 dq_ac.astype(jnp.int32)], axis=1)
         else:
+            dq_uv_b = jnp.zeros((B, 2), jnp.int32)
             seg_map = jnp.zeros((B, n_mb), jnp.int32)
             seg_q = jnp.zeros((B, 4), jnp.int32)
             seg_beta = jnp.zeros((B, 4), jnp.int32)
             seg_rows = None
             qp_rows = {k: tuple(jnp.asarray(a, jnp.int32).reshape(16, 1)
                                 for a in qp[k]) for k in ("y1", "y2", "uv")}
-            lam_l = {"i16": lambdas["i16"], "uv": lambdas["uv"]}
+            lam_l = {"i16": lambdas["i16"], "uv": lambdas["uv"],
+                     "mode": lambdas["mode"]}
             tlsd4_s, tlsd_s = _tlsd_static(sns, q_i4_static, n_mb)
             tlsd4 = (jnp.broadcast_to(tlsd4_s, (B, 4))
                      if tlsd4_s is not None else None)
@@ -1161,6 +1283,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 jnp.full((4,), lambdas["i16"], jnp.float32), (B, 4))
             lamuv_4b = jnp.broadcast_to(
                 jnp.full((4,), lambdas["uv"], jnp.float32), (B, 4))
+            lammd_4b = jnp.broadcast_to(
+                jnp.full((4,), lambdas["mode"], jnp.float32), (B, 4))
         if p1_kernel:
             if use_segments:
                 qtabs = jnp.stack([seg_rows[k] for k in ("y1", "y2", "uv")],
@@ -1174,7 +1298,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                                 .reshape(48, 16)), (B, 48, 16))
             modes, uvmodes, i16_score = P1.phase1_planar_pallas(
                 Yb, Ub, Vb, qtabs, lam16_4b, lamuv_4b, tlsd4, seg_map,
-                rt, mb_w, mb_h, src_rows=src_rows)
+                rt, mb_w, mb_h, src_rows=src_rows, lam_mode4=lammd_4b)
         else:
             modes, uvmodes, i16_score = P1.phase1_planar(
                 Yb, Ub, Vb, qp_rows, lam_l, rt, mb_w, mb_h, tlsd=tlsd_l,
@@ -1182,7 +1306,8 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         if i4_blocks:
             pallas_on = _pallas_enabled() and sk != 2
 
-            def i4_one(Y, i16s, seg_m, seg_q_i, seg_r, lam4_b, tlsd4_b):
+            def i4_one(Y, i16s, seg_m, seg_q_i, seg_r, lam4_b, lammd_b,
+                       tlsd4_b):
                 Y = Y.astype(jnp.int32)
                 src_b = _block(Y.reshape(mb_h, 16, mb_w, 16)
                                .transpose(0, 2, 1, 3)
@@ -1190,7 +1315,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 t4 = tlsd4_b if sns > 0 else None
                 if use_segments and pallas_on:
                     seg_i = (seg_m, {"y1": seg_r})
-                    lam_i = {"i4_seg": lam4_b}
+                    lam_i = {"i4_seg": lam4_b, "mode_seg": lammd_b}
                     qp_i, tl = None, None
                 elif use_segments:
                     # jnp fallback (CPU / skew-2): per-MB quant rows.
@@ -1207,14 +1332,14 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 Yb, i16_score, seg_map, seg_q,
                 (seg_rows["y1"] if use_segments
                  else jnp.zeros((B, 4, 4, 16), jnp.int32)),
-                lam4_4b,
+                lam4_4b, lammd_4b,
                 (tlsd4 if tlsd4 is not None
                  else jnp.zeros((B, 4), jnp.float32)))
         else:
             is_i4 = jnp.zeros((B, n_mb), bool)
             i4_modes = jnp.zeros((B, n_mb, 16), jnp.uint8)
         return (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
-                seg_rows, lam4_4b, lam16_4b, lamuv_4b)
+                seg_rows, lam4_4b, lam16_4b, lamuv_4b, lammd_4b, dq_uv_b)
 
     def encode_batch(Yb, Ub, Vb):
         """Batched encoder: planar phase 0/1 (ops/phase1p.py), then the
@@ -1224,17 +1349,18 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         trellis/skew-2 configurations the kernel does not cover."""
         from . import planar as PL
 
-        (modes, uvmodes, is_i4, i4_modes,
-         seg_map, seg_q, seg_beta, seg_rows, lam4, lam16_4, lamuv_4) = \
+        (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
+         seg_rows, lam4, lam16_4, lamuv_4, lammd_4, dq_uv_b) = \
             part1_batched(Yb, Ub, Vb)
         seg = (seg_map, seg_rows) if use_segments else None
         i4_ctx = (is_i4, i4_modes) if i4_blocks else None
         search = None
         if i4_mode_search and i4_blocks:
-            # 4th element switches on the closed-loop UV mode search too.
-            search = ((rt, lam4, lam16_4, lamuv_4) if use_segments
+            # 4th element switches on the closed-loop UV mode search too;
+            # 5th is the split-decision lambda (reference LambdaMode).
+            search = ((rt, lam4, lam16_4, lamuv_4, lammd_4) if use_segments
                       else (rt, lambdas["i4"], lambdas["i16"],
-                            lambdas["uv"]))
+                            lambdas["uv"], lambdas["mode"]))
         # The P2 grid kernel is bit-identical to the planar scan but
         # measured SLOWER on v5e (378 vs 463 Mpx/s at the bench shape:
         # its sequential grid serializes DMA waves the scan overlaps),
@@ -1257,7 +1383,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
             return dict(wire,
                         modes=modes, uvmodes=uvmodes, is_i4=is_i4,
                         imodes=imodes, seg_map=seg_map.astype(jnp.uint8),
-                        seg_q=seg_q, seg_beta=seg_beta)
+                        seg_q=seg_q, seg_beta=seg_beta, dq_uv=dq_uv_b)
         out = PL.phase2_planar(
             Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
             rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis,
@@ -1266,8 +1392,10 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         if search is not None:
             i4_modes, is_i4 = out[4], out[5]
             uvmodes = out[6]
-        return jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
-                               seg_map, seg_q, seg_beta)
+        res = jax.vmap(part3)(lv24, y2, modes, uvmodes, is_i4, i4_modes,
+                              seg_map, seg_q, seg_beta)
+        res["dq_uv"] = dq_uv_b
+        return res
 
     def encode_one(Y, U, V):
         Y = Y.astype(jnp.int32)
@@ -1275,15 +1403,19 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
         V = V.astype(jnp.int32)
         sns = max(0, int(sns_strength))
         if use_segments:
-            seg_map, seg_q, seg_beta = _segment_plan_device(
+            seg_map, seg_q, seg_beta, guv = _segment_plan_device(
                 Y, U, V, mb_w, mb_h, quality, sns_strength, segments)
-            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb)
+            dq = _uv_deltas(guv, sns)
+            dq_uv = jnp.stack([jnp.int32(dq[0]), dq[1].astype(jnp.int32)])
+            qp_i, lam_i, seg_rows = _mb_quant(seg_map, seg_q, n_mb,
+                                              dq_uv=dq)
             seg = (seg_map, seg_rows)
             tlsd4, tlsd = _tlsd_from_seg(sns, seg_q, seg_map)
         else:
             seg_map = jnp.zeros((n_mb,), jnp.int32)
             seg_q = jnp.zeros((4,), jnp.int32)
             seg_beta = jnp.zeros((4,), jnp.int32)
+            dq_uv = jnp.zeros((2,), jnp.int32)
             qp_i, lam_i, seg = qp, lambdas, None
             tlsd4, tlsd = _tlsd_static(sns, q_i4_static, n_mb)
         modes, uvmodes, i16_score = _phase1(Y, U, V, qp_i, lam_i, rt,
@@ -1313,7 +1445,7 @@ def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                 "uvmodes": uvmodes, "skip": skip, "is_i4": is_i4,
                 "imodes": imodes,
                 "seg_map": seg_map.astype(jnp.uint8), "seg_q": seg_q,
-                "seg_beta": seg_beta}
+                "seg_beta": seg_beta, "dq_uv": dq_uv}
 
     def to_yuv(rgb):
         if sharp_yuv:

@@ -27,7 +27,14 @@ from . import dct
 from .quant import quantize
 
 ZIGZAG = np.asarray(T.ZIGZAG)
-I4_MODE_COST = np.asarray(FIXED_COSTS_I4).mean(axis=(0, 1)).astype(np.int32)
+# Static per-mode signalling cost for the open-loop selection. The real
+# coder's cost is conditioned on the neighbor B-modes (FIXED_COSTS_I4
+# [top][left][mode]); the DC,DC row is the dominant context by far and —
+# unlike the all-context mean — prices non-DC modes at their typical
+# (expensive) cost, matching the reference's DC-heavy mode statistics.
+# The split decision corrects to true in-MB contexts via
+# ctx_mode_rate_delta below.
+I4_MODE_COST = np.asarray(FIXED_COSTS_I4)[0, 0].astype(np.int32)
 I4_OVERHEAD = 211  # i4 signalling overhead (libwebp constant)
 
 # Modes whose prediction reads the above-right strip (VE via its smoothing
@@ -38,6 +45,41 @@ I4_OVERHEAD = 211  # i4 signalling overhead (libwebp constant)
 # those predictors with the real strip but never selects them, so the
 # bitstream stays exactly closed-loop.
 TR_MODES = (2, 6, 7)
+
+
+def ctx_mode_rate_delta(i4_modes, mb_w, mb_h):
+    """Contextual I4 mode-signalling correction per MB.
+
+    The per-subblock searches price each mode with the context-averaged
+    FIXED_COSTS_I4 marginal; the real coder's cost is conditioned on the
+    top/left neighbor B-modes (reference tryI4ModesRDParallel,
+    encode_parallel.go:801: VP8FixedCostsI4[topMode][leftMode][mode]).
+    This recomputes the signalling rate of the CHOSEN mode pattern with
+    in-MB contexts exact and cross-MB context approximated as DC(0) —
+    the cross-MB approximation keeps the computation independent per MB,
+    so band-sharded (multi-chip) and batched paths agree bit-for-bit.
+
+    i4_modes: [..., n_mb, 16] int. Returns delta rate [..., n_mb] f32
+    (contextual minus flat), to be added to the i4 side of the split
+    decision as lambda_mode * delta.
+    """
+    lead = i4_modes.shape[:-2]
+    n_mb = i4_modes.shape[-2]
+    g = i4_modes.reshape(lead + (n_mb, 4, 4)).astype(jnp.int32)
+    zero = jnp.zeros(lead + (n_mb, 1, 4), jnp.int32)
+    t_ctx = jnp.concatenate([zero, g[..., :3, :]], axis=-2)
+    zero_c = jnp.zeros(lead + (n_mb, 4, 1), jnp.int32)
+    l_ctx = jnp.concatenate([zero_c, g[..., :, :3]], axis=-1)
+    fc = jnp.asarray(np.asarray(FIXED_COSTS_I4, np.float32)
+                     .reshape(10, 100))                       # [t, l*10+m]
+    oh_lm = jax.nn.one_hot(l_ctx * 10 + g, 100, dtype=jnp.float32)
+    m1 = jnp.einsum("...k,tk->...t", oh_lm, fc)               # [..., 10]
+    oh_t = jax.nn.one_hot(t_ctx, 10, dtype=jnp.float32)
+    cost = (m1 * oh_t).sum(axis=-1)                           # [..., 4, 4]
+    flat = jnp.einsum(
+        "...m,m->...", jax.nn.one_hot(g, 10, dtype=jnp.float32),
+        jnp.asarray(I4_MODE_COST, jnp.float32))
+    return (cost - flat).sum(axis=(-2, -1))
 
 
 def _a2(a, b):
@@ -171,7 +213,7 @@ def _sb_contexts(Y, mb_w, mb_h):
 
 
 def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
-              approx_block_rate, tlsd=None, allow_tr=False):
+              approx_block_rate, tlsd=None, allow_tr=False, lam_mode=None):
     """Open-loop I4 search. Returns (is_i4 [n_mb] bool, modes [n_mb,16] u8,
     i4_score [n_mb] f32).
 
@@ -179,13 +221,23 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
     rightmost subblock column — valid only when the closed-loop scan runs
     at skew 2 and supplies the real above-right MB strip (method >= 5).
 
+    Per-subblock mode selection runs at lam_i4; the returned i4_score —
+    and the is_i4 comparison against the (lam_mode-scored) i16_score —
+    are the chosen modes' totals rescored at lam_mode, mirroring the
+    reference's final split decision (encode_parallel.go:808:
+    RDScore(totalDisto, totalRate+211, seg.LambdaMode)).
+
     src_b: [n_mb, 16, 4, 4] source luma blocks; qp_y1: quant tuple
-    (broadcastable per MB); lam_i4: scalar or [n_mb] float32.
+    (broadcastable per MB); lam_i4/lam_mode: scalar or [n_mb] float32.
     """
+    if lam_mode is None:
+        lam_mode = lam_i4
     n_mb = mb_w * mb_h
     top, left, tl, tr = _sb_contexts(Y, mb_w, mb_h)
     preds = pred4_all(top, left, tl, tr)                   # 10 x [n,16,4,4]
     best_score = jnp.full((n_mb, 16), jnp.inf, jnp.float32)
+    best_rate = jnp.zeros((n_mb, 16), jnp.float32)
+    best_D = jnp.zeros((n_mb, 16), jnp.float32)
     best_mode = jnp.zeros((n_mb, 16), jnp.uint8)
     is_c3 = jnp.asarray((np.arange(16) % 4) == 3)[None, :]
     if tlsd is not None:
@@ -200,8 +252,7 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
         lv, dq = quantize(flat, *qp_y1, ZIGZAG)
         disto_td = ((flat - dq) ** 2).sum(axis=-1)
         rate = approx_block_rate(lv, 0, 3, rt) + int(I4_MODE_COST[m])
-        score = (rate.astype(jnp.float32) * lam_i4_col(lam_i4)
-                 + 64.0 * disto_td.astype(jnp.float32))
+        D = 64.0 * disto_td.astype(jnp.float32)
         if tlsd is not None:
             # Perceptual SD term (reference PickBestI4ModeRD,
             # encode_analysis.go:1243).
@@ -211,16 +262,24 @@ def i4_search(Y, src_b, qp_y1, lam_i4, rt, mb_w, mb_h, i16_score,
             ha_rec = jnp.sum(wt * jnp.abs(M._hadamard4(rec)),
                              axis=(-2, -1))
             td = jnp.abs(ha_rec - ha_src) >> 5
-            score = score + tlsd_col(tlsd) * td.astype(jnp.float32)
+            D = D + tlsd_col(tlsd) * td.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lam_i4_col(lam_i4) + D
         if m in TR_MODES and not allow_tr:
             # Forbid above-right-reading modes on the rightmost subblock
             # column so the skew-1 wavefront needs no above-right MB.
             score = jnp.where(is_c3, jnp.inf, score)
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
+        best_rate = jnp.where(better, rate.astype(jnp.float32), best_rate)
+        best_D = jnp.where(better, D, best_D)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
-    i4_score = (best_score.sum(axis=1)
-                + I4_OVERHEAD * lam_i4_flat(lam_i4))
+    # Same float association as the Pallas kernel path (per-subblock
+    # rescore, then sum): keeps jnp and kernel scores bit-identical.
+    score_md = best_rate * lam_i4_col(lam_mode) + best_D
+    i4_score = (score_md.sum(axis=1)
+                + I4_OVERHEAD * lam_i4_flat(lam_mode))
+    i4_score = i4_score + (ctx_mode_rate_delta(best_mode, mb_w, mb_h)
+                           * lam_i4_flat(lam_mode))
     return i4_score < i16_score, best_mode, i4_score
 
 
@@ -397,24 +456,29 @@ def _planar_inputs(Y, seg_map, mb_w, mb_h):
 
 
 def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
-                     i16_score, interpret=False, tlsd4=None):
+                     i16_score, interpret=False, tlsd4=None,
+                     lam_mode4=None):
     """Pallas-backed i4_search (ops/pallas_i4.py): same contexts, same
     quantizer/rate math, the whole 10-mode scoring fused in VMEM.
 
     seg_map: [n_mb] i32; qtab16: [16, 16] i32 ((seg*4+param) x zigzag);
-    lam4: [4] f32 per-segment I4 lambdas. Returns the i4_search triple.
-    (src_b is accepted for API parity but the kernel rebuilds the source
-    in its planar grid layout.)
+    lam4: [4] f32 per-segment I4 lambdas; lam_mode4: [4] f32 per-segment
+    split-decision lambdas (the kernel selects at lam4 and emits each
+    chosen subblock's lam_mode-rescored contribution — see i4_search).
+    Returns the i4_search triple. (src_b is accepted for API parity but
+    the kernel rebuilds the source in its planar grid layout.)
     """
     from . import pallas_i4 as P
 
+    if lam_mode4 is None:
+        lam_mode4 = lam4
     n_mb = mb_w * mb_h
     n_sb = n_mb * 16
     src16, ctx = _planar_inputs(Y.astype(jnp.int32), seg_map, mb_w, mb_h)
     mode_g, score_g = P.i4_scores_planar(
         src16, ctx, qtab16, lam4,
         rt.lvl[3], rt.tail[3], rt.eob[3], I4_MODE_COST, TR_MODES,
-        interpret=interpret, tlsd4=tlsd4)
+        interpret=interpret, tlsd4=tlsd4, lam_mode4=lam_mode4)
     # Grid order -> mb order (small outputs).
     SBX = mb_w * 4
 
@@ -424,8 +488,9 @@ def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
 
     best_mode = to_mb(mode_g.reshape(mb_h * 4, SBX)).astype(jnp.uint8)
     score = to_mb(score_g.reshape(mb_h * 4, SBX))
-    lam_mb = lam4[0] * jnp.ones((n_mb,), jnp.float32)
+    lam_mb = lam_mode4[0] * jnp.ones((n_mb,), jnp.float32)
     for s in range(1, 4):
-        lam_mb = jnp.where(seg_map == s, lam4[s], lam_mb)
+        lam_mb = jnp.where(seg_map == s, lam_mode4[s], lam_mb)
     i4_score = score.sum(axis=1) + I4_OVERHEAD * lam_mb
+    i4_score = i4_score + ctx_mode_rate_delta(best_mode, mb_w, mb_h) * lam_mb
     return i4_score < i16_score, best_mode, i4_score

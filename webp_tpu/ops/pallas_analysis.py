@@ -41,7 +41,7 @@ ZIGZAG = np.asarray(T.ZIGZAG)
 INV_ZZ = np.argsort(ZIGZAG)
 QFIX = 17
 MAX_LEVEL = 2047
-I4_MODE_COST = np.asarray(FIXED_COSTS_I4).mean(axis=(0, 1)).astype(np.int32)
+I4_MODE_COST = np.asarray(FIXED_COSTS_I4)[0, 0].astype(np.int32)
 WEIGHT_Y_FLAT = (38, 32, 20, 9, 32, 28, 17, 7,
                  20, 17, 10, 4, 9, 7, 4, 2)
 TAIL_BUCKETS = ((8, 11), (11, 19), (19, 35), (35, 1 << 30))
@@ -168,6 +168,9 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
     lam16 = lam_plane(0)
     lam4 = lam_plane(4)
     tlsd = lam_plane(8) if use_td else None
+    # Split-decision lambda (reference LambdaMode): selection runs at
+    # lam16/lam4, emitted scores are the winners' lam_md-rescored totals.
+    lam_md = lam_plane(12)
 
     # ---------------- shared transform machinery ----------------
 
@@ -353,6 +356,8 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
         return
 
     best_s4 = jnp.full((R, w), jnp.inf, jnp.float32)
+    best_r4 = jnp.zeros((R, w), jnp.float32)
+    best_D4 = jnp.zeros((R, w), jnp.float32)
     best_m4 = jnp.zeros((R, w), jnp.int32)
     for m in range(_NI4):
         pred = i4_pred(m)
@@ -363,19 +368,22 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
         e = jnp.abs(CO) - dqz
         disto = bsum_block(e * e, 4)
         rate = rate_sb(level, lvl3, tail3, eob3, 0) + int(mode_cost[m])
-        score = (rate.astype(jnp.float32) * lam4
-                 + 64.0 * disto.astype(jnp.float32))
+        D = 64.0 * disto.astype(jnp.float32)
         if use_td:
             dqn = jnp.where(CO < 0, -dqz, dqz)
             rec = jnp.clip(pred + idct_plane(dqn), 0, 255)
             ha_rec = bsum_block(w_plane * jnp.abs(hadamard_plane(rec)), 4)
             td = jnp.abs(ha_rec - ha_src) >> 5
-            score = score + tlsd * td.astype(jnp.float32)
+            D = D + tlsd * td.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lam4 + D
         if m in tr_modes and not allow_tr:
             score = jnp.where(c3, jnp.float32(np.inf), score)
         better = score < best_s4
         best_s4 = jnp.where(better, score, best_s4)
+        best_r4 = jnp.where(better, rate.astype(jnp.float32), best_r4)
+        best_D4 = jnp.where(better, D, best_D4)
         best_m4 = jnp.where(better, m, best_m4)
+    best_s4 = best_r4 * lam_md + best_D4
 
     # ---------------- I16: 4-mode search ----------------
 
@@ -403,7 +411,10 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
     qy2 = qplanes(16, zz2)
 
     best_s16 = jnp.full((R, w), jnp.inf, jnp.float32)
+    best_r16 = jnp.zeros((R, w), jnp.float32)
+    best_D16 = jnp.zeros((R, w), jnp.float32)
     best_m16 = jnp.zeros((R, w), jnp.int32)
+    debug_hit = False
     for m in range(_NI16):
         CO = fdct_plane(Ym - preds16[m])
         # y2: forward WHT over the subblock DCs (anchored stride 4).
@@ -484,24 +495,29 @@ def _kernel(ym_ref, yh_ref, seg_ref, qtab_ref, lam_ref,
         r1sb = rate_sb(level, lvl0, tail0, eob0, 1)
         rate = bsum_block(jnp.where(anchor4, r1sb, 0), 16) + rate2 \
             + int(fix16[m])
-        score = (rate.astype(jnp.float32) * lam16
-                 + 64.0 * disto.astype(jnp.float32))
+        D = 64.0 * disto.astype(jnp.float32)
         if use_td:
             rec = jnp.clip(preds16[m] + idct_plane(dqf), 0, 255)
             ha_rec = bsum_block(w_plane * jnp.abs(hadamard_plane(rec)), 4)
             td = jnp.abs(ha_rec - ha_src) >> 5
             td16 = bsum_block(jnp.where(anchor4, td, 0), 16)
-            score = score + tlsd * td16.astype(jnp.float32)
+            D = D + tlsd * td16.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lam16 + D
         if _DEBUG and m == 0:
             comp = {"rate16": rate, "disto16": disto, "rate2": rate2,
                     "r1": bsum_block(jnp.where(anchor4, r1sb, 0), 16),
                     "wht": wht, "recdc": recdc}[_DEBUG]
             best_s16 = comp.astype(jnp.float32)
             best_m16 = jnp.zeros((R, w), jnp.int32)
+            debug_hit = True
             break
         better = score < best_s16
         best_s16 = jnp.where(better, score, best_s16)
+        best_r16 = jnp.where(better, rate.astype(jnp.float32), best_r16)
+        best_D16 = jnp.where(better, D, best_D16)
         best_m16 = jnp.where(better, m, best_m16)
+    if not debug_hit:
+        best_s16 = best_r16 * lam_md + best_D16
 
     # The i16 outputs share the i4 planes' (mbr * 4, w) row geometry so
     # every output block is sublane-aligned ((mbr, w) blocks violate the
@@ -582,7 +598,8 @@ def _build_call(mb_h_pad, mbr, w, lvl0, tail0, eob0, lvl1, tail1, eob1,
 
 
 def luma_analysis(Y, seg_map, qtab_y1, qtab_y2, lam16_4, lam4_4, tlsd4,
-                  rt, mb_w, mb_h, allow_tr=False, mbr=2, interpret=False):
+                  rt, mb_w, mb_h, allow_tr=False, mbr=2, interpret=False,
+                  lam_mode4=None):
     """Fused I16 + I4 luma analysis.
 
     Y: [H, W] int; seg_map: [n_mb] i32 or None; qtab_y1/qtab_y2:
@@ -631,6 +648,8 @@ def luma_analysis(Y, seg_map, qtab_y1, qtab_y2, lam16_4, lam4_4, tlsd4,
     use_td = tlsd4 is not None
     if use_td:
         lam_row = lam_row.at[0, 8:12].set(jnp.asarray(tlsd4, jnp.float32))
+    lam_row = lam_row.at[0, 12:16].set(jnp.asarray(
+        lam16_4 if lam_mode4 is None else lam_mode4, jnp.float32))
     call = _build_call(
         mb_h_pad, mbr, W_pad,
         tuple(int(v) for v in rt.lvl[0]), tuple(int(v) for v in rt.tail[0]),

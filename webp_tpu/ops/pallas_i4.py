@@ -162,10 +162,17 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         return qrows[param][zz]
 
     best_score = jnp.full(src.shape[1:], jnp.inf, jnp.float32)
+    best_rate = jnp.zeros(src.shape[1:], jnp.float32)
+    best_D = jnp.zeros(src.shape[1:], jnp.float32)
     best_mode = jnp.zeros(src.shape[1:], jnp.int32)
     lam = lam_ref[0, 0] * jnp.ones(src.shape[1:], jnp.float32)
     for s in range(1, 4):
         lam = jnp.where(seg == s, lam_ref[0, s], lam)
+    # Split-decision lambda (slots 8:12): the emitted score is the chosen
+    # mode's lam_mode-rescored contribution (ops/i4.py i4_search).
+    lam_md = lam_ref[0, 8] * jnp.ones(src.shape[1:], jnp.float32)
+    for s in range(1, 4):
+        lam_md = jnp.where(seg == s, lam_ref[0, 8 + s], lam_md)
     if use_td:
         tlsd = lam_ref[0, 4] * jnp.ones(src.shape[1:], jnp.float32)
         for s in range(1, 4):
@@ -240,8 +247,8 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
             run_cost = jnp.where(nz, 0, run_cost)
             has_any = has_any | nz
         rate = jnp.where(has_any, rate + int(eob_cost), int(eob_cost))
-        score = (rate + int(mode_cost[m])).astype(jnp.float32) * lam \
-            + 64.0 * disto.astype(jnp.float32)
+        rate_m = (rate + int(mode_cost[m])).astype(jnp.float32)
+        D = 64.0 * disto.astype(jnp.float32)
         if use_td:
             # Perceptual SD (reference PickBestI4ModeRD + TLambdaSD):
             # inverse DCT of the dequantized block, clip, weighted-abs
@@ -277,15 +284,18 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
                                           0, 255)
             ha_rec = _hadamard_rows(rec)
             td = jnp.abs(ha_rec - ha_src) >> 5
-            score = score + tlsd * td.astype(jnp.float32)
+            D = D + tlsd * td.astype(jnp.float32)
+        score = rate_m * lam + D
         if m in tr_modes:
             score = jnp.where(is_c3, jnp.float32(np.inf), score)
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
+        best_rate = jnp.where(better, rate_m, best_rate)
+        best_D = jnp.where(better, D, best_D)
         best_mode = jnp.where(better, m, best_mode)
 
     mode_ref[0, :] = best_mode.reshape(S)
-    score_ref[0, :] = best_score.reshape(S)
+    score_ref[0, :] = (best_rate * lam_md + best_D).reshape(S)
 
 
 @functools.lru_cache(maxsize=8)
@@ -324,14 +334,27 @@ def _build_call(n_sb_padded, lvl_cost, tail_cost, eob_cost, mode_cost,
     )
 
 
+def _lam_row(lam4, tlsd4, lam_mode4):
+    """Packs per-segment lambdas into the kernel's [1, 128] f32 row:
+    lam_i4 @0:4, tlsd @4:8, lam_mode @8:12 (defaults to lam_i4)."""
+    row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
+        jnp.asarray(lam4, jnp.float32))
+    if tlsd4 is not None:
+        row = row.at[0, 4:8].set(jnp.asarray(tlsd4, jnp.float32))
+    row = row.at[0, 8:12].set(jnp.asarray(
+        lam4 if lam_mode4 is None else lam_mode4, jnp.float32))
+    return row
+
+
 def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
                      rt_lvl, rt_tail, rt_eob, mode_cost, tr_modes,
-                     interpret=False):
+                     interpret=False, lam_mode4=None):
     """Pallas-backed score/mode computation for every subblock.
 
     src_b: [n_sb, 4, 4] i32; top/left/tr: [n_sb, 4]; tl: [n_sb];
     seg: [n_sb] i32 (0..3); qtab: [16, 16] i32 ((seg*4+param) x zigzag);
-    lam4: [4] f32 array (traced). Returns (mode [n_sb], score [n_sb]).
+    lam4: [4] f32 array (traced). Returns (mode [n_sb], score [n_sb])
+    where score is the chosen mode's lam_mode-rescored contribution.
     """
     n_sb = src_b.shape[0]
     pad = (-n_sb) % TILE
@@ -349,14 +372,14 @@ def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
                        tuple(int(v) for v in rt_tail), int(rt_eob),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
                        interpret)
-    lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
-        jnp.asarray(lam4, jnp.float32))
-    mode, score = call(data, qtab.astype(jnp.int32), lam_row)
+    mode, score = call(data, qtab.astype(jnp.int32),
+                       _lam_row(lam4, None, lam_mode4))
     return mode[0, :n_sb], score[0, :n_sb]
 
 
 def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
-                     mode_cost, tr_modes, interpret=False, tlsd4=None):
+                     mode_cost, tr_modes, interpret=False, tlsd4=None,
+                     lam_mode4=None):
     """Like i4_search_scores but on pre-built planar [16, n_sb] arrays
     (any subblock ordering — the caller owns the layout). tlsd4 enables
     the perceptual SD term ([4] f32 per-segment TLambdaSD)."""
@@ -370,9 +393,6 @@ def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
                        tuple(int(v) for v in rt_tail), int(rt_eob),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
                        interpret, use_td=tlsd4 is not None)
-    lam_row = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
-        jnp.asarray(lam4, jnp.float32))
-    if tlsd4 is not None:
-        lam_row = lam_row.at[0, 4:8].set(jnp.asarray(tlsd4, jnp.float32))
-    mode, score = call(data, qtab.astype(jnp.int32), lam_row)
+    mode, score = call(data, qtab.astype(jnp.int32),
+                       _lam_row(lam4, tlsd4, lam_mode4))
     return mode[0, :n_sb], score[0, :n_sb]

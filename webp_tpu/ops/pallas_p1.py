@@ -178,7 +178,10 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
     corners per plane, has_top/has_left flags, segment id.
     qtab: [1, 48, 16] i32 — rows = type*16 + seg*4 + param (types
     y1/y2/uv, params q/iq/bias/sharpen), zigzag columns.
-    lam: [1, 1, 128] f32 — lam_i16[4] @0, lam_uv[4] @4, tlsd4[4] @8.
+    lam: [1, 1, 128] f32 — lam_i16[4] @0, lam_uv[4] @4, tlsd4[4] @8,
+    lam_mode[4] @12 (the split-decision lambda: mode selection runs at
+    lam_i16, but score_ref emits the winner's lam_mode-rescored total —
+    see phase1p.phase1_planar).
     """
     S = src_ref.shape[1]
     d = src_ref[:, :].reshape(N_SRC, S // 128, 128)
@@ -207,6 +210,7 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
 
     lam16 = lam_of(0)
     lamuv = lam_of(4)
+    lam_md = lam_of(12)
     if use_td:
         tlsd = lam_of(8)
 
@@ -281,6 +285,8 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
         ha_src = _hadamard_w(srcY8.astype(jnp.int32))  # [16, sub, 128]
 
     best_score = jnp.full((sub, 128), jnp.inf, jnp.float32)
+    best_rate = jnp.zeros((sub, 128), jnp.float32)
+    best_D = jnp.zeros((sub, 128), jnp.float32)
     best_mode = jnp.zeros((sub, 128), jnp.int32)
     for m in range(4):
         shape = (4, 4, 4, 4, sub, 128)                 # [br, bc, pr, pc]
@@ -315,8 +321,7 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
             e0 = dcs[b] - rec_l[b]
             disto = disto + e0 * e0
         rate = rate + r_y2 + int(fc16[m])
-        score = (rate.astype(jnp.float32) * lam16
-                 + 64.0 * disto.astype(jnp.float32))
+        D = 64.0 * disto.astype(jnp.float32)
         if use_td:
             # Perceptual SD (reference TDisto16x16 + TLambdaSD). Levels
             # are requantized per block here instead of stored in pass A
@@ -339,13 +344,16 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
                 rec = jnp.clip(pred[b] + _idct_k(dq44[None])[0], 0, 255)
                 ha_rec = _hadamard_w(rec[None])[0]
                 td = td + (jnp.abs(ha_rec - ha_src[b]) >> 5)
-            score = score + tlsd * td.astype(jnp.float32)
+            D = D + tlsd * td.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lam16 + D
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
+        best_rate = jnp.where(better, rate.astype(jnp.float32), best_rate)
+        best_D = jnp.where(better, D, best_D)
         best_mode = jnp.where(better, m, best_mode)
 
     mode_ref[0, :] = best_mode.reshape(S)
-    score_ref[0, :] = best_score.reshape(S)
+    score_ref[0, :] = (best_rate * lam_md + best_D).reshape(S)
 
     # ------------------------------------------------------------------
     # Chroma UV (joint U+V score).
@@ -474,7 +482,7 @@ def phase1_scores_pallas(src, ctx, qtabs, lams, rt, fc16, fcuv, use_td,
 # fastpath._mb_alphas (reference computeAlphas, encode_analysis.go:245).
 # ---------------------------------------------------------------------------
 
-def _alpha_kernel(src_ref, alpha_ref):
+def _alpha_kernel(src_ref, alpha_ref, uv_ref):
     S = src_ref.shape[1]
     d = src_ref[:, :].reshape(N_SRC, S // 128, 128)
     sub = S // 128
@@ -531,6 +539,9 @@ def _alpha_kernel(src_ref, alpha_ref):
 
     a = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
     alpha_ref[0, :] = a.reshape(S)
+    # Pre-mix UV alpha: feeds the global dq_uv_ac derivation (reference
+    # setSegmentParams, encode_analysis.go:163).
+    uv_ref[0, :] = uv.reshape(S)
 
 
 @functools.lru_cache(maxsize=4)
@@ -544,8 +555,11 @@ def _build_alpha_call(n_lanes, interpret):
         in_specs=[pl.BlockSpec((N_SRC, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, TILE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((1, n_lanes), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_lanes), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -553,5 +567,6 @@ def _build_alpha_call(n_lanes, interpret):
 
 
 def alphas_pallas(src, interpret=False):
-    """src: u8 [N_SRC, L] -> per-MB alphas [L] i32 (values 0..255)."""
-    return _build_alpha_call(src.shape[1], interpret)(src)[0][0]
+    """src: u8 [N_SRC, L] -> (alphas [L], uv alphas [L]) i32 (0..255)."""
+    a, uv = _build_alpha_call(src.shape[1], interpret)(src)
+    return a[0], uv[0]

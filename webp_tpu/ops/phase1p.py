@@ -176,8 +176,9 @@ def _hist_alpha_p(v, B, n_mb):
     return jnp.minimum(alpha, 255)
 
 
-def _alphas_planar(srcY, srcU, srcV, B, n_mb):
-    """Per-MB texture alphas [B, n_mb] (fastpath._mb_alphas, planar)."""
+def _alphas_planar2(srcY, srcU, srcV, B, n_mb):
+    """Per-MB texture alphas + UV alphas [B, n_mb] (fastpath._mb_alphas
+    + the reference's globalUVAlpha input, encode_analysis.go:245)."""
     dc = jnp.round(srcY.mean(axis=(0, 1, 2))).astype(jnp.int32)
     co = fdct4x4_p(srcY, dc[None, None, None, :])
     vy = jnp.minimum(jnp.abs(co) >> 3, 31).astype(jnp.uint8)
@@ -188,26 +189,38 @@ def _alphas_planar(srcY, srcU, srcV, B, n_mb):
     vu = jnp.minimum(jnp.abs(cu) >> 3, 31).astype(jnp.uint8)
     uv = _hist_alpha_p(vu.reshape(128, -1), B, n_mb)
     a = jnp.clip(255 - ((3 * luma + uv + 2) >> 2), 0, 255)
-    return a.reshape(B, n_mb)
+    return a.reshape(B, n_mb), uv.reshape(B, n_mb)
+
+
+def _alphas_planar(srcY, srcU, srcV, B, n_mb):
+    """Per-MB texture alphas [B, n_mb] (fastpath._mb_alphas, planar)."""
+    return _alphas_planar2(srcY, srcU, srcV, B, n_mb)[0]
 
 
 def plan_segments_planar(srcY, srcU, srcV, B, n_mb, quality, sns_strength,
                          num_segs, alphas=None):
     """Planar fastpath._segment_plan_device, batched over B images.
 
-    alphas: optional precomputed [B, n_mb] per-MB alphas (e.g. from the
-    Pallas kernel, alphas_planar_pallas) — skips the jnp alpha pass.
-    Returns (seg_map [B, n_mb] i32, seg_q [B, 4] i32, seg_beta [B, 4])."""
+    alphas: optional precomputed ([B, n_mb] alphas, [B, n_mb] uv alphas)
+    pair (e.g. from the Pallas kernel, alphas_planar_pallas) — skips the
+    jnp alpha pass.
+    Returns (seg_map [B, n_mb] i32, seg_q [B, 4] i32, seg_beta [B, 4],
+    global_uv [B] i32 — the mean pre-mix UV alpha feeding dq_uv_ac,
+    reference setSegmentParams, encode_analysis.go:163)."""
     from .fastpath import _plan_from_histo
 
     if alphas is None:
-        alphas = _alphas_planar(srcY, srcU, srcV, B, n_mb)   # [B, n_mb]
+        alphas, uv_al = _alphas_planar2(srcY, srcU, srcV, B, n_mb)
+    else:
+        alphas, uv_al = alphas
+    guv = uv_al.sum(axis=1) // n_mb                          # [B] i32
     au8 = alphas.astype(jnp.uint8)
     histo = jnp.stack([(au8 == k).sum(axis=1, dtype=jnp.int32)
                        for k in range(256)], axis=1)         # [B, 256]
-    return jax.vmap(
+    seg_map, seg_q, seg_beta = jax.vmap(
         lambda h, a: _plan_from_histo(h, a, quality, sns_strength,
                                       num_segs))(histo, alphas)
+    return seg_map, seg_q, seg_beta, guv
 
 
 # ---------------------------------------------------------------------------
@@ -247,25 +260,28 @@ def build_src_pallas(Yb, Ub, Vb, mb_w, mb_h, srcs=None):
 
 
 def alphas_planar_pallas(src_rows, B, n_mb, n_mb_p, interpret=False):
-    """Per-MB texture alphas [B, n_mb] i32 from the shared src rows
-    (Pallas; bit-identical to _alphas_planar)."""
+    """Per-MB texture alphas + UV alphas ([B, n_mb] i32 each) from the
+    shared src rows (Pallas; bit-identical to _alphas_planar2)."""
     from . import pallas_p1 as PP
 
-    a = PP.alphas_pallas(src_rows, interpret=interpret)
-    return a.reshape(B, n_mb_p)[:, :n_mb]
+    a, uv = PP.alphas_pallas(src_rows, interpret=interpret)
+    return (a.reshape(B, n_mb_p)[:, :n_mb],
+            uv.reshape(B, n_mb_p)[:, :n_mb])
 
 
 def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
                          seg_map, rt, mb_w, mb_h, srcs=None,
-                         src_rows=None, interpret=False):
+                         src_rows=None, interpret=False, lam_mode4=None):
     """Pallas-backed phase1_planar (ops/pallas_p1.py): bit-identical
     modes/scores, the whole 8-predictor search fused in VMEM.
 
     qtabs: i32 [B, 48, 16] quant rows (type*16 + seg*4 + param, zigzag
     cols; types y1/y2/uv). lam16_4/lamuv_4: [B, 4] f32 per-segment
-    lambdas. tlsd4: [B, 4] f32 or None. seg_map: [B, n_mb] i32.
-    src_rows: optional pre-built (src u8 [N_SRC, B*n_mb_p], srcs, n_mb_p)
-    from build_src_pallas.
+    lambdas; lam_mode4: [B, 4] f32 split-decision lambdas (the emitted
+    score is the chosen I16 mode's total rescored at lam_mode — see
+    phase1_planar; defaults to lam16_4). tlsd4: [B, 4] f32 or None.
+    seg_map: [B, n_mb] i32. src_rows: optional pre-built
+    (src u8 [N_SRC, B*n_mb_p], srcs, n_mb_p) from build_src_pallas.
 
     Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8, score [B, n_mb]).
     """
@@ -299,6 +315,8 @@ def phase1_planar_pallas(Yb, Ub, Vb, qtabs, lam16_4, lamuv_4, tlsd4,
     use_td = tlsd4 is not None
     if use_td:
         lams = lams.at[:, 0, 8:12].set(jnp.asarray(tlsd4, jnp.float32))
+    lams = lams.at[:, 0, 12:16].set(jnp.asarray(
+        lam16_4 if lam_mode4 is None else lam_mode4, jnp.float32))
 
     mode, uv, score = PP.phase1_scores_pallas(
         src, ctx, qtabs, lams, rt, FC16, FCUV, use_td, tpi,
@@ -319,11 +337,14 @@ def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
 
     Yb/Ub/Vb: [B, H, W] uint8-ish. qp_rows: {y1/y2/uv: tuple of 4 zigzag
     rows, each [16, 1] (single segment) or [16, L] (per-lane)}. lam:
-    {"i16": [L] or scalar f32, "uv": ...}. tlsd: [L] or scalar f32 or
-    None. srcs: optional precomputed (srcY, srcU, srcV) planar blocks.
+    {"i16": [L] or scalar f32, "uv": ..., "mode": ...}. tlsd: [L] or
+    scalar f32 or None. srcs: optional precomputed (srcY, srcU, srcV)
+    planar blocks.
 
     Returns (modes [B, n_mb] u8, uvmodes [B, n_mb] u8,
-             i16_score [B, n_mb] f32).
+             i16_score [B, n_mb] f32) — i16_score is the chosen mode's
+    total rescored at lam["mode"], the I4-vs-I16 split lambda (reference
+    encode_parallel.go:565; selection itself runs at lam["i16"]).
     """
     B = Yb.shape[0]
     n_mb = mb_w * mb_h
@@ -337,6 +358,8 @@ def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
 
     topY, leftY, tlY = _ctx_planar(Yb, 16, mb_h, mb_w, src=srcY)
     best_score = jnp.full((B * n_mb,), jnp.inf, jnp.float32)
+    best_rate = jnp.zeros((B * n_mb,), jnp.float32)
+    best_D = jnp.zeros((B * n_mb,), jnp.float32)
     best_mode = jnp.zeros((B * n_mb,), jnp.uint8)
     if tlsd is not None:
         ha_src = _wha(srcY)                                  # [16, L]
@@ -353,17 +376,21 @@ def phase1_planar(Yb, Ub, Vb, qp_rows, lam, rt, mb_w, mb_h, tlsd=None,
         rate = approx_rate_p(lv, 1, 0, rt).sum(axis=0)
         rate = rate + approx_rate_p(y2lv, 0, 1, rt)
         rate = rate + int(FC16[m])
-        score = (rate.astype(jnp.float32) * lam["i16"]
-                 + 64.0 * disto_td.astype(jnp.float32))
+        D = 64.0 * disto_td.astype(jnp.float32)
         if tlsd is not None:
             # Perceptual texture distortion (reference TDisto16x16 +
             # TLambdaSD, encode_analysis.go:1180), same units as
             # fastpath._phase1's tlsd term.
             td = (jnp.abs(_wha(recon) - ha_src) >> 5).sum(axis=0)
-            score = score + tlsd * td.astype(jnp.float32)
+            D = D + tlsd * td.astype(jnp.float32)
+        score = rate.astype(jnp.float32) * lam["i16"] + D
         better = score < best_score
         best_score = jnp.where(better, score, best_score)
+        best_rate = jnp.where(better, rate.astype(jnp.float32), best_rate)
+        best_D = jnp.where(better, D, best_D)
         best_mode = jnp.where(better, np.uint8(m), best_mode)
+    lam_md = lam.get("mode", lam["i16"])
+    best_score = best_rate * lam_md + best_D
 
     topU, leftU, tlU = _ctx_planar(Ub, 8, mb_h, mb_w, src=srcU)
     topV, leftV, tlV = _ctx_planar(Vb, 8, mb_h, mb_w, src=srcV)

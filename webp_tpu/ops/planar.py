@@ -807,6 +807,8 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
         lam16N = _lane_lam(i4_search[2])
         if uv_search:
             lamuvN = _lane_lam(i4_search[3])
+        lammdN = (_lane_lam(i4_search[4]) if len(i4_search) >= 5
+                  else lam4N)
 
     def sel_mode(preds, mode):
         """preds [4, s, s, N]; mode [N] -> [s, s, N]."""
@@ -906,11 +908,18 @@ def phase2_planar(Y, U, V, modes, uvmodes, qp, mb_w, mb_h, rd_drop=0.0,
                                  jnp.where(m == 1, int(FC16[1]),
                                            jnp.where(m == 2, int(FC16[2]),
                                                      int(FC16[3]))))
-                lam16_t = (_seg_select_p(lam16N, x["seg"])
-                           if seg is not None else jnp.float32(i4_search[2]))
-                score16 = ((rate16 + fc16).astype(jnp.float32) * lam16_t
+                # Both totals rescored at lambda_mode for the split
+                # (reference pickBestModeParallel / tryI4ModesRDParallel,
+                # encode_parallel.go:565,808; the per-candidate searches
+                # above keep lambda_i16 / lambda_i4).
+                lammd_t = (_seg_select_p(lammdN, x["seg"])
+                           if seg is not None
+                           else jnp.float32(i4_search[4]
+                                            if len(i4_search) >= 5
+                                            else i4_search[1]))
+                score16 = ((rate16 + fc16).astype(jnp.float32) * lammd_t
                            + 256.0 * disto16.astype(jnp.float32))
-                score4 = ((rd4[0] + 211).astype(jnp.float32) * lam_t
+                score4 = ((rd4[0] + 211).astype(jnp.float32) * lammd_t
                           + 256.0 * rd4[1].astype(jnp.float32))
                 ii_mb = score4 < score16
             else:

@@ -92,15 +92,24 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
         # --- Phase 0: segmentation (global per image). ---
         if segments > 1 and n_mb * sp >= 4:
             def plan_one(y, u, v):
-                alphas = fp._mb_alphas(y, u, v, mb_w, mb_h)
+                alphas, uv_al = fp._mb_alphas2(y, u, v, mb_w, mb_h)
                 histo = (alphas[None, :] == jnp.arange(256)[:, None]).sum(1)
                 histo = jax.lax.psum(histo, "sp")
+                # Image-global mean UV alpha (feeds dq_uv_ac); the sum is
+                # all-reduced so every band derives the identical delta.
+                guv = jax.lax.psum(uv_al.sum(), "sp") // (n_mb * sp)
                 return fp._plan_from_histo(histo, alphas, quality,
-                                           sns_strength, segments)
+                                           sns_strength, segments) + (guv,)
 
-            seg_map, seg_q, seg_beta = jax.vmap(plan_one)(Y, U, V)
+            seg_map, seg_q, seg_beta, guv_b = jax.vmap(plan_one)(Y, U, V)
+            sns_i = max(0, int(sns_strength))
+            dq_dc, dq_ac = fp._uv_deltas(guv_b, sns_i)          # [B]
             qp_b, lam_b, seg_rows = jax.vmap(
-                lambda sm, sq: fp._mb_quant(sm, sq, n_mb))(seg_map, seg_q)
+                lambda sm, sq, da: fp._mb_quant(sm, sq, n_mb,
+                                                dq_uv=(dq_dc, da)))(
+                seg_map, seg_q, dq_ac)
+            dq_uv_b = jnp.stack([jnp.full((B,), dq_dc, jnp.int32),
+                                 dq_ac.astype(jnp.int32)], axis=1)
             use_seg = True
         else:
             qp_i, lam_i = fp.rd_params(quality)
@@ -110,6 +119,7 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
             seg_map = jnp.zeros((B, n_mb), jnp.int32)
             seg_q = jnp.zeros((B, 4), jnp.int32)
             seg_beta = jnp.zeros((B, 4), jnp.int32)
+            dq_uv_b = jnp.zeros((B, 2), jnp.int32)
             use_seg = False
 
         sns = max(0, int(sns_strength))
@@ -143,14 +153,16 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
                               .reshape(n_mb, 16, 16), 16)
             is_i4, i4m, _ = I4.i4_search(
                 y, src_b, qp1["y1"], lam1["i4"], rt, mb_w, mb_h, i16s,
-                fp.approx_block_rate, tlsd=tlsd1)
+                fp.approx_block_rate, tlsd=tlsd1,
+                lam_mode=lam1.get("mode", lam1["i4"]))
             src_b2 = fp._block(y2r.reshape(2, 16, mb_w, 16)
                                .transpose(0, 2, 1, 3)
                                .reshape(2 * mb_w, 16, 16), 16)
             qp1_top = qp_top
             is_i4_t, i4m_t, _ = I4.i4_search(
                 y2r, src_b2, qp1_top["y1"], lam_top["i4"], rt, mb_w, 2,
-                i16s_t, fp.approx_block_rate, tlsd=tlsd_top)
+                i16s_t, fp.approx_block_rate, tlsd=tlsd_top,
+                lam_mode=lam_top.get("mode", lam_top["i4"]))
             is_i4 = jnp.where(row0 & has_above,
                               jnp.pad(is_i4_t[mb_w:], (0, n_mb - mb_w)),
                               is_i4)
@@ -242,7 +254,7 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
         hist = jax.lax.psum(hist, "sp")
         return (packed, esc_idx, esc_val, esc_cnt[:, None], y2, modes,
                 uvmodes, skip, is_i4, imodes, seg_map.astype(jnp.uint8),
-                seg_q, seg_beta, hist)
+                seg_q, seg_beta, dq_uv_b, hist)
 
     fn = shard_map(
         band_prog,
@@ -262,6 +274,7 @@ def make_exact_encode_fn(mesh: Mesh, n_images: int, quality: int = 75,
             P(None, "sp"),               # segment map
             P(None, None),               # segment quant indices
             P(None, None),               # segment betas
+            P(None, None),               # UV quant deltas
             P(),                         # histogram
         ),
         check_rep=False,
@@ -328,6 +341,7 @@ def encode_lossy_mesh(images, quality: int = 75, segments: int = 4,
         enc.uvmode = d["uvmodes"].reshape(mb_h, mb_w)
         enc.skip = d["skip"].reshape(mb_h, mb_w).copy()
         enc.is_i4 = d["is_i4"].reshape(mb_h, mb_w).copy()
-        enc.apply_device_plan(d["seg_map"], d["seg_q"], d["seg_beta"])
+        enc.apply_device_plan(d["seg_map"], d["seg_q"], d["seg_beta"],
+                              dq_uv=d.get("dq_uv"))
         blobs.append(enc._finish_bitstream())
     return blobs

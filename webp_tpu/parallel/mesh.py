@@ -101,7 +101,8 @@ def make_sharded_encode_fn(mesh: Mesh, quality: int = 75,
         return (out["packed"], out["esc_idx"], out["esc_val"],
                 out["esc_cnt"][:, None], out["y2"], out["modes"],
                 out["uvmodes"], out["skip"], out["is_i4"], out["imodes"],
-                out["seg_map"], out["seg_q"], out["seg_beta"], hist)
+                out["seg_map"], out["seg_q"], out["seg_beta"],
+                out["dq_uv"], hist)
 
     fn = shard_map(
         band_fn,
@@ -121,6 +122,7 @@ def make_sharded_encode_fn(mesh: Mesh, quality: int = 75,
             P("dp", "sp"),               # segment map
             P("dp", None),               # segment quant indices (replicated/sp)
             P("dp", None),               # segment betas
+            P("dp", None),               # UV quant deltas
             P(),                         # replicated histogram
         ),
     )
@@ -151,8 +153,8 @@ def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
     from ..ops.fastpath import unpack_levels
 
     (packed, esc_idx, esc_val, esc_cnt, y2, modes, uvm, skip, is_i4,
-     imodes, seg_map, seg_q, seg_beta, hist) = [np.asarray(o)
-                                                for o in outputs]
+     imodes, seg_map, seg_q, seg_beta, dq_uv, hist) = [np.asarray(o)
+                                                       for o in outputs]
     B = packed.shape[0]
     n_mb = mb_w * mb_h
     n_loc = n_mb // sp
@@ -178,5 +180,6 @@ def assemble_from_sharded(outputs, sp: int, mb_w: int, mb_h: int):
         out.append({"lv24": lv, "y2": y2[b], "modes": modes[b],
                     "uvmodes": uvm[b], "skip": skip[b], "is_i4": is_i4[b],
                     "imodes": imodes[b], "seg_map": seg_map[b],
-                    "seg_q": seg_q[b][:4], "seg_beta": seg_beta[b][:4]})
+                    "seg_q": seg_q[b][:4], "seg_beta": seg_beta[b][:4],
+                    "dq_uv": dq_uv[b][:2]})
     return out
