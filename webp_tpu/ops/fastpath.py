@@ -169,13 +169,39 @@ class RateTables:
             comb[:, :, 1, 35:68].mean(axis=(1, 2)),
         ], axis=-1).astype(np.int32) - base            # [4, 4]
         self.eob = cost0_p0[:, 2, 1].astype(np.int32)  # [4] scalar EOB cost
+        # Position-resolved variant (band-exact at ctx=1 — the zigzag
+        # walk in every consumer is a static loop, so per-position
+        # constants cost the same as the collapsed ones; only the split
+        # decision's absolute-rate accuracy needed them):
+        c16 = comb[:, :16]                             # [4, 16, 3, 68]
+        self.lvlp = c16[:, :, 1, :8].astype(np.int32)  # [4, 16, 8]
+        basep = self.lvlp[:, :, 7:8]
+        self.tailp = (np.stack([
+            c16[:, :, 1, 8:11].mean(axis=-1),
+            c16[:, :, 1, 11:19].mean(axis=-1),
+            c16[:, :, 1, 19:35].mean(axis=-1),
+            c16[:, :, 1, 35:68].mean(axis=-1),
+        ], axis=-1) - basep).astype(np.int32)          # [4, 16, 4]
+        # EOB bit cost when the last nonzero sits at position p (the bit
+        # is coded at band[p+1] with ctx from the last level: 1 if v==1
+        # else 2 — GetResidualCost_C); p==15 emits no EOB bit.
+        nb = np.asarray(T.BANDS)[1:17]                 # band of p+1
+        e1 = np.array(cost0_p0[:, nb, 1])              # [4, 16]
+        e2 = np.array(cost0_p0[:, nb, 2])
+        e1[:, 15] = 0
+        e2[:, 15] = 0
+        self.eob1p = e1.astype(np.int32)
+        self.eob2p = e2.astype(np.int32)
+        # Empty-block cost by first position (EOB at band[first], ctx=1).
+        self.emptyp = cost0_p0[:, BANDS, 1].astype(np.int32)   # [4, 16]
 
 
 def approx_block_rate(levels, first, pt, rt: RateTables):
     """Approximate rate of zigzag level blocks [..., 16] -> int32 [...].
 
-    Fused elementwise select-chains over scalar constants; no gathers,
-    no one-hot matmuls, no context threading.
+    Fused elementwise select-chains over per-position (band-exact,
+    ctx=1-anchored) constants plus the exact per-band EOB bit; no
+    gathers, no one-hot matmuls, no cross-block context threading.
     """
     v = jnp.abs(levels)
     idx = jnp.arange(16)
@@ -187,14 +213,18 @@ def approx_block_rate(levels, first, pt, rt: RateTables):
     vc = jnp.minimum(v, 7)
     cost = jnp.zeros(v.shape, jnp.int32)
     for k in range(8):
-        cost = cost + jnp.where(vc == k, int(rt.lvl[pt, k]), 0)
+        cost = cost + jnp.where(vc == k,
+                                jnp.asarray(rt.lvlp[pt, :, k]), 0)
     for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35), (35, 1 << 30))):
-        cost = cost + jnp.where((v >= lo) & (v < hi), int(rt.tail[pt, b]), 0)
+        cost = cost + jnp.where((v >= lo) & (v < hi),
+                                jnp.asarray(rt.tailp[pt, :, b]), 0)
 
     in_run = (idx >= first) & (idx <= last[..., None])
     total = jnp.where(in_run, cost, 0).sum(axis=-1)
-    eob = int(rt.eob[pt])
-    return jnp.where(has_any, total + eob, eob)
+    e_pos = jnp.where(v == 1, jnp.asarray(rt.eob1p[pt]),
+                      jnp.asarray(rt.eob2p[pt]))
+    eob = jnp.where(idx == last[..., None], e_pos, 0).sum(axis=-1)
+    return jnp.where(has_any, total + eob, int(rt.emptyp[pt, first]))
 
 
 # ---------------------------------------------------------------------------
@@ -1072,12 +1102,24 @@ def encode_band(Y, U, V, hy, hu, hv, has_above, rt, mb_w, mb_h, esc_cap,
             "hist": hist}
 
 
-@functools.lru_cache(maxsize=8)
 def fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                    sns_strength: int = 0, i4_blocks: bool = True,
-                   sharp_yuv: bool = False, rd_drop: float = 1024.0,
+                   sharp_yuv: bool = False, rd_drop: float = None,
                    sk: int = 1, trellis: bool = False,
                    i4_mode_search: bool = False):
+    if rd_drop is None:  # WEBPTPU_RD_DROP: tuning knob for evals
+        rd_drop = float(os.environ.get("WEBPTPU_RD_DROP", 1024.0))
+    return _fast_encode_fn(mb_w, mb_h, quality, segments, sns_strength,
+                           i4_blocks, sharp_yuv, float(rd_drop), sk,
+                           trellis, i4_mode_search)
+
+
+@functools.lru_cache(maxsize=8)
+def _fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
+                    sns_strength: int = 0, i4_blocks: bool = True,
+                    sharp_yuv: bool = False, rd_drop: float = 1024.0,
+                    sk: int = 1, trellis: bool = False,
+                    i4_mode_search: bool = False):
     """Batched two-phase device encoder.
 
     Returns fn with:

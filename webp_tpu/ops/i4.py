@@ -477,7 +477,8 @@ def i4_search_pallas(Y, src_b, seg_map, qtab16, lam4, rt, mb_w, mb_h,
     src16, ctx = _planar_inputs(Y.astype(jnp.int32), seg_map, mb_w, mb_h)
     mode_g, score_g = P.i4_scores_planar(
         src16, ctx, qtab16, lam4,
-        rt.lvl[3], rt.tail[3], rt.eob[3], I4_MODE_COST, TR_MODES,
+        rt.lvlp[3], rt.tailp[3], rt.eob1p[3], rt.eob2p[3],
+        rt.emptyp[3][0], I4_MODE_COST, TR_MODES,
         interpret=interpret, tlsd4=tlsd4, lam_mode4=lam_mode4)
     # Grid order -> mb order (small outputs).
     SBX = mb_w * 4

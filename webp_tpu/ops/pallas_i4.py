@@ -70,7 +70,8 @@ def _hadamard_rows(x):
 
 
 def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
-            lvl_cost, tail_cost, eob_cost, mode_cost, tr_modes, use_td):
+            lvl_cost, tail_cost, eob1_cost, eob2_cost, empty_cost,
+            mode_cost, tr_modes, use_td):
     """One tile: data [32, S] u8 = src pixels (rows 0-15, raster p = r*4+c)
     stacked over ctx (rows 16-31): 16-19 = l3..l0, 20 = tl, 21-24 = t0..t3,
     25-28 = tr0..tr3, 29 = is_c3, 30 = segment id. One u8 ref instead of
@@ -205,6 +206,7 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
         rate = jnp.zeros(src.shape[1:], jnp.int32)
         has_any = jnp.zeros(src.shape[1:], bool)
         run_cost = jnp.zeros(src.shape[1:], jnp.int32)
+        pend = jnp.zeros(src.shape[1:], jnp.int32)
         dqn = [None] * 16
         for zz in range(16):
             czz = co[int(ZIGZAG[zz])]
@@ -216,23 +218,25 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
                 dqn[int(ZIGZAG[zz])] = jnp.where(czz < 0, -dqz, dqz)
             e = jnp.abs(czz) - dqz
             disto = disto + e * e
-            # approx_block_rate's per-level cost (fastpath.RateTables):
-            # clamped base cost plus the additive tail buckets.
+            # approx_block_rate's per-level cost (fastpath.RateTables,
+            # band-exact per position): clamped base cost plus the
+            # additive tail buckets.
             v = level
             vc = jnp.minimum(v, 7)
+            lc = lvl_cost[zz]
+            tlc = tail_cost[zz]
             # lvl_cost[vc] as a binary select tree on vc's bits (7 selects
             # instead of 8 equality+select pairs), then the tail buckets
             # as cumulative threshold adds (the bucket deltas telescope).
             bit0 = (vc & 1) != 0
             bit1 = (vc & 2) != 0
-            c01 = jnp.where(bit0, int(lvl_cost[1]), int(lvl_cost[0]))
-            c23 = jnp.where(bit0, int(lvl_cost[3]), int(lvl_cost[2]))
-            c45 = jnp.where(bit0, int(lvl_cost[5]), int(lvl_cost[4]))
-            c67 = jnp.where(bit0, int(lvl_cost[7]), int(lvl_cost[6]))
+            c01 = jnp.where(bit0, int(lc[1]), int(lc[0]))
+            c23 = jnp.where(bit0, int(lc[3]), int(lc[2]))
+            c45 = jnp.where(bit0, int(lc[5]), int(lc[4]))
+            c67 = jnp.where(bit0, int(lc[7]), int(lc[6]))
             c = jnp.where(vc >= 4, jnp.where(bit1, c67, c45),
                           jnp.where(bit1, c23, c01))
-            tc = (int(tail_cost[0]), int(tail_cost[1]), int(tail_cost[2]),
-                  int(tail_cost[3]))
+            tc = (int(tlc[0]), int(tlc[1]), int(tlc[2]), int(tlc[3]))
             c = c + jnp.where(v >= 8, tc[0], 0)
             for thr, delta in ((11, tc[1] - tc[0]), (19, tc[2] - tc[1]),
                                (35, tc[3] - tc[2])):
@@ -246,7 +250,12 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
             rate = jnp.where(nz, rate + run_cost, rate)
             run_cost = jnp.where(nz, 0, run_cost)
             has_any = has_any | nz
-        rate = jnp.where(has_any, rate + int(eob_cost), int(eob_cost))
+            # Pending EOB bit for termination at zz (band[zz+1], ctx from
+            # the last level — RateTables.eob1p/eob2p).
+            e_zz = jnp.where(v == 1, int(eob1_cost[zz]),
+                             int(eob2_cost[zz]))
+            pend = jnp.where(nz, e_zz, pend)
+        rate = jnp.where(has_any, rate + pend, int(empty_cost))
         rate_m = (rate + int(mode_cost[m])).astype(jnp.float32)
         D = 64.0 * disto.astype(jnp.float32)
         if use_td:
@@ -299,13 +308,14 @@ def _kernel(data_ref, qtab_ref, lam_ref, mode_ref, score_ref, *,
 
 
 @functools.lru_cache(maxsize=8)
-def _build_call(n_sb_padded, lvl_cost, tail_cost, eob_cost, mode_cost,
-                tr_modes, interpret, use_td=False):
+def _build_call(n_sb_padded, lvl_cost, tail_cost, eob1_cost, eob2_cost,
+                empty_cost, mode_cost, tr_modes, interpret, use_td=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = functools.partial(
-        _kernel, lvl_cost=lvl_cost, tail_cost=tail_cost, eob_cost=eob_cost,
+        _kernel, lvl_cost=lvl_cost, tail_cost=tail_cost,
+        eob1_cost=eob1_cost, eob2_cost=eob2_cost, empty_cost=empty_cost,
         mode_cost=mode_cost, tr_modes=tr_modes, use_td=use_td)
     grid = n_sb_padded // TILE
 
@@ -347,8 +357,8 @@ def _lam_row(lam4, tlsd4, lam_mode4):
 
 
 def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
-                     rt_lvl, rt_tail, rt_eob, mode_cost, tr_modes,
-                     interpret=False, lam_mode4=None):
+                     rt_lvl, rt_tail, rt_eob1, rt_eob2, rt_empty,
+                     mode_cost, tr_modes, interpret=False, lam_mode4=None):
     """Pallas-backed score/mode computation for every subblock.
 
     src_b: [n_sb, 4, 4] i32; top/left/tr: [n_sb, 4]; tl: [n_sb];
@@ -368,8 +378,11 @@ def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
     data = jnp.concatenate([src16, ctx]).astype(jnp.uint8)
     if pad:
         data = jnp.pad(data, ((0, 0), (0, pad)))
-    call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
-                       tuple(int(v) for v in rt_tail), int(rt_eob),
+    call = _build_call(n_sb + pad,
+                       tuple(tuple(int(v) for v in r) for r in rt_lvl),
+                       tuple(tuple(int(v) for v in r) for r in rt_tail),
+                       tuple(int(v) for v in rt_eob1),
+                       tuple(int(v) for v in rt_eob2), int(rt_empty),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
                        interpret)
     mode, score = call(data, qtab.astype(jnp.int32),
@@ -377,9 +390,9 @@ def i4_search_scores(src_b, top, left, tl, tr, seg, qtab, lam4,
     return mode[0, :n_sb], score[0, :n_sb]
 
 
-def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
-                     mode_cost, tr_modes, interpret=False, tlsd4=None,
-                     lam_mode4=None):
+def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob1,
+                     rt_eob2, rt_empty, mode_cost, tr_modes,
+                     interpret=False, tlsd4=None, lam_mode4=None):
     """Like i4_search_scores but on pre-built planar [16, n_sb] arrays
     (any subblock ordering — the caller owns the layout). tlsd4 enables
     the perceptual SD term ([4] f32 per-segment TLambdaSD)."""
@@ -389,8 +402,11 @@ def i4_scores_planar(src16, ctx, qtab, lam4, rt_lvl, rt_tail, rt_eob,
                             ctx.astype(jnp.uint8)])
     if pad:
         data = jnp.pad(data, ((0, 0), (0, pad)))
-    call = _build_call(n_sb + pad, tuple(int(v) for v in rt_lvl),
-                       tuple(int(v) for v in rt_tail), int(rt_eob),
+    call = _build_call(n_sb + pad,
+                       tuple(tuple(int(v) for v in r) for r in rt_lvl),
+                       tuple(tuple(int(v) for v in r) for r in rt_tail),
+                       tuple(int(v) for v in rt_eob1),
+                       tuple(int(v) for v in rt_eob2), int(rt_empty),
                        tuple(int(v) for v in mode_cost), tuple(tr_modes),
                        interpret, use_td=tlsd4 is not None)
     mode, score = call(data, qtab.astype(jnp.int32),

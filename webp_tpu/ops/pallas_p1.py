@@ -150,7 +150,8 @@ def _hadamard_w(x):
 
 
 def _level_cost(v, lvl_cost, tail_cost):
-    """approx rate per-level cost (fastpath.RateTables select tree)."""
+    """approx rate per-level cost (fastpath.RateTables select tree).
+    lvl_cost/tail_cost are the POSITION's own rows (band-exact)."""
     vc = jnp.minimum(v, 7)
     bit0 = (vc & 1) != 0
     bit1 = (vc & 2) != 0
@@ -170,7 +171,8 @@ def _level_cost(v, lvl_cost, tail_cost):
 
 
 def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
-            score_ref, *, lvl, tail, eob, fc16, fcuv, use_td):
+            score_ref, *, lvl, tail, eob1, eob2, empty, fc16, fcuv,
+            use_td):
     """One tile of TILE macroblock lanes.
 
     src rows (u8, R_* constants): srcY [16blk x 16pos], srcU/V
@@ -234,6 +236,7 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
         run_cost = jnp.zeros((sub, 128), jnp.int32)
         has_any = jnp.zeros((sub, 128), bool)
         disto = jnp.zeros((sub, 128), jnp.int32)
+        pend = jnp.zeros((sub, 128), jnp.int32)
         dq = [None] * 16 if want_dq else None
         for zz in range(first, 16):
             czz = co[int(ZIGZAG[zz])]
@@ -245,13 +248,18 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
                 dq[int(ZIGZAG[zz])] = jnp.where(czz < 0, -dqz, dqz)
             e = jnp.abs(czz) - dqz
             disto = disto + e * e
-            c = _level_cost(level, lvl[pt], tail[pt])
+            c = _level_cost(level, lvl[pt][zz], tail[pt][zz])
             nz = level != 0
             run_cost = run_cost + c
             rate = jnp.where(nz, rate + run_cost, rate)
             run_cost = jnp.where(nz, 0, run_cost)
             has_any = has_any | nz
-        rate = jnp.where(has_any, rate + int(eob[pt]), int(eob[pt]))
+            # Pending EOB bit if the block terminates here (band[zz+1],
+            # ctx from the last level — RateTables.eob1p/eob2p).
+            e_zz = jnp.where(level == 1, int(eob1[pt][zz]),
+                             int(eob2[pt][zz]))
+            pend = jnp.where(nz, e_zz, pend)
+        rate = jnp.where(has_any, rate + pend, int(empty[pt][first]))
         return rate, disto, dq
 
     # ------------------------------------------------------------------
@@ -409,12 +417,14 @@ def _kernel(src_ref, ctx_ref, qtab_ref, lam_ref, mode_ref, uv_ref,
 
 
 @functools.lru_cache(maxsize=8)
-def _build_call(n_lanes, lvl, tail, eob, fc16, fcuv, use_td, tiles_per_img,
+def _build_call(n_lanes, lvl, tail, eob1, eob2, empty, fc16, fcuv,
+                use_td, tiles_per_img,
                 interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_kernel, lvl=lvl, tail=tail, eob=eob,
+    kernel = functools.partial(_kernel, lvl=lvl, tail=tail, eob1=eob1,
+                               eob2=eob2, empty=empty,
                                fc16=fc16, fcuv=fcuv, use_td=use_td)
     grid = n_lanes // TILE
     tpi = tiles_per_img
@@ -455,9 +465,14 @@ def _build_call(n_lanes, lvl, tail, eob, fc16, fcuv, use_td, tiles_per_img,
 
 
 def _rate_consts(rt):
-    return (tuple(tuple(int(v) for v in row) for row in rt.lvl),
-            tuple(tuple(int(v) for v in row) for row in rt.tail),
-            tuple(int(v) for v in rt.eob))
+    """Static nested tuples of the position-resolved rate constants:
+    lvl[pt][pos][8], tail[pt][pos][4], eob1/eob2[pt][pos], empty[pt][pos]
+    (see fastpath.RateTables)."""
+    t3 = lambda a: tuple(tuple(tuple(int(v) for v in r) for r in m)
+                         for m in a)
+    t2 = lambda a: tuple(tuple(int(v) for v in r) for r in a)
+    return (t3(rt.lvlp), t3(rt.tailp), t2(rt.eob1p), t2(rt.eob2p),
+            t2(rt.emptyp))
 
 
 def phase1_scores_pallas(src, ctx, qtabs, lams, rt, fc16, fcuv, use_td,
@@ -466,8 +481,8 @@ def phase1_scores_pallas(src, ctx, qtabs, lams, rt, fc16, fcuv, use_td,
     n_mb_pad % TILE == 0); qtabs: i32 [B, 48, 16]; lams: f32 [B, 1, 128].
     Returns (mode [L] i32, uvmode [L] i32, score [L] f32)."""
     L = src.shape[1]
-    lvl, tail, eob = _rate_consts(rt)
-    call = _build_call(L, lvl, tail, eob,
+    lvl, tail, eob1, eob2, empty = _rate_consts(rt)
+    call = _build_call(L, lvl, tail, eob1, eob2, empty,
                        tuple(int(v) for v in fc16),
                        tuple(int(v) for v in fcuv),
                        bool(use_td), int(tiles_per_img), interpret)

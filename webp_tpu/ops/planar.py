@@ -393,7 +393,8 @@ def uv_rate4_p(lv, tnz, lnz):
 
 def approx_rate_p(levels, first, pt, rt):
     """Planar fastpath.approx_block_rate: levels [..., 16, N] zigzag ->
-    rate [..., N]. Same fused select-chains, coefficient axis at -2."""
+    rate [..., N]. Same fused select-chains (band-exact per-position
+    constants + per-band EOB), coefficient axis at -2."""
     v = jnp.abs(levels)
     idx = jnp.arange(16).reshape(16, 1)
     nzv = (v != 0) & (idx >= first)
@@ -403,14 +404,18 @@ def approx_rate_p(levels, first, pt, rt):
     vc = jnp.minimum(v, 7)
     cost = jnp.zeros(v.shape, jnp.int32)
     for k in range(8):
-        cost = cost + jnp.where(vc == k, int(rt.lvl[pt, k]), 0)
+        cost = cost + jnp.where(vc == k,
+                                jnp.asarray(rt.lvlp[pt, :, k])[:, None], 0)
     for b, (lo, hi) in enumerate(((8, 11), (11, 19), (19, 35),
                                   (35, 1 << 30))):
-        cost = cost + jnp.where((v >= lo) & (v < hi), int(rt.tail[pt, b]), 0)
+        cost = cost + jnp.where((v >= lo) & (v < hi),
+                                jnp.asarray(rt.tailp[pt, :, b])[:, None], 0)
     in_run = (idx >= first) & (idx <= last[..., None, :])
     total = jnp.where(in_run, cost, 0).sum(axis=-2)
-    eob = int(rt.eob[pt])
-    return jnp.where(has_any, total + eob, eob)
+    e_pos = jnp.where(v == 1, jnp.asarray(rt.eob1p[pt])[:, None],
+                      jnp.asarray(rt.eob2p[pt])[:, None])
+    eob = jnp.where(idx == last[..., None, :], e_pos, 0).sum(axis=-2)
+    return jnp.where(has_any, total + eob, int(rt.emptyp[pt, first]))
 
 
 # ---------------------------------------------------------------------------
