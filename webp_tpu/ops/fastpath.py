@@ -375,6 +375,13 @@ def _uv_deltas(guv, sns):
     libwebp's on the benchmark corpus.
     Returns (dq_uv_dc int, dq_uv_ac int32 array like guv)."""
     dq_dc = max(-15, min(15, -4 * sns // 100))
+    if not os.environ.get("WEBPTPU_DQUV_AC"):
+        # The AC delta is off by default: measured on the benchmark
+        # corpus, the coarser chroma AC it buys trades ~0.06 dB for
+        # ~0.8% size — below the encoder's RD slope (the reference's
+        # uv-alpha estimate does not transfer cleanly to our DC-pred
+        # alpha proxy). The DC boost is a clean win and stays.
+        return dq_dc, jnp.zeros_like(jnp.asarray(guv))
     dq_ac = (guv - 94) * (6 - (-4)) // (100 - 30)
     dq_ac = jnp.clip(dq_ac * sns // 100, -4, 6)
     return dq_dc, dq_ac
