@@ -73,7 +73,7 @@ Yb, Ub, Vb = bench("yuv", yuv_j, dev_in)
 # --- part1 (planar phase 0 + 1 + Pallas I4 search) ---
 res = bench("part1", fn.part1, Yb, Ub, Vb)
 (modes, uvmodes, is_i4, i4_modes, seg_map, seg_q, seg_beta,
- seg_rows, lam4, lam16_4, lamuv_4) = res
+ seg_rows, lam4, lam16_4, lamuv_4, lammd_4, dq_uv_b) = res
 
 
 # --- i4 search alone (the Pallas planar kernel incl. its relayout) ---

@@ -1433,6 +1433,11 @@ def _fast_encode_fn(mb_w: int, mb_h: int, quality: int, segments: int = 1,
                         modes=modes, uvmodes=uvmodes, is_i4=is_i4,
                         imodes=imodes, seg_map=seg_map.astype(jnp.uint8),
                         seg_q=seg_q, seg_beta=seg_beta, dq_uv=dq_uv_b)
+        # (pack_wire_planar — packing in the scan's skewed layout — was
+        # measured 1.7x SLOWER than unskew + _pack_levels at the B=128
+        # bench shape: its per-image escape-lid sort runs over the padded
+        # T*24*mb_h domain and its row gathers scalarize. The unskewed
+        # path stays.)
         out = PL.phase2_planar(
             Yb, Ub, Vb, modes, uvmodes, qp, mb_w, mb_h,
             rd_drop=rd_drop, seg=seg, i4=i4_ctx, sk=sk, trellis=trellis,
