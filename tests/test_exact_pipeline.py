@@ -33,7 +33,7 @@ def test_exact_pipeline_matches_single_chip():
                                 sns_strength=50, i4_blocks=True)
     out = [np.asarray(o) for o in step(rgb)]
     (packed, esc_idx, esc_val, esc_cnt, y2, modes, uvm, skip, is_i4,
-     imodes, seg_map, seg_q, seg_beta, hist) = out
+     imodes, seg_map, seg_q, seg_beta, dq_uv, hist) = out
 
     fn = fast_encode_fn(W // 16, H // 16, 75, 4, 50, True)
     ref = fn.rgb(rgb)
@@ -58,6 +58,7 @@ def test_exact_pipeline_matches_single_chip():
         assert np.array_equal(modes[b], np.asarray(ref["modes"])[b]), b
         assert np.array_equal(is_i4[b], np.asarray(ref["is_i4"])[b]), b
         assert np.array_equal(y2[b], np.asarray(ref["y2"])[b]), b
+        assert np.array_equal(dq_uv[b], np.asarray(ref["dq_uv"])[b]), b
         assert np.array_equal(lv, ref_lv[b]), f"levels differ, image {b}"
 
     # The hard part must actually be exercised: I4 macroblocks on band
